@@ -1,0 +1,181 @@
+"""Solver configuration — the fvSolution-dictionary surface of the reference.
+
+Accepts exactly the keys the reference reads (with identical defaults) so a
+user can paste their fvSolution solver sub-dict across:
+
+  executor           reference ExecutorHandler.H:128   (here: tpu|cpu|<jax platform>)
+  matrixFormat       lduLduBase.H:56, default "Coo"    (+ TPU-native "Dia", "Sell")
+  updateRHS          lduLduBase.H:224, default true
+  updateInitGuess    lduLduBase.H:235, default false
+  updateSysMatrix    (matrix coefficient re-upload), default true
+  scaling            HostMatrix.C:33, default 1.0
+  verbose            lduLduBase.H:49, default 0
+  debug / export     lduLduBase.H:50,259
+  forceHostBuffer / ranksPerGPU / reorderOnHost — accepted, no-ops on TPU
+  tolerance 1e-6, relTol 1e-6, minIter 0, maxIter 1000,
+  adaptMinIter true, relaxationFactor 0.6, resNormEval 0.1,
+  normEvalLimit 100, evalFrequency 1            StoppingCriterion.H:165-177
+  (maxIter is doubled for GKOBiCGStab, StoppingCriterion.H:188)
+  preconditioner     word or sub-dict, Preconditioner.H:83-351:
+      BJ(maxBlockSize=1), ILU/ILUT/IRILU, IC/ICT, ISAI/GISAI(sparsityPower=1),
+      Multigrid(maxLevels=9, minCoarseRows=10, cycle=v, coarseSolverIters=4,
+      zeroGuess=true), caching=0, skipSorting=true
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+__all__ = ["StoppingConfig", "PrecondConfig", "SolverConfig", "parse_controls"]
+
+MATRIX_FORMATS = ("Coo", "Csr", "Ell", "Dia", "Sell")
+
+
+@dataclasses.dataclass(frozen=True)
+class StoppingConfig:
+    """OpenFOAM convergence controls (reference StoppingCriterion.H:135-177)."""
+
+    tolerance: float = 1e-6
+    rel_tol: float = 1e-6
+    min_iter: int = 0
+    max_iter: int = 1000
+    adapt_min_iter: bool = True
+    relaxation_factor: float = 0.6
+    res_norm_eval: float = 0.1
+    norm_eval_limit: int = 100
+    frequency: int = 1
+
+    def adapted(self, prev_solve_iters: int, prev_rel_cost: float, export_res: bool):
+        """adaptMinIter policy (reference StoppingCriterion.H:199-209): raise
+        minIter to relaxationFactor×previous iteration count and stretch the
+        residual-check frequency by the measured cost ratio of a residual
+        evaluation relative to an iteration."""
+        min_iter, frequency = self.min_iter, self.frequency
+        if not export_res and prev_solve_iters > 0 and self.adapt_min_iter and prev_rel_cost > 0:
+            min_iter = int(prev_solve_iters * self.relaxation_factor)
+            alpha = (
+                1.0 / (prev_solve_iters * (1.0 - self.relaxation_factor)) * prev_rel_cost
+            ) ** 0.5
+            frequency = min(self.norm_eval_limit, max(1, int(1.0 / alpha)))
+        return dataclasses.replace(self, min_iter=min_iter, frequency=frequency)
+
+
+@dataclasses.dataclass(frozen=True)
+class PrecondConfig:
+    """Preconditioner selection (reference Preconditioner.H:83-351)."""
+
+    name: str = "none"  # none|BJ|ILU|ILUT|IRILU|IC|ICT|ISAI|GISAI|Multigrid
+    max_block_size: int = 1
+    sparsity_power: int = 1
+    skip_sorting: bool = True
+    caching: int = 0  # TTL in solves; 0 = regenerate each solve
+    approximate_select: bool = False
+    # Multigrid (as preconditioner) knobs
+    max_levels: int = 9
+    min_coarse_rows: int = 10
+    zero_guess: bool = True
+    cycle: str = "v"
+    coarse_solver_iters: int = 4
+    # TPU-specific: sweeps for the Jacobi-style approximate triangular solve
+    # used to apply ILU/IC factors (no sequential trisolve on TPU).
+    tri_solve_sweeps: int = 8
+
+
+@dataclasses.dataclass(frozen=True)
+class SolverConfig:
+    solver: str = "GKOCG"
+    executor: str = "tpu"
+    matrix_format: str = "Coo"
+    update_rhs: bool = True
+    update_init_guess: bool = False
+    update_sys_matrix: bool = True
+    scaling: float = 1.0
+    verbose: int = 0
+    debug: bool = False
+    export: bool = False
+    stopping: StoppingConfig = StoppingConfig()
+    precond: PrecondConfig = PrecondConfig()
+    # GMRES restart (Ginkgo default krylov_dim)
+    krylov_dim: int = 100
+    # dtype of device compute ("float32"|"float64"|"bfloat16")
+    dtype: str = "float32"
+
+
+_BOOL = {"true": True, "yes": True, "on": True, "1": True,
+         "false": False, "no": False, "off": False, "0": False}
+
+
+def _as_bool(v: Any) -> bool:
+    if isinstance(v, bool):
+        return v
+    if isinstance(v, (int, float)):
+        return bool(v)
+    return _BOOL[str(v).strip().lower()]
+
+
+def parse_controls(controls: dict[str, Any]) -> SolverConfig:
+    """Build a SolverConfig from a (parsed) fvSolution solver sub-dictionary.
+
+    Unknown keys are ignored (OpenFOAM dictionaries carry extra keys like
+    `smoother` freely); known keys use the reference defaults above.
+    """
+    g = controls.get
+
+    solver = str(g("solver", "GKOCG"))
+    max_iter = int(g("maxIter", 1000))
+    if solver == "GKOBiCGStab":
+        max_iter *= 2  # reference StoppingCriterion.H:188
+
+    stopping = StoppingConfig(
+        tolerance=float(g("tolerance", 1e-6)),
+        rel_tol=float(g("relTol", 1e-6)),
+        min_iter=int(g("minIter", 0)),
+        max_iter=max_iter,
+        adapt_min_iter=_as_bool(g("adaptMinIter", True)),
+        relaxation_factor=float(g("relaxationFactor", 0.6)),
+        res_norm_eval=float(g("resNormEval", 0.1)),
+        norm_eval_limit=int(g("normEvalLimit", 100)),
+        frequency=int(g("evalFrequency", 1)),
+    )
+
+    pc = g("preconditioner", "none")
+    if isinstance(pc, dict):
+        pg = pc.get
+        precond = PrecondConfig(
+            name=str(pg("preconditioner", pg("name", "none"))),
+            max_block_size=int(pg("maxBlockSize", 1)),
+            sparsity_power=int(pg("sparsityPower", 1)),
+            skip_sorting=_as_bool(pg("skipSorting", True)),
+            caching=int(pg("caching", 0)),
+            approximate_select=_as_bool(pg("approximateSelect", False)),
+            max_levels=int(pg("maxLevels", 9)),
+            min_coarse_rows=int(pg("minCoarseRows", 10)),
+            zero_guess=_as_bool(pg("zeroGuess", True)),
+            cycle=str(pg("cycle", "v")),
+            coarse_solver_iters=int(pg("coarseSolverIters", 4)),
+            tri_solve_sweeps=int(pg("triSolveSweeps", 8)),
+        )
+    else:
+        precond = PrecondConfig(name=str(pc))
+
+    fmt = str(g("matrixFormat", "Coo"))
+    if fmt not in MATRIX_FORMATS:
+        raise ValueError(f"matrixFormat {fmt!r} not in {MATRIX_FORMATS}")
+
+    return SolverConfig(
+        solver=solver,
+        executor=str(g("executor", "tpu")),
+        matrix_format=fmt,
+        update_rhs=_as_bool(g("updateRHS", True)),
+        update_init_guess=_as_bool(g("updateInitGuess", False)),
+        update_sys_matrix=_as_bool(g("updateSysMatrix", True)),
+        scaling=float(g("scaling", 1.0)),
+        verbose=int(g("verbose", 0)),
+        debug=_as_bool(g("debug", False)),
+        export=_as_bool(g("export", False)),
+        stopping=stopping,
+        precond=precond,
+        krylov_dim=int(g("krylovDim", 100)),
+        dtype=str(g("dtype", "float32")),
+    )

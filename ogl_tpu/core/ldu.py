@@ -1,0 +1,305 @@
+"""LDU → row-major sparse conversion (the HostMatrix layer, TPU-first).
+
+Re-design of the reference's host matrix conversion
+(`HostMatrix/HostMatrix.C`, `HostMatrixFreeFunctions.C`): OpenFOAM stores a
+matrix as three arrays (diag, upper, lower) plus face addressing
+(lowerAddr = owner cell, upperAddr = neighbour cell per internal face), and
+boundary contributions as per-interface coefficient lists.  The reference
+converts this to row-major COO once (sparsity is constant across time steps,
+HostMatrix.H:34) and then re-scatters only coefficients each solve.
+
+TPU-first split:
+  * one-time setup (this module, NumPy / native C++): build sorted
+    (rows, cols) and the `ldu_permute` gather table — the vectorised
+    equivalent of `init_local_sparsity` (HostMatrixFreeFunctions.C:105-201)
+    and the interface merge (HostMatrix.C:469-589);
+  * per-solve update (jit'd, device): `assemble_coeffs` — a single gather
+    `scale * concat(upper, lower, diag, ifaces)[permute]`, replacing both
+    the host scatter loops (`symmetric_update*`, HostMatrixFreeFunctions.C:
+    21-102) and the device `row_gather` path (HostMatrix.C:684-704).
+
+NOTE the reference's `symmetric_update` has an operator-precedence bug that
+silently drops the scale factor (HostMatrixFreeFunctions.C:27-28).  This
+implementation applies `scale` to every entry, which is the evident intent
+(`symmetric_update_w_interface` does so correctly).
+
+Source-value layout (what `permute` indexes into), matching the reference:
+  symmetric:      [ upper(0:F) | diag(F:F+n) | local_iface(F+n:) ]
+  non-symmetric:  [ upper(0:F) | lower(F:2F) | diag(2F:2F+n) | local_iface ]
+with F = n_faces (upper_nnz).  Interface coefficients enter negated
+(HostMatrix.C:204: `c = c * -1.0`).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ogl_tpu.core import formats
+
+__all__ = [
+    "LocalInterface",
+    "ProcInterface",
+    "LduMatrix",
+    "LduSparsity",
+    "init_local_sparsity",
+    "build_local_sparsity",
+    "build_non_local_sparsity",
+    "communication_pattern",
+    "assemble_coeffs",
+    "ldu_to_coo",
+]
+
+
+@dataclasses.dataclass(frozen=True)
+class LocalInterface:
+    """A non-processor coupled boundary (cyclic patch): couples local cell
+    `rows[i]` to local cell `cols[i]` (reference HostMatrix.C:309-331)."""
+
+    rows: np.ndarray  # face_cells (owner cell per interface face)
+    cols: np.ndarray  # coupled local cell (addr.patchAddr(neighbPatchId))
+    coeffs: np.ndarray  # interfaceBouCoeffs for this patch (NOT yet negated)
+
+
+@dataclasses.dataclass(frozen=True)
+class ProcInterface:
+    """A processor boundary: couples local cell `face_cells[i]` to the i-th
+    face cell of the matching interface on rank `neighbor`
+    (reference HostMatrix.C:252-306, 412-436)."""
+
+    neighbor: int
+    face_cells: np.ndarray
+    coeffs: np.ndarray  # interfaceBouCoeffs (NOT yet negated)
+
+
+@dataclasses.dataclass(frozen=True)
+class LduMatrix:
+    """One rank's LDU system (host container).
+
+    upper_addr[f] = neighbour cell of face f (column of the upper entry);
+    lower_addr[f] = owner cell of face f (row of the upper entry).
+    `lower` is None for symmetric matrices (the lower triangle reuses the
+    upper coefficients, reference HostMatrixFreeFunctions.C:21-30).
+    """
+
+    n: int
+    lower_addr: np.ndarray
+    upper_addr: np.ndarray
+    diag: np.ndarray
+    upper: np.ndarray
+    lower: np.ndarray | None = None
+    local_interfaces: tuple[LocalInterface, ...] = ()
+    proc_interfaces: tuple[ProcInterface, ...] = ()
+
+    @property
+    def symmetric(self) -> bool:
+        return self.lower is None
+
+    @property
+    def n_faces(self) -> int:
+        return int(len(self.upper_addr))
+
+
+@dataclasses.dataclass(frozen=True)
+class LduSparsity:
+    """Precomputed sparsity + gather table for one rank's local matrix.
+
+    rows/cols: row-major sorted local COO structure (incl. local interfaces).
+    permute:   dest→source gather indices into the source-value layout above.
+    The reference's `PersistentSparsityPattern` (HostMatrix.H:214-440).
+    """
+
+    n: int
+    n_faces: int
+    symmetric: bool
+    rows: np.ndarray
+    cols: np.ndarray
+    permute: np.ndarray
+    n_local_iface: int
+
+    @property
+    def nnz(self) -> int:
+        return int(len(self.rows))
+
+
+def init_local_sparsity(
+    n: int,
+    lower_addr: np.ndarray,
+    upper_addr: np.ndarray,
+    symmetric: bool,
+):
+    """Vectorised equivalent of the reference's `init_local_sparsity`
+    (HostMatrixFreeFunctions.C:105-201): returns row-major sorted
+    (rows, cols, permute) for the interior (no-interface) matrix.
+
+    permute semantics: upper face f -> f; lower face f -> f (symmetric,
+    values shared) or F + f (non-symmetric); diag row r -> after_nbrs + r,
+    after_nbrs = F (symmetric) or 2F.
+    """
+    lower_addr = np.asarray(lower_addr, np.int64)
+    upper_addr = np.asarray(upper_addr, np.int64)
+    nf = len(upper_addr)
+    after_nbrs = nf if symmetric else 2 * nf
+    faces = np.arange(nf, dtype=np.int64)
+    diag_idx = np.arange(n, dtype=np.int64)
+
+    rows = np.concatenate([lower_addr, upper_addr, diag_idx])
+    cols = np.concatenate([upper_addr, lower_addr, diag_idx])
+    src = np.concatenate(
+        [faces, faces if symmetric else nf + faces, after_nbrs + diag_idx]
+    )
+    order = np.lexsort((cols, rows))
+    return rows[order], cols[order], src[order]
+
+
+def build_local_sparsity(ldu: LduMatrix) -> LduSparsity:
+    """Full local sparsity: interior + local (cyclic) interfaces merged
+    row-major (reference HostMatrix.C:469-589).  Local-interface entry i
+    (in interface enumeration order) gets permute = after_nbrs + n + i."""
+    rows, cols, permute = init_local_sparsity(
+        ldu.n, ldu.lower_addr, ldu.upper_addr, ldu.symmetric
+    )
+    n_iface = sum(len(li.rows) for li in ldu.local_interfaces)
+    if n_iface:
+        nf = ldu.n_faces
+        after_nbrs = nf if ldu.symmetric else 2 * nf
+        irows = np.concatenate([np.asarray(li.rows, np.int64) for li in ldu.local_interfaces])
+        icols = np.concatenate([np.asarray(li.cols, np.int64) for li in ldu.local_interfaces])
+        isrc = after_nbrs + ldu.n + np.arange(n_iface, dtype=np.int64)
+        rows = np.concatenate([rows, irows])
+        cols = np.concatenate([cols, icols])
+        permute = np.concatenate([permute, isrc])
+        order = np.lexsort((cols, rows))
+        rows, cols, permute = rows[order], cols[order], permute[order]
+    return LduSparsity(
+        n=ldu.n,
+        n_faces=ldu.n_faces,
+        symmetric=ldu.symmetric,
+        rows=rows.astype(np.int32),
+        cols=cols.astype(np.int32),
+        permute=permute.astype(np.int32),
+        n_local_iface=n_iface,
+    )
+
+
+def build_non_local_sparsity(ldu: LduMatrix):
+    """Non-local (halo-column) sparsity (reference HostMatrix.C:438-466):
+    entry i couples local row face_cells (sorted by row, stable in interface
+    order) to halo-buffer slot `iface_ctr` — the position of that face in
+    the natural enumeration of all processor-interface faces.  Returns
+    (rows, halo_cols, permute); permute indexes the concatenated (negated)
+    processor-interface coefficient array."""
+    if not ldu.proc_interfaces:
+        z = np.zeros(0, np.int32)
+        return z, z, z
+    rows = np.concatenate(
+        [np.asarray(pi.face_cells, np.int64) for pi in ldu.proc_interfaces]
+    )
+    ctr = np.arange(len(rows), dtype=np.int64)
+    order = np.argsort(rows, kind="stable")
+    return (
+        rows[order].astype(np.int32),
+        ctr[order].astype(np.int32),
+        ctr[order].astype(np.int32),
+    )
+
+
+def communication_pattern(ldu: LduMatrix):
+    """Per-neighbor send index sets (reference CommunicationPattern,
+    HostMatrix.C:252-306): {neighbor_rank: send_idxs}, face cells of all
+    interfaces to that rank concatenated in interface order; dict ordered by
+    ascending rank (std::map semantics in the reference).
+
+    Also returns `recv_slot_of_face`: for each face in natural interface
+    enumeration (the halo-buffer slot used by build_non_local_sparsity),
+    the (neighbor_rank, position within that neighbor's block) — needed to
+    lay the per-neighbor received blocks into the halo buffer."""
+    send = {}
+    slot_owner = []  # (rank, pos-in-rank-block) per natural face index
+    pos_in_rank: dict[int, int] = {}
+    for pi in ldu.proc_interfaces:
+        r = int(pi.neighbor)
+        fc = np.asarray(pi.face_cells, np.int64)
+        send.setdefault(r, []).append(fc)
+        start = pos_in_rank.get(r, 0)
+        slot_owner.extend((r, start + k) for k in range(len(fc)))
+        pos_in_rank[r] = start + len(fc)
+    send = {r: np.concatenate(v).astype(np.int32) for r, v in sorted(send.items())}
+    return send, slot_owner
+
+
+def _source_vector(ldu_arrays, symmetric: bool, n_local_iface: int):
+    """Concatenate (upper[, lower], diag, -local_iface_coeffs)."""
+    upper, lower, diag, iface = ldu_arrays
+    parts = [upper] if symmetric else [upper, lower]
+    parts.append(diag)
+    if n_local_iface:
+        parts.append(-iface)
+    return jnp.concatenate(parts)
+
+
+@partial(jax.jit, static_argnames=("symmetric", "n_local_iface"), donate_argnums=())
+def _assemble(upper, lower, diag, iface, permute, scale, *, symmetric, n_local_iface):
+    src = _source_vector((upper, lower, diag, iface), symmetric, n_local_iface)
+    return scale * jnp.take(src, permute, axis=0)
+
+
+def assemble_coeffs(
+    sp: LduSparsity,
+    diag,
+    upper,
+    lower=None,
+    local_iface_coeffs=None,
+    scale=1.0,
+):
+    """Per-solve coefficient update: one jit'd gather producing the row-major
+    value array for the local matrix (replaces symmetric_update /
+    non_symmetric_update[_w_interface] and the row_gather device path).
+    Interface coefficients are negated here (reference HostMatrix.C:204)."""
+    dtype = jnp.asarray(diag).dtype
+    if lower is None:
+        lower = jnp.zeros((0,), dtype)
+    if local_iface_coeffs is None:
+        local_iface_coeffs = jnp.zeros((0,), dtype)
+    return _assemble(
+        jnp.asarray(upper),
+        jnp.asarray(lower),
+        jnp.asarray(diag),
+        jnp.asarray(local_iface_coeffs),
+        jnp.asarray(sp.permute),
+        jnp.asarray(scale, dtype),
+        symmetric=sp.symmetric,
+        n_local_iface=sp.n_local_iface,
+    )
+
+
+def ldu_to_coo(ldu: LduMatrix, scale=1.0, dtype=None) -> formats.Coo:
+    """Convenience: full local matrix (incl. local interfaces) as row-major
+    COO on device."""
+    sp = build_local_sparsity(ldu)
+    iface = (
+        np.concatenate([np.asarray(li.coeffs) for li in ldu.local_interfaces])
+        if ldu.local_interfaces
+        else None
+    )
+    diag = np.asarray(ldu.diag)
+    if dtype is not None:
+        diag = diag.astype(dtype)
+    vals = assemble_coeffs(
+        sp,
+        jnp.asarray(diag),
+        jnp.asarray(np.asarray(ldu.upper, diag.dtype)),
+        None if ldu.symmetric else jnp.asarray(np.asarray(ldu.lower, diag.dtype)),
+        None if iface is None else jnp.asarray(iface.astype(diag.dtype)),
+        scale=scale,
+    )
+    return formats.Coo(
+        rows=jnp.asarray(sp.rows),
+        cols=jnp.asarray(sp.cols),
+        vals=vals,
+        shape=(ldu.n, ldu.n),
+    )

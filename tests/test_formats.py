@@ -1,0 +1,80 @@
+"""Format container + conversion tests (the gko::matrix::{Coo,Csr,Ell}
+surface the reference selects via matrixFormat, CsrMatrixWrapper.H:138-161,
+plus the TPU-native Dia and Sell formats)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ogl_tpu.core import formats
+
+
+def _random_sparse(rng, n=32, density=0.15):
+    a = rng.normal(size=(n, n)) * (rng.random((n, n)) < density)
+    np.fill_diagonal(a, rng.normal(size=n) + 5.0)
+    return a
+
+
+def test_coo_roundtrip(rng):
+    a = _random_sparse(rng)
+    coo = formats.coo_from_dense(a)
+    np.testing.assert_allclose(formats.to_dense(coo), a, atol=1e-14)
+
+
+@pytest.mark.parametrize("conv", [formats.coo_to_csr, formats.coo_to_ell, formats.coo_to_dia])
+def test_conversions_preserve_matrix(rng, conv):
+    a = _random_sparse(rng)
+    m = conv(formats.coo_from_dense(a))
+    np.testing.assert_allclose(formats.to_dense(m), a, atol=1e-14)
+
+
+@pytest.mark.parametrize("slice_height,sigma", [(8, 64), (4, 8)])
+def test_sell_preserves_matrix(rng, slice_height, sigma):
+    a = _random_sparse(rng, n=37)  # non-multiple of slice height
+    m = formats.coo_to_sell(formats.coo_from_dense(a), slice_height, sigma)
+    np.testing.assert_allclose(formats.to_dense(m), a, atol=1e-14)
+
+
+def test_dia_structured_offsets():
+    # 1-D Poisson: exactly three diagonals
+    n = 16
+    a = np.diag(np.full(n, 2.0)) + np.diag(np.full(n - 1, -1.0), 1) + np.diag(np.full(n - 1, -1.0), -1)
+    d = formats.coo_to_dia(formats.coo_from_dense(a))
+    assert d.offsets == (-1, 0, 1)
+    np.testing.assert_allclose(formats.to_dense(d), a)
+
+
+def test_ell_padding_is_safe(rng):
+    a = _random_sparse(rng, n=16)
+    e = formats.coo_to_ell(formats.coo_from_dense(a))
+    cols = np.asarray(e.cols)
+    assert cols.min() >= 0 and cols.max() < 16  # pad cols in range (own row)
+    vals = np.asarray(e.vals)
+    counts = (np.asarray(formats.to_dense(e)) != 0).sum()
+    assert (vals != 0).sum() <= counts + 16  # padding contributes zeros only
+
+
+def test_formats_are_pytrees(rng):
+    a = _random_sparse(rng, n=8)
+    coo = formats.coo_from_dense(a)
+    doubled = jax.jit(lambda m: formats.with_values(m, m.vals * 2.0))(coo)
+    np.testing.assert_allclose(formats.to_dense(doubled), 2 * a, atol=1e-14)
+    dia = formats.coo_to_dia(coo)
+    doubled = jax.jit(lambda m: formats.with_values(m, m.data * 2.0))(dia)
+    np.testing.assert_allclose(formats.to_dense(doubled), 2 * a, atol=1e-14)
+
+
+def test_mtx_roundtrip(tmp_path, rng):
+    from ogl_tpu.core import mtx
+
+    a = _random_sparse(rng, n=12)
+    coo = formats.coo_from_dense(a)
+    p = str(tmp_path / "a.mtx")
+    mtx.write_coo(p, coo)
+    back = mtx.read(p)
+    np.testing.assert_allclose(formats.to_dense(back), a, atol=1e-14)
+    vp = str(tmp_path / "v.mtx")
+    v = rng.normal(size=12)
+    mtx.write_dense(vp, jnp.asarray(v))
+    np.testing.assert_allclose(mtx.read(vp).ravel(), v, atol=1e-14)
