@@ -1,0 +1,109 @@
+"""Roofline model for SpMV and solver iterations.
+
+The reference prints per-solve derived metrics (time/iter [µs],
+time/iter/DOF [ns], copy-back GB/s — lduLduBase.H:280-305) but has no
+bytes-moved model.  SpMV is memory-bound everywhere, so the north-star
+metric on TPU is achieved HBM bandwidth vs. the chip's peak
+(BASELINE.md target: ≥80% of roofline).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import numpy as np
+
+from ogl_tpu.core.formats import Coo, Csr, Dia, Ell, Sell
+
+__all__ = ["spmv_bytes", "spmv_flops", "hbm_peak_gbps", "Roofline", "measure"]
+
+# Peak HBM bandwidth per chip [GB/s].  Sources: public TPU spec tables
+# (jax-ml.github.io/scaling-book numbers).
+_HBM_PEAK = {
+    "v4": 1228.0,
+    "v5e": 819.0,
+    "v5 lite": 819.0,
+    "v5p": 2765.0,
+    "v6e": 1640.0,
+    "cpu": 50.0,  # nominal, for relative numbers in CI
+}
+
+
+def hbm_peak_gbps(device=None) -> float:
+    device = device or jax.devices()[0]
+    kind = getattr(device, "device_kind", "cpu").lower()
+    for key, bw in _HBM_PEAK.items():
+        if key in kind:
+            return bw
+    return _HBM_PEAK["cpu"] if device.platform == "cpu" else 819.0
+
+
+def _isize(m):
+    return 4  # int32 indices
+
+
+def spmv_bytes(m) -> int:
+    """Minimal HBM traffic for one y = A@x: read values+indices once,
+    read x once (perfect cache), write y once."""
+    vs = np.dtype(m.dtype).itemsize
+    n, nc = m.shape
+    if isinstance(m, (Coo,)):
+        return m.nnz * (vs + 2 * _isize(m)) + nc * vs + n * vs
+    if isinstance(m, Csr):
+        return m.nnz * (vs + _isize(m)) + (n + 1) * _isize(m) + nc * vs + n * vs
+    if isinstance(m, Ell):
+        k = m.row_width
+        return n * k * (vs + _isize(m)) + nc * vs + n * vs
+    if isinstance(m, Sell):
+        s, c, w = m.vals.shape
+        return s * c * w * (vs + _isize(m)) + nc * vs + n * vs
+    if isinstance(m, Dia):
+        nd = len(m.offsets)
+        # values + x streamed once per diagonal band (worst case) vs once
+        # total (best case); report the optimistic bound like the GPU
+        # SpMV literature: vals once, x once, y once.
+        return nd * n * vs + nc * vs + n * vs
+    raise TypeError(type(m))
+
+
+def spmv_flops(m) -> int:
+    if isinstance(m, Dia):
+        return 2 * len(m.offsets) * m.shape[0]
+    if isinstance(m, Ell):
+        return 2 * m.shape[0] * m.row_width
+    if isinstance(m, Sell):
+        s, c, w = m.vals.shape
+        return 2 * s * c * w
+    return 2 * m.nnz
+
+
+@dataclasses.dataclass(frozen=True)
+class Roofline:
+    seconds: float
+    bytes: int
+    flops: int
+    peak_gbps: float
+
+    @property
+    def gbps(self) -> float:
+        return self.bytes / self.seconds / 1e9
+
+    @property
+    def fraction_of_peak(self) -> float:
+        return self.gbps / self.peak_gbps
+
+
+def measure(fn, *args, warmup: int = 3, iters: int = 20, bytes_moved=0, flops=0) -> Roofline:
+    """Wall-clock a device function (blocks on the result)."""
+    import time
+
+    for _ in range(warmup):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    dt = (time.perf_counter() - t0) / iters
+    return Roofline(seconds=dt, bytes=bytes_moved, flops=flops, peak_gbps=hbm_peak_gbps())

@@ -1,0 +1,89 @@
+"""Preconditioned BiCGStab as a `lax.while_loop`.
+
+Replaces `gko::solver::Bicgstab` as driven by GKOBiCGStab
+(reference Solver/BiCGStab/GKOBiCGStab.H).  Two SpMVs per iteration —
+which is why the reference doubles maxIter for this solver
+(StoppingCriterion.H:188; mirrored in config.parse_controls).
+Breakdown guards (ω, β denominators ≈ 0) zero the step instead of
+poisoning the recurrence with NaN.
+"""
+
+from __future__ import annotations
+
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ogl_tpu.config import StoppingConfig
+from ogl_tpu.solve import stopping
+from ogl_tpu.solve.cg import SolveResult
+from ogl_tpu.solve.krylov import Ops
+
+__all__ = ["bicgstab"]
+
+
+class _Carry(NamedTuple):
+    x: Any
+    r: Any
+    p: Any
+    v: Any
+    rho_old: Any
+    alpha: Any
+    omega: Any
+    stop: stopping.StopState
+
+
+def _safe_div(num, den):
+    tiny = jnp.asarray(stopping.small_of(num.dtype) ** 2, num.dtype)
+    return jnp.where(jnp.abs(den) > tiny, num / jnp.where(den == 0, 1, den), 0.0)
+
+
+def bicgstab(ops: Ops, b, x0, cfg: StoppingConfig) -> SolveResult:
+    dtype = b.dtype
+    x0 = jnp.asarray(x0, dtype)
+    r0 = b - ops.matvec(x0)
+    r_hat = r0  # shadow residual, fixed
+
+    one = jnp.asarray(1.0, dtype)
+    init = _Carry(
+        x=x0, r=r0, p=jnp.zeros_like(b), v=jnp.zeros_like(b),
+        rho_old=one, alpha=one, omega=one,
+        stop=stopping.init_state(dtype),
+    )
+    hard_cap = cfg.max_iter + cfg.frequency
+
+    def cond(c: _Carry):
+        return jnp.logical_and(~c.stop.converged, c.stop.iter < hard_cap)
+
+    def body(c: _Carry):
+        st = stopping.check(ops, cfg, c.stop, c.r, c.x, b)
+
+        def update(c: _Carry):
+            rho = ops.dot(r_hat, c.r)
+            beta = _safe_div(rho, c.rho_old) * _safe_div(c.alpha, c.omega)
+            p = c.r + beta * (c.p - c.omega * c.v)
+            y = ops.precond(p)
+            v = ops.matvec(y)
+            alpha = _safe_div(rho, ops.dot(r_hat, v))
+            s = c.r - alpha * v
+            z = ops.precond(s)
+            t = ops.matvec(z)
+            omega = _safe_div(ops.dot(t, s), ops.dot(t, t))
+            return _Carry(
+                x=c.x + alpha * y + omega * z,
+                r=s - omega * t,
+                p=p, v=v, rho_old=rho, alpha=alpha, omega=omega,
+                stop=st.replace(iter=st.iter + 1),
+            )
+
+        return jax.lax.cond(st.converged, lambda c: c._replace(stop=st), update, c)
+
+    out = jax.lax.while_loop(cond, body, init)
+    return SolveResult(
+        x=out.x,
+        iters=out.stop.iter,
+        init_res_norm=out.stop.init_res_norm,
+        final_res_norm=out.stop.res_norm,
+        converged=out.stop.converged,
+    )

@@ -1,0 +1,87 @@
+"""Preconditioned conjugate gradients as a `lax.while_loop`.
+
+TPU-native replacement for `gko::solver::Cg` as driven by GKOCG
+(reference Solver/CG/GKOCG.H:45-61): classical PCG recurrences with the
+OpenFOAM stopping criterion evaluated on-device before each update, so the
+whole solve is a single compiled program with no host syncs.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ogl_tpu.config import StoppingConfig
+from ogl_tpu.solve import stopping
+from ogl_tpu.solve.krylov import Ops
+
+__all__ = ["cg", "SolveResult"]
+
+
+class SolveResult(NamedTuple):
+    x: Any
+    iters: Any  # number of solver updates performed
+    init_res_norm: Any
+    final_res_norm: Any  # residual at last criterion check (OpenFOAM semantics)
+    converged: Any
+
+
+class _CgCarry(NamedTuple):
+    x: Any
+    r: Any
+    p: Any
+    rho_old: Any
+    stop: stopping.StopState
+
+
+def cg(ops: Ops, b, x0, cfg: StoppingConfig) -> SolveResult:
+    dtype = b.dtype
+    x0 = jnp.asarray(x0, dtype)
+    r0 = b - ops.matvec(x0)
+
+    init = _CgCarry(
+        x=x0,
+        r=r0,
+        p=jnp.zeros_like(b),
+        rho_old=jnp.asarray(1.0, dtype),
+        stop=stopping.init_state(dtype),
+    )
+
+    # hard termination guard: gating can defer the maxIter check by at most
+    # one frequency window (same overrun the reference's host check has)
+    hard_cap = cfg.max_iter + cfg.frequency
+
+    def cond(c: _CgCarry):
+        return jnp.logical_and(~c.stop.converged, c.stop.iter < hard_cap)
+
+    def body(c: _CgCarry):
+        st = stopping.check(ops, cfg, c.stop, c.r, c.x, b)
+
+        def update(c: _CgCarry):
+            z = ops.precond(c.r)
+            rho = ops.dot(c.r, z)
+            beta = jnp.where(st.iter == 0, jnp.asarray(0.0, dtype), rho / c.rho_old)
+            p = z + beta * c.p
+            q = ops.matvec(p)
+            alpha = rho / ops.dot(p, q)
+            return _CgCarry(
+                x=c.x + alpha * p,
+                r=c.r - alpha * q,
+                p=p,
+                rho_old=rho,
+                stop=st.replace(iter=st.iter + 1),
+            )
+
+        return jax.lax.cond(st.converged, lambda c: c._replace(stop=st), update, c)
+
+    out = jax.lax.while_loop(cond, body, init)
+    return SolveResult(
+        x=out.x,
+        iters=out.stop.iter,
+        init_res_norm=out.stop.init_res_norm,
+        final_res_norm=out.stop.res_norm,
+        converged=out.stop.converged,
+    )

@@ -1,0 +1,159 @@
+"""Restarted GMRES as nested `lax.while_loop`s.
+
+Replaces `gko::solver::Gmres` as driven by GKOGMRES
+(reference Solver/GMRES/GKOGMRES.H).  TPU-first choices:
+
+  * The Krylov basis V is a dense (m+1, n) array, so every Arnoldi
+    orthogonalisation is one (m+1,n)×(n,) matmul pair — MXU work instead
+    of m sequential dot kernels (SURVEY.md §7 "GMRES orthogonalisation
+    without host syncs").  Classical Gram-Schmidt with one
+    re-orthogonalisation pass (CGS2) for MGS-class stability.
+  * Right preconditioning (solve A M⁻¹ u = b, x = x0 + M⁻¹ V y): the
+    Arnoldi residual estimate equals the TRUE residual 2-norm, and the
+    OpenFOAM criterion (1-norm + norm factor) is evaluated on a
+    materialised residual only on iterations where the frequency/minIter
+    gate fires — reproducing the reference's "residual evaluation is
+    expensive, so adaptMinIter stretches the check frequency" cost model
+    (StoppingCriterion.H:199-209, lduLduBase.H:287-293).
+"""
+
+from __future__ import annotations
+
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ogl_tpu.config import StoppingConfig
+from ogl_tpu.solve import stopping
+from ogl_tpu.solve.cg import SolveResult
+from ogl_tpu.solve.krylov import Ops
+
+__all__ = ["gmres"]
+
+
+class _Inner(NamedTuple):
+    V: Any  # (m+1, n) Krylov basis
+    H: Any  # (m+1, m) Hessenberg
+    cs: Any  # (m,) Givens cosines
+    sn: Any  # (m,) Givens sines
+    g: Any  # (m+1,) rotated rhs; |g[j+1]| = 2-norm residual estimate
+    j: Any  # inner step
+    stop: stopping.StopState
+
+
+class _Outer(NamedTuple):
+    x: Any
+    stop: stopping.StopState
+
+
+def _solve_y(H, g, j, m):
+    """y = H[:j,:j]^{-1} g[:j] with static shapes: mask out columns >= j by
+    putting 1 on the diagonal and 0 on the rhs (upper-triangular after the
+    Givens rotations)."""
+    idx = jnp.arange(m)
+    active = idx < j
+    Hm = jnp.where(active[None, :] & active[:, None], H[:m, :m], 0.0)
+    Hm = Hm + jnp.diag(jnp.where(active, 0.0, 1.0).astype(H.dtype))
+    gm = jnp.where(active, g[:m], 0.0)
+    return jax.scipy.linalg.solve_triangular(Hm, gm, lower=False)
+
+
+def gmres(ops: Ops, b, x0, cfg: StoppingConfig, krylov_dim: int = 100) -> SolveResult:
+    dtype = b.dtype
+    n = b.shape[0]
+    m = krylov_dim
+    x0 = jnp.asarray(x0, dtype)
+    hard_cap = cfg.max_iter + cfg.frequency
+    tiny = stopping.small_of(dtype) ** 2
+
+    def x_at(x_restart, V, H, g, j):
+        y = _solve_y(H, g, j, m)
+        return x_restart + ops.precond(y @ V[:m])
+
+    def inner_cond(c: _Inner):
+        return jnp.logical_and(
+            c.j < m, jnp.logical_and(~c.stop.converged, c.stop.iter < hard_cap)
+        )
+
+    def outer_body(o: _Outer):
+        r = b - ops.matvec(o.x)
+        beta = ops.norm2(r)
+        V = jnp.zeros((m + 1, n), dtype).at[0].set(r / jnp.maximum(beta, tiny))
+        g = jnp.zeros((m + 1,), dtype).at[0].set(beta)
+        init = _Inner(
+            V=V,
+            H=jnp.zeros((m + 1, m), dtype),
+            cs=jnp.zeros((m,), dtype),
+            sn=jnp.zeros((m,), dtype),
+            g=g,
+            j=jnp.asarray(0, jnp.int32),
+            stop=o.stop,
+        )
+
+        def inner_body(c: _Inner):
+            # --- criterion check (materialise r only when the gate fires) ---
+            def do_check(st):
+                xj = x_at(o.x, c.V, c.H, c.g, c.j)
+                rj = b - ops.matvec(xj)
+                return stopping.check(ops, cfg, st, rj, xj, b)
+
+            st = jax.lax.cond(
+                stopping.would_check(cfg, c.stop.iter), do_check, lambda s: s, c.stop
+            )
+
+            def update(c: _Inner):
+                j = c.j
+                # Arnoldi with CGS2: w = A M^-1 v_j, orthogonalise vs V[:j+1]
+                w = ops.matvec(ops.precond(c.V[j]))
+                mask = (jnp.arange(m + 1) <= j).astype(dtype)
+                h1 = (c.V @ w) * mask
+                w = w - h1 @ c.V
+                h2 = (c.V @ w) * mask  # re-orthogonalisation pass
+                w = w - h2 @ c.V
+                h = h1 + h2
+                wnorm = ops.norm2(w)
+                h = h.at[j + 1].set(wnorm)
+                V = c.V.at[j + 1].set(w / jnp.maximum(wnorm, tiny))
+
+                # apply previous Givens rotations to the new column
+                def rot(k, hcol):
+                    a, bb = hcol[k], hcol[k + 1]
+                    return hcol.at[k].set(c.cs[k] * a + c.sn[k] * bb).at[k + 1].set(
+                        -c.sn[k] * a + c.cs[k] * bb
+                    )
+
+                h = jax.lax.fori_loop(0, j, rot, h)
+                # new rotation annihilating h[j+1]
+                denom = jnp.sqrt(h[j] ** 2 + h[j + 1] ** 2)
+                csj = jnp.where(denom > tiny, h[j] / jnp.maximum(denom, tiny), 1.0)
+                snj = jnp.where(denom > tiny, h[j + 1] / jnp.maximum(denom, tiny), 0.0)
+                h = h.at[j].set(csj * h[j] + snj * h[j + 1]).at[j + 1].set(0.0)
+                g = c.g.at[j + 1].set(-snj * c.g[j]).at[j].set(csj * c.g[j])
+                return _Inner(
+                    V=V,
+                    H=c.H.at[:, j].set(h[: m + 1]),
+                    cs=c.cs.at[j].set(csj),
+                    sn=c.sn.at[j].set(snj),
+                    g=g,
+                    j=j + 1,
+                    stop=st.replace(iter=st.iter + 1),
+                )
+
+            return jax.lax.cond(st.converged, lambda c: c._replace(stop=st), update, c)
+
+        out = jax.lax.while_loop(inner_cond, inner_body, init)
+        x = x_at(o.x, out.V, out.H, out.g, out.j)
+        return _Outer(x=x, stop=out.stop)
+
+    def outer_cond(o: _Outer):
+        return jnp.logical_and(~o.stop.converged, o.stop.iter < hard_cap)
+
+    out = jax.lax.while_loop(outer_cond, outer_body, _Outer(x=x0, stop=stopping.init_state(dtype)))
+    return SolveResult(
+        x=out.x,
+        iters=out.stop.iter,
+        init_res_norm=out.stop.init_res_norm,
+        final_res_norm=out.stop.res_norm,
+        converged=out.stop.converged,
+    )

@@ -1,0 +1,59 @@
+"""IR — preconditioned Richardson iteration (iterative refinement).
+
+Replaces `gko::solver::Ir` as configured by GKOIR (reference
+Solver/IR/GKOIR.H — a CG-preconditioned Richardson; excluded from the
+reference build but listed in its README, treated as in-scope per SURVEY.md
+Appendix B).  x ← x + relaxation · M⁻¹ r with the OpenFOAM criterion; the
+inner "solver" is whatever `ops.precond` applies (identity → plain
+Richardson, block-Jacobi/AMG → smoothed refinement).
+"""
+
+from __future__ import annotations
+
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ogl_tpu.config import StoppingConfig
+from ogl_tpu.solve import stopping
+from ogl_tpu.solve.cg import SolveResult
+from ogl_tpu.solve.krylov import Ops
+
+__all__ = ["ir"]
+
+
+class _Carry(NamedTuple):
+    x: Any
+    r: Any
+    stop: stopping.StopState
+
+
+def ir(ops: Ops, b, x0, cfg: StoppingConfig, relaxation: float = 1.0) -> SolveResult:
+    dtype = b.dtype
+    x0 = jnp.asarray(x0, dtype)
+    init = _Carry(x=x0, r=b - ops.matvec(x0), stop=stopping.init_state(dtype))
+    hard_cap = cfg.max_iter + cfg.frequency
+    relax = jnp.asarray(relaxation, dtype)
+
+    def cond(c: _Carry):
+        return jnp.logical_and(~c.stop.converged, c.stop.iter < hard_cap)
+
+    def body(c: _Carry):
+        st = stopping.check(ops, cfg, c.stop, c.r, c.x, b)
+
+        def update(c: _Carry):
+            dx = relax * ops.precond(c.r)
+            x = c.x + dx
+            return _Carry(x=x, r=c.r - ops.matvec(dx), stop=st.replace(iter=st.iter + 1))
+
+        return jax.lax.cond(st.converged, lambda c: c._replace(stop=st), update, c)
+
+    out = jax.lax.while_loop(cond, body, init)
+    return SolveResult(
+        x=out.x,
+        iters=out.stop.iter,
+        init_res_norm=out.stop.init_res_norm,
+        final_res_norm=out.stop.res_norm,
+        converged=out.stop.converged,
+    )
