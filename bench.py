@@ -1,0 +1,105 @@
+#!/usr/bin/env python
+"""Benchmark harness — the reference's headline metric on real TPU hardware.
+
+The reference prints per-solve statistics (time/iter [µs], time/iter/DOF
+[ns], lduLduBase.H:280-305) but vendors no numbers (BASELINE.md); the
+baseline is therefore *generated* here: an unpreconditioned GKOCG solve of
+a 3-D FV pressure-Poisson system (the lid-driven-cavity/channel p-equation
+analogue), plus SpMV throughput against the HBM roofline.
+
+Prints ONE JSON line:
+  metric       cg_time_per_iter_per_dof
+  value        nanoseconds per CG iteration per DOF (reference north-star)
+  vs_baseline  achieved SpMV bandwidth / (0.80 × HBM peak) — ≥1.0 means the
+               BASELINE.md roofline target (SpMV ≥ 80% of peak) is met
+
+Details (problem size, iterations, SpMV GB/s, roofline fraction) go to
+stderr so stdout stays a single JSON line.
+"""
+
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main():
+    from ogl_tpu import testing as problems
+    from ogl_tpu.config import StoppingConfig
+    from ogl_tpu.core import formats, ldu
+    from ogl_tpu.kernels import roofline, spmv
+    from ogl_tpu.solve import cg
+    from ogl_tpu.solve.krylov import single_device_ops
+    from ogl_tpu.solve.stopping import StoppingParams
+
+    dev = jax.devices()[0]
+    on_tpu = dev.platform == "tpu"
+    dims = (128, 128, 64) if on_tpu else (32, 32, 16)
+    dtype = jnp.float32
+    log(f"device: {dev.device_kind} ({dev.platform}); problem: {dims} "
+        f"({np.prod(dims):,} DOF), dtype {dtype.__name__}")
+
+    t0 = time.perf_counter()
+    m = problems.poisson_ldu(dims)
+    t1 = time.perf_counter()
+    coo = ldu.ldu_to_coo(m, dtype=np.float32)
+    jax.block_until_ready(coo.vals)
+    t2 = time.perf_counter()
+    mat = formats.coo_to_dia(coo)
+    jax.block_until_ready(mat.data)
+    t3 = time.perf_counter()
+    log(f"setup: ldu {t1 - t0:.1f}s, ldu->coo {t2 - t1:.1f}s, "
+        f"coo->dia {t3 - t2:.1f}s; format Dia, {len(mat.offsets)} diagonals")
+
+    n = m.n
+    rng = np.random.default_rng(0)
+    x_true = rng.normal(size=n).astype(np.float32)
+    mv = jax.jit(lambda x: spmv.spmv(mat, x))
+    b = mv(jnp.asarray(x_true))
+    jax.block_until_ready(b)
+
+    # --- SpMV roofline (chained on device: no dispatch overhead) ---------
+    bytes_moved = roofline.spmv_bytes(mat)
+    r = roofline.measure_chained(
+        lambda v: spmv.spmv(mat, v), b, iters=100, warmup=3,
+        bytes_moved=bytes_moved, flops=roofline.spmv_flops(mat),
+    )
+    log(f"SpMV: {r.seconds * 1e6:.1f} µs, {r.gbps:.1f} GB/s "
+        f"({100 * r.fraction_of_peak:.1f}% of {r.peak_gbps:.0f} GB/s peak)")
+
+    # --- CG solve --------------------------------------------------------
+    ops = single_device_ops(spmv.matvec(mat), n)
+    cfg = StoppingConfig(tolerance=1e-6, rel_tol=0.0, max_iter=1000, frequency=1)
+    solve = jax.jit(lambda b, sp: cg(ops, b, jnp.zeros_like(b), sp))
+    sp = StoppingParams.of(cfg)
+    res = solve(b, sp)
+    jax.block_until_ready(res.x)  # compile + warm
+    t0 = time.perf_counter()
+    res = solve(b, sp)
+    jax.block_until_ready(res.x)
+    solve_t = time.perf_counter() - t0
+    iters = int(res.iters)
+    tpi = solve_t / max(iters, 1)
+    tpi_dof_ns = tpi * 1e9 / n
+    log(f"CG: {iters} iters, converged={bool(res.converged)}, "
+        f"final={float(res.final_res_norm):.2e}, solve {solve_t * 1e3:.1f} ms, "
+        f"time/iter {tpi * 1e6:.1f} µs, time/iter/DOF {tpi_dof_ns:.3f} ns")
+
+    vs_baseline = r.fraction_of_peak / 0.80
+    print(json.dumps({
+        "metric": "cg_time_per_iter_per_dof",
+        "value": round(tpi_dof_ns, 4),
+        "unit": "ns",
+        "vs_baseline": round(vs_baseline, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,3 @@
+from ogl_tpu.dist import partition as partition
+from ogl_tpu.dist.partition import DistMatrix as DistMatrix, HaloPlan as HaloPlan
+from ogl_tpu.dist.solve import dist_solve as dist_solve, dist_ops as dist_ops

@@ -1,0 +1,289 @@
+"""The OpenFOAM-facing solver layer — GKOCG/GKOBiCGStab/GKOGMRES/GKOIR/
+GKOMultigrid, orchestrated like the reference's lduLduBase
+(lduLduBase/lduLduBase.H:189-333) but as one persistent object per field:
+
+  first solve:   sparsity build → device format → preconditioner →
+                 compiled solve program            (cache everything)
+  steady state:  coefficient gather → (TTL-gated precond regen) →
+                 reuse compiled program            (reference SURVEY §3.2)
+
+Differences by design: single-device solves are supported (the reference
+aborts unless MPI-parallel, lduLduBase.H:321-329 — SURVEY Appendix B says
+not to replicate); multi-device goes through ogl_tpu.dist instead of MPI.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ogl_tpu import __version__ as _version
+from ogl_tpu import common, precond, registry
+from ogl_tpu.config import SolverConfig, parse_controls
+from ogl_tpu.core import formats, ldu, mtx
+from ogl_tpu.kernels import roofline, spmv
+from ogl_tpu.solve import bicgstab, cg, gmres, ir
+from ogl_tpu.solve import stopping
+from ogl_tpu.solve.krylov import single_device_ops
+
+__all__ = ["SolverPerformance", "FoamSolver", "solve", "SOLVER_NAMES"]
+
+SOLVER_NAMES = ("GKOCG", "GKOBiCGStab", "GKOGMRES", "GKOIR", "GKOMultigrid")
+
+_FORMAT_CONVERTERS = {
+    "Coo": lambda c: c,
+    "Csr": formats.coo_to_csr,
+    "Ell": formats.coo_to_ell,
+    "Dia": formats.coo_to_dia,
+    "Sell": formats.coo_to_sell,
+}
+
+_banner_shown: set[str] = set()
+
+
+class SolverPerformance(NamedTuple):
+    """What OpenFOAM's solverPerformance reports back into the log."""
+
+    solver_name: str
+    field_name: str
+    initial_residual: float
+    final_residual: float
+    n_iterations: int
+    converged: bool
+
+    def print(self):  # OpenFOAM log line format
+        print(
+            f"{self.solver_name}:  Solving for {self.field_name}, "
+            f"Initial residual = {self.initial_residual:g}, "
+            f"Final residual = {self.final_residual:g}, "
+            f"No Iterations {self.n_iterations}"
+        )
+
+
+def _device_for(executor: str):
+    platform = {
+        "reference": "cpu",
+        "omp": "cpu",
+        "cpu": "cpu",
+        "tpu": None,  # default accelerator
+        "cuda": None,
+        "hip": None,
+        "dpcpp": None,
+    }.get(executor, None)
+    if platform is None:
+        return jax.devices()[0]
+    try:
+        return jax.devices(platform)[0]
+    except RuntimeError as e:
+        raise RuntimeError(
+            f"executor '{executor}' maps to jax platform '{platform}' which is "
+            f"not available; available: {[d.platform for d in jax.devices()]}"
+        ) from e
+
+
+def _banner(cfg: SolverConfig, field: str, device):
+    if field in _banner_shown or cfg.verbose <= 0:
+        return
+    _banner_shown.add(field)
+    print(
+        "OGL-TPU\n"
+        f"  version:       {_version}\n"
+        f"  backend:       {jax.default_backend()}\n"
+        f"  device:        {device.device_kind}\n"
+        f"  matrix format: {cfg.matrix_format}\n"
+        f"  dtype:         {cfg.dtype}\n"
+        f"  executor:      {cfg.executor}"
+    )
+
+
+class FoamSolver:
+    """Per-field persistent solver (the lduLduBase + DevicePersistent
+    machinery in one object; stored in the global registry by field name)."""
+
+    def __init__(self, field_name: str, controls: dict | SolverConfig):
+        self.field = field_name
+        self.cfg = controls if isinstance(controls, SolverConfig) else parse_controls(controls)
+        self.device = _device_for(self.cfg.executor)
+        self.dtype = jnp.dtype(self.cfg.dtype)
+        self.sparsity: ldu.LduSparsity | None = None
+        self.matrix = None
+        self._precond_apply = None
+        self._compiled = {}
+        self._res_eval_time: float | None = None
+        self.props = registry.global_registry.properties(field_name)
+        self.timings = common.Timings()
+
+    # -- matrix ---------------------------------------------------------
+    def _update_matrix(self, m: ldu.LduMatrix):
+        first = self.sparsity is None
+        if first:
+            with common.timed("init_host_sparsity", self.cfg.verbose, self.field, self.timings):
+                self.sparsity = ldu.build_local_sparsity(m)
+        if first or self.cfg.update_sys_matrix:
+            iface = (
+                np.concatenate([np.asarray(li.coeffs) for li in m.local_interfaces])
+                if m.local_interfaces
+                else None
+            )
+            with common.timed("update_local_matrix", self.cfg.verbose, self.field, self.timings):
+                vals = ldu.assemble_coeffs(
+                    self.sparsity,
+                    jnp.asarray(np.asarray(m.diag), self.dtype),
+                    jnp.asarray(np.asarray(m.upper), self.dtype),
+                    None if m.symmetric else jnp.asarray(np.asarray(m.lower), self.dtype),
+                    None if iface is None else jnp.asarray(iface, self.dtype),
+                    scale=self.cfg.scaling,
+                )
+            coo = formats.Coo(
+                rows=jnp.asarray(self.sparsity.rows),
+                cols=jnp.asarray(self.sparsity.cols),
+                vals=vals,
+                shape=(m.n, m.n),
+            )
+            if first or self.matrix is None:
+                with common.timed("convert_format", self.cfg.verbose, self.field, self.timings):
+                    self.matrix = _FORMAT_CONVERTERS[self.cfg.matrix_format](coo)
+                    self._coo = coo
+            else:
+                # steady state: same sparsity, swap value array in place
+                # (reference CsrMatrixWrapper.H:74-136)
+                if self.cfg.matrix_format in ("Coo", "Csr"):
+                    self.matrix = formats.with_values(self.matrix, vals)
+                    self._coo = coo
+                else:
+                    self.matrix = _FORMAT_CONVERTERS[self.cfg.matrix_format](coo)
+                    self._coo = coo
+
+    # -- preconditioner (TTL caching, Preconditioner.H:353-431) ---------
+    def _update_precond(self):
+        pc = self.cfg.precond
+        if pc.name == "none":
+            self._precond_apply = None
+            return
+        if self._precond_apply is not None and self.props.precond_caching_left > 0:
+            self.props.precond_caching_left -= 1
+            return
+        with common.timed("generate_preconditioner", self.cfg.verbose, self.field, self.timings):
+            self._precond_apply = precond.build(pc, self._coo)
+        self.props.precond_caching_left = pc.caching
+
+    # -- solve ----------------------------------------------------------
+    def _solver_fn(self, _unused=None):
+        name = self.cfg.solver
+        apply_pc = self._precond_apply
+        if name == "GKOMultigrid" and apply_pc is None:
+            # AMG-as-solver: Richardson wrapped around one AMG cycle
+            apply_pc = precond.amg(
+                self._coo,
+                max_levels=self.cfg.precond.max_levels,
+                min_coarse_rows=self.cfg.precond.min_coarse_rows,
+                cycle=self.cfg.precond.cycle,
+                coarse_solver_iters=self.cfg.precond.coarse_solver_iters,
+            )
+        ops = single_device_ops(spmv.matvec(self.matrix), self.matrix.shape[0], precond=apply_pc)
+
+        if name == "GKOCG":
+            return lambda b, x0, sp: cg(ops, b, x0, sp), ops
+        if name == "GKOBiCGStab":
+            return lambda b, x0, sp: bicgstab(ops, b, x0, sp), ops
+        if name == "GKOGMRES":
+            return lambda b, x0, sp: gmres(ops, b, x0, sp, krylov_dim=self.cfg.krylov_dim), ops
+        if name in ("GKOIR", "GKOMultigrid"):
+            return lambda b, x0, sp: ir(ops, b, x0, sp), ops
+        raise ValueError(f"unknown solver {name!r}; valid: {SOLVER_NAMES}")
+
+    def solve(self, m: ldu.LduMatrix, b, psi=None, time_value: str | None = None) -> tuple[Any, SolverPerformance]:
+        """One solve: returns (x, SolverPerformance).  `psi` is the initial
+        guess (used when updateInitGuess, like the reference's dist_x)."""
+        cfg = self.cfg
+        _banner(cfg, self.field, self.device)
+        self._update_matrix(m)
+        self._update_precond()
+
+        b_dev = jnp.asarray(np.asarray(b), self.dtype)
+        if psi is not None and cfg.update_init_guess:
+            x0 = jnp.asarray(np.asarray(psi), self.dtype)
+        else:
+            x0 = jnp.zeros_like(b_dev)
+
+        stopping_cfg = cfg.stopping.adapted(
+            self.props.prev_solve_iters, self.props.prev_rel_res_cost, cfg.export
+        )
+        if cfg.verbose > 0 and stopping_cfg is not cfg.stopping:
+            common.log(cfg.verbose, 0,
+                       f"stopping criterion minIter {stopping_cfg.min_iter} "
+                       f"frequency {stopping_cfg.frequency}")
+
+        # stopping controls are traced arguments (StoppingParams pytree), so
+        # per-solve adaptMinIter changes reuse the same compiled program
+        if cfg.solver not in self._compiled:
+            fn, ops = self._solver_fn(None)
+            self._compiled[cfg.solver] = (jax.jit(fn), ops)
+        fn, ops = self._compiled[cfg.solver]
+        params = stopping.StoppingParams.of(stopping_cfg)
+
+        with common.timed("solve", cfg.verbose, self.field, self.timings):
+            res = fn(b_dev, x0, params)
+            jax.block_until_ready(res.x)
+        solve_t = self.timings["solve"]
+        self.timings.clear()
+
+        iters = int(res.iters)
+        n = m.n
+
+        # residual-eval relative cost (reference lduLduBase.H:287-293):
+        # time one criterion evaluation and compare to time/iter
+        if self._res_eval_time is None:
+            norm_fn = jax.jit(lambda x, b: ops.norm1(b - ops.matvec(x)))
+            jax.block_until_ready(norm_fn(res.x, b_dev))
+            t0 = time.perf_counter()
+            jax.block_until_ready(norm_fn(res.x, b_dev))
+            self._res_eval_time = max(time.perf_counter() - t0, 1e-9)
+        time_per_iter = solve_t / max(iters, 1)
+        self.props.prev_rel_res_cost = time_per_iter / self._res_eval_time
+        self.props.prev_solve_iters = iters
+        self.props.init_residual = float(res.init_res_norm)
+        self.props.final_residual = float(res.final_res_norm)
+
+        if cfg.verbose > 0:
+            # copy-back bandwidth (reference times dist_x.copy_back(),
+            # lduLduBase.H:277-281)
+            t0 = time.perf_counter()
+            jax.device_get(res.x)
+            copy_t = max(time.perf_counter() - t0, 1e-9)
+            print(
+                "\nStatistics:\n"
+                f"\tTime per iteration: {time_per_iter * 1e6:.3f} [mu s]\n"
+                f"\tTime per residual norm calculation: {self._res_eval_time * 1e6:.3f} [mu s]\n"
+                f"\tTime per iteration and DOF: {time_per_iter * 1e9 / n:.3f} [ns]\n"
+                f"\tRetrieve results bandwidth "
+                f"{np.dtype(self.dtype).itemsize * n / copy_t / 1e9:.3g} [GByte/s]"
+            )
+
+        if cfg.export or cfg.debug:
+            t = time_value if time_value is not None else "0"
+            mtx.write_coo(f"processor0/{t}/{self.field}_A_local.mtx", self._coo)
+            mtx.write_dense(f"processor0/{t}/{self.field}_b.mtx", b_dev)
+
+        perf = SolverPerformance(
+            solver_name=f"{cfg.solver}_{cfg.matrix_format}",
+            field_name=self.field,
+            initial_residual=float(res.init_res_norm),
+            final_residual=float(res.final_res_norm),
+            n_iterations=iters,
+            converged=bool(res.converged),
+        )
+        return res.x, perf
+
+
+def solve(field_name: str, m: ldu.LduMatrix, b, controls: dict | SolverConfig, psi=None):
+    """Functional entry: get-or-create the per-field FoamSolver from the
+    registry (the objectRegistry pattern) and run one solve."""
+    solver = registry.global_registry.get_or_init(
+        f"{field_name}_solver", lambda: FoamSolver(field_name, controls)
+    )
+    return solver.solve(m, b, psi=psi)

@@ -95,7 +95,11 @@ class Roofline:
 
 
 def measure(fn, *args, warmup: int = 3, iters: int = 20, bytes_moved=0, flops=0) -> Roofline:
-    """Wall-clock a device function (blocks on the result)."""
+    """Wall-clock a device function (blocks on the result).
+
+    NOTE: per-call dispatch latency can dominate for µs-scale kernels
+    (especially through a remote-device tunnel); prefer measure_chained for
+    roofline numbers."""
     import time
 
     for _ in range(warmup):
@@ -107,3 +111,24 @@ def measure(fn, *args, warmup: int = 3, iters: int = 20, bytes_moved=0, flops=0)
     jax.block_until_ready(out)
     dt = (time.perf_counter() - t0) / iters
     return Roofline(seconds=dt, bytes=bytes_moved, flops=flops, peak_gbps=hbm_peak_gbps())
+
+
+def measure_chained(vec_fn, x0, iters: int = 50, warmup: int = 2,
+                    bytes_moved=0, flops=0) -> Roofline:
+    """Time a vector->vector kernel by chaining `iters` dependent
+    applications inside ONE compiled fori_loop, so per-call dispatch
+    overhead is amortised away (one dispatch, `iters` kernel executions
+    back-to-back on device)."""
+    import time
+
+    @jax.jit
+    def chain(x):
+        return jax.lax.fori_loop(0, iters, lambda i, v: vec_fn(v), x)
+
+    jax.block_until_ready(chain(x0))  # compile + warm
+    best = float("inf")
+    for _ in range(max(warmup, 1)):
+        t0 = time.perf_counter()
+        jax.block_until_ready(chain(x0))
+        best = min(best, (time.perf_counter() - t0) / iters)
+    return Roofline(seconds=best, bytes=bytes_moved, flops=flops, peak_gbps=hbm_peak_gbps())

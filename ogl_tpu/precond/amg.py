@@ -1,0 +1,197 @@
+"""Algebraic multigrid via parallel graph match (PGM) aggregation —
+the reference's "Multigrid" preconditioner (Preconditioner.H:260-345:
+amgx_pgm coarsening, IR+scalar-Jacobi pre/post smoother with relaxation
+0.9 and 2 sweeps, CG coarse solver with a fixed iteration count, v/w/f
+cycle, one multigrid sweep per preconditioner application).
+
+TPU-first structure: the level hierarchy is data-dependent, so it is built
+ONCE on the host (greedy pairwise aggregation + Galerkin products in
+SciPy) and baked into the compiled program as a static unrolled cycle —
+each level's operator is an Ell matrix, restriction is a segment-sum over
+aggregate ids, prolongation a gather (piecewise-constant P, as in
+unsmoothed AMGX-PGM).  All shapes static, the whole cycle jit-safe
+(SURVEY.md §7 hard part "AMG with static shapes").
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ogl_tpu.core.formats import Coo, coo_to_ell
+from ogl_tpu.kernels.spmv import spmv_ell
+
+__all__ = ["amg", "pgm_aggregate", "build_hierarchy"]
+
+
+def pgm_aggregate(a_csr) -> np.ndarray:
+    """Greedy deterministic pairwise matching on strength |a_ij|
+    (Ginkgo amgx_pgm with with_deterministic(true)): each unaggregated
+    vertex pairs with its strongest unaggregated neighbour; leftovers join
+    their strongest neighbour's aggregate; isolated vertices become
+    singletons.  Returns agg[i] = coarse index."""
+    n = a_csr.shape[0]
+    indptr, indices, data = a_csr.indptr, a_csr.indices, np.abs(a_csr.data)
+    agg = np.full(n, -1, np.int64)
+    nc = 0
+    for i in range(n):
+        if agg[i] >= 0:
+            continue
+        best, best_w = -1, 0.0
+        for p in range(indptr[i], indptr[i + 1]):
+            j = indices[p]
+            if j != i and agg[j] < 0 and data[p] > best_w:
+                best, best_w = j, data[p]
+        if best >= 0:
+            agg[i] = agg[best] = nc
+            nc += 1
+    for i in range(n):
+        if agg[i] >= 0:
+            continue
+        best, best_w = -1, 0.0
+        for p in range(indptr[i], indptr[i + 1]):
+            j = indices[p]
+            if j != i and agg[j] >= 0 and data[p] > best_w:
+                best, best_w = j, data[p]
+        if best >= 0:
+            agg[i] = agg[best]
+        else:
+            agg[i] = nc
+            nc += 1
+    return agg
+
+
+@dataclasses.dataclass(frozen=True)
+class _Level:
+    mat: object  # Ell
+    inv_diag: object  # (n_l,)
+    agg: object | None  # (n_l,) int32 coarse ids, None on coarsest
+    n: int
+    nc: int
+
+
+def build_hierarchy(coo: Coo, max_levels: int, min_coarse_rows: int):
+    import scipy.sparse as sp
+
+    rows = np.asarray(jax.device_get(coo.rows)).astype(np.int64)
+    cols = np.asarray(jax.device_get(coo.cols)).astype(np.int64)
+    vals = np.asarray(jax.device_get(coo.vals)).astype(np.float64)
+    dtype = np.asarray(jax.device_get(coo.vals)).dtype
+    a = sp.csr_matrix((vals, (rows, cols)), shape=coo.shape)
+
+    levels: list[_Level] = []
+    for _ in range(max_levels):
+        n = a.shape[0]
+        if n <= min_coarse_rows:
+            break
+        agg = pgm_aggregate(a)
+        nc = int(agg.max()) + 1
+        if nc >= n:  # no coarsening progress
+            break
+        d = a.diagonal()
+        d = np.where(np.abs(d) > 1e-300, d, 1.0)
+        levels.append(
+            _Level(
+                mat=_ell_of(a, dtype),
+                inv_diag=jnp.asarray((1.0 / d).astype(dtype)),
+                agg=jnp.asarray(agg.astype(np.int32)),
+                n=n,
+                nc=nc,
+            )
+        )
+        p = sp.csr_matrix((np.ones(n), (np.arange(n), agg)), shape=(n, nc))
+        a = (p.T @ a @ p).tocsr()
+        a.sum_duplicates()
+    # coarsest level
+    d = a.diagonal()
+    d = np.where(np.abs(d) > 1e-300, d, 1.0)
+    levels.append(
+        _Level(
+            mat=_ell_of(a, dtype),
+            inv_diag=jnp.asarray((1.0 / d).astype(dtype)),
+            agg=None,
+            n=a.shape[0],
+            nc=0,
+        )
+    )
+    return levels
+
+
+def _ell_of(a_csr, dtype):
+    a = a_csr.tocoo()
+    order = np.lexsort((a.col, a.row))
+    coo = Coo(
+        rows=jnp.asarray(a.row[order].astype(np.int32)),
+        cols=jnp.asarray(a.col[order].astype(np.int32)),
+        vals=jnp.asarray(a.data[order].astype(dtype)),
+        shape=a.shape,
+    )
+    return coo_to_ell(coo)
+
+
+def _smooth(level: _Level, x, b, relax, iters: int):
+    """IR with scalar Jacobi: x ← x + relax·D⁻¹(b − A x)  (reference
+    smoother_gen: relaxation_factor 0.9, 2 iterations)."""
+    for _ in range(iters):
+        x = x + relax * level.inv_diag.astype(b.dtype) * (b - spmv_ell(level.mat, x))
+    return x
+
+
+def _coarse_cg(level: _Level, b, iters: int):
+    """Fixed-iteration CG (reference coarsest_gen: CG with Iteration
+    criterion only) — static fori_loop, breakdown-guarded."""
+    tiny = 1e-30
+
+    def body(_, carry):
+        x, r, p, rho = carry
+        q = spmv_ell(level.mat, p)
+        pq = jnp.sum(p * q)
+        alpha = rho / jnp.where(jnp.abs(pq) > tiny, pq, 1.0)
+        alpha = jnp.where(jnp.abs(pq) > tiny, alpha, 0.0)
+        x = x + alpha * p
+        r = r - alpha * q
+        rho_new = jnp.sum(r * r)
+        beta = rho_new / jnp.where(rho > tiny, rho, 1.0)
+        p = r + jnp.where(rho > tiny, beta, 0.0) * p
+        return x, r, p, rho_new
+
+    x0 = jnp.zeros_like(b)
+    x, _, _, _ = jax.lax.fori_loop(0, iters, body, (x0, b, b, jnp.sum(b * b)))
+    return x
+
+
+def amg(
+    coo: Coo,
+    max_levels: int = 9,
+    min_coarse_rows: int = 10,
+    cycle: str = "v",
+    coarse_solver_iters: int = 4,
+    relax: float = 0.9,
+    smooth_iters: int = 2,
+):
+    levels = build_hierarchy(coo, max_levels, min_coarse_rows)
+    n_recurse = {"v": 1, "f": 1, "w": 2}.get(cycle, 1)
+
+    def run_level(li: int, b, w_mode: bool):
+        level = levels[li]
+        if level.agg is None or li == len(levels) - 1:
+            return _coarse_cg(level, b, coarse_solver_iters)
+        x = _smooth(level, jnp.zeros_like(b), b, relax, smooth_iters)
+        recurse = 2 if (w_mode and li < len(levels) - 2) else 1
+        for cyc in range(recurse):
+            r = b - spmv_ell(level.mat, x)
+            rc = jax.ops.segment_sum(r, level.agg, num_segments=level.nc)
+            ec = run_level(li + 1, rc, w_mode or (cycle == "f" and cyc == 0))
+            x = x + jnp.take(ec, level.agg, axis=0)
+            x = _smooth(level, x, b, relax, smooth_iters)
+        return x
+
+    def apply(r):
+        # one multigrid sweep with zero initial guess (with_criteria
+        # Iteration max_iters 1 + zeroGuess, reference :314-345)
+        return run_level(0, r, cycle == "w").astype(r.dtype)
+
+    return apply

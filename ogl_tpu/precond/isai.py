@@ -1,0 +1,117 @@
+"""ISAI — incomplete sparse approximate inverse ("ISAI"/"GISAI",
+reference Preconditioner.H:226-259, Ginkgo gko::preconditioner::Isai).
+
+For each row i, M is supported on the sparsity J_i of A^p (p =
+sparsityPower) and chosen so (M A)|_{J_i} = e_i|_{J_i}:
+
+    M[i, J_i] · A[J_i, J_i] = e_i[J_i]   ⇒   A[J_i,J_i]ᵀ m = e_i
+
+TPU-native shape: all n small systems are ONE padded batched dense solve
+(n, K, K) at setup (MXU), and the apply is an ELL SpMV — no triangular
+solves anywhere.  The spd variant symmetrises the apply,
+r ↦ ½(M + Mᵀ)r, so CG sees a symmetric operator (Ginkgo's spd isai
+guarantees SPD through its factored form; the symmetrised general ISAI is
+the batched-dense equivalent)."""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ogl_tpu.core.formats import Coo, Ell
+from ogl_tpu.kernels.spmv import spmv_ell
+
+__all__ = ["isai"]
+
+
+def _pattern_power(rows, cols, n, p: int):
+    import scipy.sparse as sp
+
+    a = sp.csr_matrix((np.ones(len(rows), np.int8), (rows, cols)), shape=(n, n))
+    s = a.copy()
+    for _ in range(p - 1):
+        s = (s @ a).tocsr()
+        s.data[:] = 1
+    s = (s + sp.identity(n, np.int8, format="csr")).tocsr()
+    s.data[:] = 1
+    s.sort_indices()
+    return s
+
+
+def isai(coo: Coo, sparsity_power: int = 1, spd: bool = False):
+    n = coo.shape[0]
+    rows = np.asarray(jax.device_get(coo.rows)).astype(np.int64)
+    cols = np.asarray(jax.device_get(coo.cols)).astype(np.int64)
+    vals = np.asarray(jax.device_get(coo.vals))
+
+    import scipy.sparse as sp
+
+    a = sp.csr_matrix((vals, (rows, cols)), shape=(n, n))
+    s = _pattern_power(rows, cols, n, sparsity_power)
+
+    counts = np.diff(s.indptr)
+    k = int(counts.max())
+
+    # padded per-row column sets J_i (pad with the row itself; padded
+    # positions get identity rows/cols in G so they solve to 0 coupling)
+    J = np.repeat(np.arange(n)[:, None], k, axis=1)
+    slot = np.arange(len(s.indices)) - np.repeat(s.indptr[:-1], counts)
+    row_of = np.repeat(np.arange(n), counts)
+    J[row_of, slot] = s.indices
+    valid = np.zeros((n, k), bool)
+    valid[row_of, slot] = True
+
+    # G[i] = A[J_i, J_i] via a sorted (row*n+col) -> val lookup, fully
+    # vectorised over the (n, k, k) batch
+    keys = rows * n + cols
+    order_k = np.argsort(keys)
+    keys_sorted = keys[order_k]
+    vals_sorted = vals[order_k]
+    q = (J[:, :, None].astype(np.int64) * n + J[:, None, :]).reshape(-1)
+    idx = np.searchsorted(keys_sorted, q)
+    idx = np.clip(idx, 0, len(keys_sorted) - 1)
+    hit = keys_sorted[idx] == q
+    G = np.where(hit, vals_sorted[idx], 0.0).reshape(n, k, k).astype(vals.dtype)
+    # padded rows/cols become identity so the batched solve stays well posed
+    pad = ~valid
+    eye = np.eye(k, dtype=bool)[None]
+    G = np.where((pad[:, :, None] | pad[:, None, :]) & ~eye, 0.0, G)
+    G = np.where(pad[:, :, None] & eye, 1.0, G)
+
+    e = np.zeros((n, k), vals.dtype)
+    pos = np.argmax(J == np.arange(n)[:, None], axis=1)
+    e[np.arange(n), pos] = 1.0
+
+    m_rows = jnp.linalg.solve(
+        jnp.asarray(G).transpose(0, 2, 1), jnp.asarray(e)[..., None]
+    ).squeeze(-1)
+    m_rows = jnp.where(jnp.asarray(valid), m_rows, 0.0)
+
+    M = Ell(cols=jnp.asarray(J.astype(np.int32)), vals=m_rows, shape=(n, n))
+
+    if not spd:
+        return lambda r: spmv_ell(M, r).astype(r.dtype)
+
+    # transpose ELL for the symmetrised apply
+    mrows = np.repeat(np.arange(n)[:, None], k, axis=1).reshape(-1)
+    mcols = J.reshape(-1)
+    mvals = np.asarray(jax.device_get(m_rows)).reshape(-1)
+    keep = valid.reshape(-1)
+    order = np.lexsort((mrows[keep], mcols[keep]))
+    t_rows = mcols[keep][order]
+    t_cols = mrows[keep][order]
+    t_vals = mvals[keep][order]
+    tc = np.diff(np.searchsorted(t_rows, np.arange(n + 1)))
+    kt = int(tc.max()) if len(t_rows) else 1
+    Jt = np.repeat(np.arange(n)[:, None], kt, axis=1)
+    Vt = np.zeros((n, kt), vals.dtype)
+    slot_t = np.arange(len(t_rows)) - np.repeat(np.searchsorted(t_rows, np.arange(n)), tc)
+    Jt[t_rows, slot_t] = t_cols
+    Vt[t_rows, slot_t] = t_vals
+    Mt = Ell(cols=jnp.asarray(Jt.astype(np.int32)), vals=jnp.asarray(Vt), shape=(n, n))
+
+    def apply_spd(r):
+        return (0.5 * (spmv_ell(M, r) + spmv_ell(Mt, r))).astype(r.dtype)
+
+    return apply_spd

@@ -107,9 +107,9 @@ def gmres(ops: Ops, b, x0, cfg: StoppingConfig, krylov_dim: int = 100) -> SolveR
                 # Arnoldi with CGS2: w = A M^-1 v_j, orthogonalise vs V[:j+1]
                 w = ops.matvec(ops.precond(c.V[j]))
                 mask = (jnp.arange(m + 1) <= j).astype(dtype)
-                h1 = (c.V @ w) * mask
+                h1 = ops.allreduce(c.V @ w) * mask  # global dots
                 w = w - h1 @ c.V
-                h2 = (c.V @ w) * mask  # re-orthogonalisation pass
+                h2 = ops.allreduce(c.V @ w) * mask  # re-orthogonalisation pass
                 w = w - h2 @ c.V
                 h = h1 + h2
                 wnorm = ops.norm2(w)

@@ -32,6 +32,10 @@ class Ops:
     precond: Callable[[Any], Any]
     sum: Callable[[Any], Any]
     global_size: int
+    # elementwise all-reduce for vectors of partial sums (e.g. the batched
+    # Gram-Schmidt dot products V @ w in GMRES): identity single-device,
+    # lax.psum over the mesh axis when sharded
+    allreduce: Callable[[Any], Any] = lambda v: v
 
     def dot(self, a, b):
         return self.sum(a * b)

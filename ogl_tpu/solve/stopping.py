@@ -40,6 +40,35 @@ def small_of(dtype) -> float:
     return 1e-15 if np.dtype(dtype).itemsize >= 8 else 1e-6
 
 
+def _params_pytree(cls):
+    data = [f.name for f in dataclasses.fields(cls)]
+    return jax.tree_util.register_dataclass(cls, data, [])
+
+
+@_params_pytree
+@dataclasses.dataclass(frozen=True)
+class StoppingParams:
+    """The runtime stopping controls as a pytree of scalars, so adaptMinIter
+    (which changes minIter/frequency between solves) does NOT force a
+    recompile — the compiled solver takes these as traced arguments."""
+
+    tolerance: Any
+    rel_tol: Any
+    min_iter: Any
+    max_iter: Any
+    frequency: Any
+
+    @staticmethod
+    def of(cfg: StoppingConfig) -> "StoppingParams":
+        return StoppingParams(
+            tolerance=cfg.tolerance,
+            rel_tol=cfg.rel_tol,
+            min_iter=cfg.min_iter,
+            max_iter=cfg.max_iter,
+            frequency=cfg.frequency,
+        )
+
+
 def _pytree(cls):
     data = [f.name for f in dataclasses.fields(cls)]
     return jax.tree_util.register_dataclass(cls, data, [])

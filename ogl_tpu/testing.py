@@ -32,42 +32,43 @@ def poisson_ldu(dims, dirichlet_boundary: bool = True) -> ldu.LduMatrix:
     """
     nx, ny, nz = grid_shape(dims)
     n = nx * ny * nz
+    cid = np.arange(n).reshape(nz, ny, nx)  # (k, j, i) layout
 
-    def cid(i, j, k):
-        return (k * ny + j) * nx + i
-
-    pairs = []
-    for k in range(nz):
-        for j in range(ny):
-            for i in range(nx):
-                c = cid(i, j, k)
-                if i + 1 < nx:
-                    pairs.append((c, cid(i + 1, j, k)))
-                if j + 1 < ny:
-                    pairs.append((c, cid(i, j + 1, k)))
-                if k + 1 < nz:
-                    pairs.append((c, cid(i, j, k + 1)))
-    pairs.sort()
-    lower_addr = np.array([p[0] for p in pairs], np.int64)
-    upper_addr = np.array([p[1] for p in pairs], np.int64)
+    owners, nbrs = [], []
+    if nx > 1:
+        owners.append(cid[:, :, :-1].ravel())
+        nbrs.append(cid[:, :, 1:].ravel())
+    if ny > 1:
+        owners.append(cid[:, :-1, :].ravel())
+        nbrs.append(cid[:, 1:, :].ravel())
+    if nz > 1:
+        owners.append(cid[:-1, :, :].ravel())
+        nbrs.append(cid[1:, :, :].ravel())
+    owners = np.concatenate(owners) if owners else np.zeros(0, np.int64)
+    nbrs = np.concatenate(nbrs) if nbrs else np.zeros(0, np.int64)
+    order = np.lexsort((nbrs, owners))
+    lower_addr = owners[order].astype(np.int64)
+    upper_addr = nbrs[order].astype(np.int64)
     diag = np.zeros(n)
     np.add.at(diag, lower_addr, 1.0)
     np.add.at(diag, upper_addr, 1.0)
     if dirichlet_boundary:
         # boundary faces contribute to the diagonal only
-        for k in range(nz):
-            for j in range(ny):
-                for i in range(nx):
-                    nb = (i == 0) + (i == nx - 1 and nx > 1)
-                    nb += (j == 0) + (j == ny - 1 and ny > 1)
-                    nb += (k == 0) + (k == nz - 1 and nz > 1)
-                    diag[cid(i, j, k)] += nb
+        bmask = np.zeros((nz, ny, nx))
+        for ax, m in ((2, nx), (1, ny), (0, nz)):
+            if m > 1:
+                idx = [slice(None)] * 3
+                idx[ax] = 0
+                bmask[tuple(idx)] += 1
+                idx[ax] = m - 1
+                bmask[tuple(idx)] += 1
+        diag += bmask.ravel()
     return ldu.LduMatrix(
         n=n,
         lower_addr=lower_addr,
         upper_addr=upper_addr,
         diag=diag,
-        upper=np.full(len(pairs), -1.0),
+        upper=np.full(len(lower_addr), -1.0),
     )
 
 

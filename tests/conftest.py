@@ -15,6 +15,10 @@ if "xla_force_host_platform_device_count" not in _flags:
 
 import jax  # noqa: E402
 
+# jax may already be imported (and JAX_PLATFORMS=axon captured) by a
+# sitecustomize TPU shim — override via config, which wins as long as no
+# backend has been initialised yet.
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 
 import numpy as np  # noqa: E402

@@ -1,0 +1,153 @@
+"""Distributed (shard_map) tests on the 8-device virtual CPU mesh —
+the analogue of the reference's oversubscribed-MPI CI
+(integration-tests.yml: multi-rank without a cluster)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ogl_tpu import dist
+from ogl_tpu import testing as problems
+from ogl_tpu.config import StoppingConfig
+from ogl_tpu.core import formats, ldu
+from ogl_tpu.dist.partition import gather_global, partition_coo, split_vector
+from ogl_tpu.solve.stopping import StoppingParams
+
+
+def _mesh(n):
+    return Mesh(np.array(jax.devices()[:n]), ("x",))
+
+
+def _poisson_coo(dims):
+    return ldu.ldu_to_coo(problems.poisson_ldu(dims)), problems.poisson_dense(dims)
+
+
+@pytest.mark.parametrize("n_parts", [2, 4, 8])
+def test_dist_matvec_matches_global(n_parts):
+    coo, a = _poisson_coo((16, 16))
+    dm = partition_coo(coo, n_parts)
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=a.shape[0])
+    xs = jnp.asarray(split_vector(dm, x))
+    mesh = _mesh(n_parts)
+
+    def body(lc, lv, hc, hv, xv):
+        ops = dist.dist_ops(lc[0], lv[0], hc[0], hv[0], dm.plan, dm.global_n, "x")
+        return ops.matvec(xv[0])[None]
+
+    y = jax.jit(
+        jax.shard_map(
+            body, mesh=mesh,
+            in_specs=(P("x"), P("x"), P("x"), P("x"), P("x")),
+            out_specs=P("x"), check_vma=False,
+        )
+    )(dm.local_cols, dm.local_vals, dm.halo_cols, dm.halo_vals, xs)
+    np.testing.assert_allclose(gather_global(dm, y), a @ x, rtol=1e-12, atol=1e-12)
+
+
+@pytest.mark.parametrize("n_parts", [2, 8])
+def test_dist_reductions(n_parts):
+    coo, a = _poisson_coo((8, 8))
+    dm = partition_coo(coo, n_parts)
+    rng = np.random.default_rng(1)
+    v = rng.normal(size=a.shape[0])
+    vs = jnp.asarray(split_vector(dm, v))
+    mesh = _mesh(n_parts)
+
+    def body(x):
+        ops = dist.dist_ops(
+            jnp.zeros((1, 1), jnp.int32), jnp.zeros((1, 1)),
+            jnp.zeros((1, 1), jnp.int32), jnp.zeros((1, 1)),
+            dm.plan, dm.global_n, "x",
+        )
+        return jnp.stack([ops.norm1(x[0]), ops.sum(x[0] * x[0]), ops.mean(x[0])])[None]
+
+    out = jax.jit(
+        jax.shard_map(body, mesh=mesh, in_specs=(P("x"),), out_specs=P("x"),
+                      check_vma=False)
+    )(vs)
+    out = np.asarray(out)
+    for row in out:  # replicated across shards
+        np.testing.assert_allclose(row[0], np.abs(v).sum(), rtol=1e-12)
+        np.testing.assert_allclose(row[1], (v * v).sum(), rtol=1e-12)
+        np.testing.assert_allclose(row[2], v.sum() / a.shape[0], rtol=1e-12)
+
+
+@pytest.mark.parametrize("solver", ["GKOCG", "GKOBiCGStab", "GKOGMRES"])
+def test_dist_solve_matches_single_device(solver):
+    coo, a = _poisson_coo((16, 16))
+    n = a.shape[0]
+    dm = partition_coo(coo, 4)
+    rng = np.random.default_rng(2)
+    x_true = rng.normal(size=n)
+    b = a @ x_true
+    bs = jnp.asarray(split_vector(dm, b))
+    x0 = jnp.zeros_like(bs)
+    mesh = _mesh(4)
+    sp = StoppingParams.of(StoppingConfig(tolerance=1e-10, rel_tol=0.0, max_iter=600))
+    kw = {"krylov_dim": 40} if solver == "GKOGMRES" else {}
+    x, res = dist.dist_solve(dm, bs, x0, sp, mesh, solver=solver, **kw)
+    assert bool(np.asarray(res.converged).all())
+    np.testing.assert_allclose(gather_global(dm, x), x_true, atol=1e-6)
+    # iteration parity with single-device solve of the same system
+    from ogl_tpu.kernels import spmv
+    from ogl_tpu.solve import cg as cg_fn, bicgstab as bi_fn, gmres as gm_fn
+    from ogl_tpu.solve.krylov import single_device_ops
+
+    ops = single_device_ops(spmv.matvec(coo), n)
+    fn = {"GKOCG": cg_fn, "GKOBiCGStab": bi_fn, "GKOGMRES": gm_fn}[solver]
+    ref = fn(ops, jnp.asarray(b), jnp.zeros(n), StoppingConfig(tolerance=1e-10, rel_tol=0.0, max_iter=600), **kw)
+    assert int(np.asarray(res.iters).ravel()[0]) == int(ref.iters)
+
+
+def test_dist_solve_schwarz_jacobi():
+    """Additive-Schwarz block preconditioning: per-shard scalar Jacobi
+    (the diagonal is shard-local, so Schwarz-Jacobi == global Jacobi)."""
+    coo, a = _poisson_coo((16, 16))
+    dm = partition_coo(coo, 4)
+    rng = np.random.default_rng(3)
+    x_true = rng.normal(size=a.shape[0])
+    b = a @ x_true
+    bs = jnp.asarray(split_vector(dm, b))
+    mesh = _mesh(4)
+    sp = StoppingParams.of(StoppingConfig(tolerance=1e-10, rel_tol=0.0, max_iter=600))
+
+    def jacobi_builder(local_cols, local_vals):
+        # per-shard diagonal: entries where col == own row index
+        n_local = local_cols.shape[0]
+        row_ids = jnp.arange(n_local)[:, None]
+        diag = jnp.sum(jnp.where(local_cols == row_ids, local_vals, 0.0), axis=1)
+        inv = jnp.where(jnp.abs(diag) > 1e-300, 1.0 / jnp.where(diag == 0, 1.0, diag), 0.0)
+        return lambda r: inv * r
+
+    x, res = dist.dist_solve(dm, bs, jnp.zeros_like(bs), sp, mesh,
+                             solver="GKOCG", precond_builder=jacobi_builder)
+    assert bool(np.asarray(res.converged).all())
+    np.testing.assert_allclose(gather_global(dm, x), x_true, atol=1e-6)
+
+
+def test_partition_pads_are_inert():
+    # 10 rows over 4 parts -> uneven 3/2/3/2 with padding
+    coo, a = _poisson_coo((10,))
+    dm = partition_coo(coo, 4)
+    assert dm.local_sizes == (2, 3, 2, 3) or sum(dm.local_sizes) == 10
+    rng = np.random.default_rng(4)
+    x = rng.normal(size=10)
+    xs = jnp.asarray(split_vector(dm, x))
+    mesh = _mesh(4)
+
+    def body(lc, lv, hc, hv, xv):
+        ops = dist.dist_ops(lc[0], lv[0], hc[0], hv[0], dm.plan, dm.global_n, "x")
+        return ops.matvec(xv[0])[None]
+
+    y = jax.jit(
+        jax.shard_map(body, mesh=mesh,
+                      in_specs=(P("x"),) * 5, out_specs=P("x"), check_vma=False)
+    )(dm.local_cols, dm.local_vals, dm.halo_cols, dm.halo_vals, xs)
+    np.testing.assert_allclose(gather_global(dm, y), a @ x, atol=1e-12)
+    # padded slots stay exactly zero
+    y = np.asarray(y)
+    for i, sz in enumerate(dm.local_sizes):
+        assert np.all(y[i, sz:] == 0.0)

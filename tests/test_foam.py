@@ -1,0 +1,183 @@
+"""Front-end tests: OpenFOAM dictionary parsing, fvSolution->config, the
+GKO* solver API with registry caching, adaptMinIter across solves, export."""
+
+import os
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ogl_tpu import foam, registry
+from ogl_tpu import testing as problems
+from ogl_tpu.config import parse_controls
+from ogl_tpu.core import mtx
+from ogl_tpu.foam import dictionary
+
+FV_SOLUTION = """
+// fvSolution-style input
+solvers
+{
+    p
+    {
+        solver          GKOCG;
+        executor        reference;   // cpu path
+        matrixFormat    Csr;
+        tolerance       1e-08;
+        relTol          0;
+        maxIter         500;
+        verbose         0;
+        adaptMinIter    yes;
+        preconditioner  { preconditioner BJ; maxBlockSize 1; caching 10; }
+    }
+    "(U|UFinal)"
+    {
+        solver          GKOBiCGStab;
+        executor        reference;
+        tolerance       1e-07;
+        preconditioner  none;
+    }
+}
+"""
+
+
+def test_dictionary_parser():
+    d = dictionary.parse(FV_SOLUTION)
+    p = d["solvers"]["p"]
+    assert p["solver"] == "GKOCG"
+    assert p["tolerance"] == 1e-08
+    assert p["relTol"] == 0
+    assert p["adaptMinIter"] is True
+    assert p["preconditioner"]["preconditioner"] == "BJ"
+    assert p["preconditioner"]["caching"] == 10
+
+
+def test_dictionary_lists_and_comments():
+    d = dictionary.parse("""
+    /* block comment { not a dict } */
+    key1 (1 2 3);
+    key2 (a (b c));
+    key3 "quoted string";
+    switch on;
+    """)
+    assert d["key1"] == [1, 2, 3]
+    assert d["key2"] == ["a", ["b", "c"]]
+    assert d["key3"] == "quoted string"
+    assert d["switch"] is True
+
+
+def test_regex_solver_key():
+    d = dictionary.parse(FV_SOLUTION)
+    u = dictionary.solver_controls(d, "UFinal")
+    assert u["solver"] == "GKOBiCGStab"
+    with pytest.raises(KeyError):
+        dictionary.solver_controls(d, "nonexistent")
+
+
+def test_parse_controls_from_dictionary():
+    d = dictionary.parse(FV_SOLUTION)
+    cfg = parse_controls(dictionary.solver_controls(d, "p"))
+    assert cfg.solver == "GKOCG"
+    assert cfg.matrix_format == "Csr"
+    assert cfg.stopping.tolerance == 1e-8
+    assert cfg.precond.name == "BJ"
+    assert cfg.precond.caching == 10
+    # BiCGStab doubles maxIter (reference StoppingCriterion.H:188)
+    cfg_u = parse_controls(dictionary.solver_controls(d, "U"))
+    assert cfg_u.stopping.max_iter == 2000
+
+
+def _problem(dims=(12, 12)):
+    m = problems.poisson_ldu(dims)
+    a = problems.poisson_dense(dims)
+    rng = np.random.default_rng(5)
+    x_true = rng.normal(size=m.n)
+    return m, a @ x_true, x_true
+
+
+@pytest.mark.parametrize("solver_name", ["GKOCG", "GKOBiCGStab", "GKOGMRES", "GKOIR", "GKOMultigrid"])
+def test_foam_solve_api(solver_name):
+    m, b, x_true = _problem()
+    controls = {
+        "solver": solver_name,
+        "executor": "reference",
+        "tolerance": 1e-9,
+        "relTol": 0,
+        "maxIter": 3000,
+        "dtype": "float64",
+        "preconditioner": "BJ" if solver_name == "GKOIR" else "none",
+    }
+    x, perf = foam.solve("p", m, b, controls)
+    assert perf.converged
+    assert perf.n_iterations > 0
+    np.testing.assert_allclose(np.asarray(x), x_true, atol=1e-6)
+    assert perf.final_residual < 1e-9
+
+
+def test_steady_state_reuses_solver_and_adapts():
+    m, b, x_true = _problem()
+    controls = {
+        "solver": "GKOCG", "executor": "reference", "tolerance": 1e-9,
+        "relTol": 0, "maxIter": 500, "dtype": "float64", "adaptMinIter": True,
+    }
+    x1, perf1 = foam.solve("p", m, b, controls)
+    solver1 = registry.global_registry.get("p_solver")
+    x2, perf2 = foam.solve("p", m, b, {})  # controls ignored on registry hit
+    solver2 = registry.global_registry.get("p_solver")
+    assert solver1 is solver2
+    props = registry.global_registry.properties("p")
+    assert props.prev_solve_iters == perf2.n_iterations
+    # adaptMinIter: second solve must run at least relax*prev iterations
+    assert perf2.n_iterations >= int(0.6 * perf1.n_iterations)
+    np.testing.assert_allclose(np.asarray(x2), x_true, atol=1e-6)
+
+
+def test_update_sys_matrix_false_keeps_old_coeffs():
+    m, b, x_true = _problem()
+    controls = {
+        "solver": "GKOCG", "executor": "reference", "tolerance": 1e-10,
+        "relTol": 0, "maxIter": 500, "dtype": "float64",
+        "updateSysMatrix": False,
+    }
+    x1, _ = foam.solve("p", m, b, controls)
+    # scale the matrix 2x; with updateSysMatrix false the solve still uses A
+    import dataclasses
+
+    m2 = dataclasses.replace(m, diag=2 * m.diag, upper=2 * m.upper)
+    x2, _ = foam.solve("p", m2, b, controls)
+    np.testing.assert_allclose(np.asarray(x2), x_true, atol=1e-6)  # NOT x_true/2
+
+
+def test_export_writes_mtx(tmp_path):
+    m, b, _ = _problem((6, 6))
+    cwd = os.getcwd()
+    os.chdir(tmp_path)
+    try:
+        controls = {
+            "solver": "GKOCG", "executor": "reference", "tolerance": 1e-8,
+            "relTol": 0, "dtype": "float64", "export": True,
+        }
+        foam.solve("p", m, b, controls)
+        assert os.path.exists("processor0/0/p_A_local.mtx")
+        assert os.path.exists("processor0/0/p_b.mtx")
+        a_back = mtx.read("processor0/0/p_A_local.mtx")
+        np.testing.assert_allclose(
+            np.asarray(a_back.vals).sum(), problems.poisson_dense((6, 6)).sum(), atol=1e-10
+        )
+    finally:
+        os.chdir(cwd)
+
+
+def test_scaling_config():
+    m, b, x_true = _problem()
+    controls = {
+        "solver": "GKOCG", "executor": "reference", "tolerance": 1e-10,
+        "relTol": 0, "dtype": "float64", "scaling": 2.0, "maxIter": 500,
+    }
+    x, perf = foam.solve("p", m, b, controls)
+    np.testing.assert_allclose(np.asarray(x), x_true / 2.0, atol=1e-6)
+
+
+def test_bad_solver_name():
+    m, b, _ = _problem((4, 4))
+    with pytest.raises(ValueError, match="unknown solver"):
+        foam.solve("p", m, b, {"solver": "GKOFancy", "executor": "reference"})
