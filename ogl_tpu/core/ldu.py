@@ -52,6 +52,7 @@ __all__ = [
     "communication_pattern",
     "assemble_coeffs",
     "ldu_to_coo",
+    "ldu_to_coo_host",
 ]
 
 
@@ -275,6 +276,25 @@ def assemble_coeffs(
         symmetric=sp.symmetric,
         n_local_iface=sp.n_local_iface,
     )
+
+
+def ldu_to_coo_host(ldu: LduMatrix, scale=1.0, dtype=None) -> formats.Coo:
+    """Host-only assembly: returns a Coo whose fields are NumPy arrays —
+    for setup pipelines (format conversion, factorisations) that would
+    otherwise round-trip every value through the device.  One upload
+    happens when the final device format is built."""
+    sp = build_local_sparsity(ldu)
+    parts = [np.asarray(ldu.upper)]
+    if not ldu.symmetric:
+        parts.append(np.asarray(ldu.lower))
+    parts.append(np.asarray(ldu.diag))
+    if ldu.local_interfaces:
+        parts.append(-np.concatenate([np.asarray(li.coeffs) for li in ldu.local_interfaces]))
+    src = np.concatenate(parts)
+    if dtype is not None:
+        src = src.astype(dtype)
+    vals = (scale * src[sp.permute]).astype(src.dtype)
+    return formats.Coo(rows=sp.rows, cols=sp.cols, vals=vals, shape=(ldu.n, ldu.n))
 
 
 def ldu_to_coo(ldu: LduMatrix, scale=1.0, dtype=None) -> formats.Coo:

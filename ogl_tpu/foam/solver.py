@@ -111,7 +111,7 @@ class FoamSolver:
         self.dtype = jnp.dtype(self.cfg.dtype)
         self.sparsity: ldu.LduSparsity | None = None
         self.matrix = None
-        self._precond_apply = None
+        self._precond_op = None
         self._compiled = {}
         self._res_eval_time: float | None = None
         self.props = registry.global_registry.properties(field_name)
@@ -161,40 +161,62 @@ class FoamSolver:
     # -- preconditioner (TTL caching, Preconditioner.H:353-431) ---------
     def _update_precond(self):
         pc = self.cfg.precond
-        if pc.name == "none":
-            self._precond_apply = None
+        name = pc.name
+        if name == "none" and self.cfg.solver != "GKOMultigrid":
+            self._precond_op = None
             return
-        if self._precond_apply is not None and self.props.precond_caching_left > 0:
+        if getattr(self, "_precond_op", None) is not None and self.props.precond_caching_left > 0:
             self.props.precond_caching_left -= 1
             return
         with common.timed("generate_preconditioner", self.cfg.verbose, self.field, self.timings):
-            self._precond_apply = precond.build(pc, self._coo)
+            if name == "none" and self.cfg.solver == "GKOMultigrid":
+                # AMG-as-solver: Richardson around one AMG cycle
+                op = precond.amg(
+                    self._coo,
+                    max_levels=pc.max_levels,
+                    min_coarse_rows=pc.min_coarse_rows,
+                    cycle=pc.cycle,
+                    coarse_solver_iters=pc.coarse_solver_iters,
+                )
+            else:
+                op = precond.build(pc, self._coo)
+        old = getattr(self, "_precond_op", None)
+        if old is None or old.fingerprint() != op.fingerprint():
+            # structure changed (e.g. new AMG hierarchy): stale programs
+            self._compiled.clear()
+        self._precond_op = op
         self.props.precond_caching_left = pc.caching
 
     # -- solve ----------------------------------------------------------
-    def _solver_fn(self, _unused=None):
+    def _solver_fn(self):
+        """Build run(mat, pc_state, b, x0, sp): the matrix pytree and the
+        preconditioner state are TRACED arguments, so steady-state
+        coefficient updates and TTL preconditioner regeneration reuse the
+        compiled program (the DevicePersistent update path, SURVEY §3.2)."""
         name = self.cfg.solver
-        apply_pc = self._precond_apply
-        if name == "GKOMultigrid" and apply_pc is None:
-            # AMG-as-solver: Richardson wrapped around one AMG cycle
-            apply_pc = precond.amg(
-                self._coo,
-                max_levels=self.cfg.precond.max_levels,
-                min_coarse_rows=self.cfg.precond.min_coarse_rows,
-                cycle=self.cfg.precond.cycle,
-                coarse_solver_iters=self.cfg.precond.coarse_solver_iters,
-            )
-        ops = single_device_ops(spmv.matvec(self.matrix), self.matrix.shape[0], precond=apply_pc)
+        n = self.matrix.shape[0]
+        pc_op = self._precond_op
+        pc_apply = pc_op.bind if pc_op is not None else None
 
-        if name == "GKOCG":
-            return lambda b, x0, sp: cg(ops, b, x0, sp), ops
-        if name == "GKOBiCGStab":
-            return lambda b, x0, sp: bicgstab(ops, b, x0, sp), ops
-        if name == "GKOGMRES":
-            return lambda b, x0, sp: gmres(ops, b, x0, sp, krylov_dim=self.cfg.krylov_dim), ops
-        if name in ("GKOIR", "GKOMultigrid"):
-            return lambda b, x0, sp: ir(ops, b, x0, sp), ops
-        raise ValueError(f"unknown solver {name!r}; valid: {SOLVER_NAMES}")
+        solver = {
+            "GKOCG": cg,
+            "GKOBiCGStab": bicgstab,
+            "GKOGMRES": gmres,
+            "GKOIR": ir,
+            "GKOMultigrid": ir,
+        }.get(name)
+        if solver is None:
+            raise ValueError(f"unknown solver {name!r}; valid: {SOLVER_NAMES}")
+        kw = {"krylov_dim": self.cfg.krylov_dim} if name == "GKOGMRES" else {}
+
+        def run(mat, pc_state, b, x0, sp):
+            ops = single_device_ops(
+                spmv.matvec(mat), n,
+                precond=pc_apply(pc_state) if pc_apply is not None else None,
+            )
+            return solver(ops, b, x0, sp, **kw)
+
+        return run
 
     def solve(self, m: ldu.LduMatrix, b, psi=None, time_value: str | None = None) -> tuple[Any, SolverPerformance]:
         """One solve: returns (x, SolverPerformance).  `psi` is the initial
@@ -218,16 +240,17 @@ class FoamSolver:
                        f"stopping criterion minIter {stopping_cfg.min_iter} "
                        f"frequency {stopping_cfg.frequency}")
 
-        # stopping controls are traced arguments (StoppingParams pytree), so
-        # per-solve adaptMinIter changes reuse the same compiled program
+        # matrix, preconditioner state, and stopping controls are all traced
+        # arguments, so coefficient updates / TTL regeneration / adaptMinIter
+        # reuse the same compiled program
         if cfg.solver not in self._compiled:
-            fn, ops = self._solver_fn(None)
-            self._compiled[cfg.solver] = (jax.jit(fn), ops)
-        fn, ops = self._compiled[cfg.solver]
+            self._compiled[cfg.solver] = jax.jit(self._solver_fn())
+        fn = self._compiled[cfg.solver]
         params = stopping.StoppingParams.of(stopping_cfg)
+        pc_state = self._precond_op.state if self._precond_op is not None else ()
 
         with common.timed("solve", cfg.verbose, self.field, self.timings):
-            res = fn(b_dev, x0, params)
+            res = fn(self.matrix, pc_state, b_dev, x0, params)
             jax.block_until_ready(res.x)
         solve_t = self.timings["solve"]
         self.timings.clear()
@@ -238,7 +261,8 @@ class FoamSolver:
         # residual-eval relative cost (reference lduLduBase.H:287-293):
         # time one criterion evaluation and compare to time/iter
         if self._res_eval_time is None:
-            norm_fn = jax.jit(lambda x, b: ops.norm1(b - ops.matvec(x)))
+            mv = spmv.matvec(self.matrix)
+            norm_fn = jax.jit(lambda x, b: jnp.abs(b - mv(x)).sum())
             jax.block_until_ready(norm_fn(res.x, b_dev))
             t0 = time.perf_counter()
             jax.block_until_ready(norm_fn(res.x, b_dev))

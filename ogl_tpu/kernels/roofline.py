@@ -12,6 +12,7 @@ from __future__ import annotations
 import dataclasses
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from ogl_tpu.core.formats import Coo, Csr, Dia, Ell, Sell
@@ -115,20 +116,38 @@ def measure(fn, *args, warmup: int = 3, iters: int = 20, bytes_moved=0, flops=0)
 
 def measure_chained(vec_fn, x0, iters: int = 50, warmup: int = 2,
                     bytes_moved=0, flops=0) -> Roofline:
-    """Time a vector->vector kernel by chaining `iters` dependent
-    applications inside ONE compiled fori_loop, so per-call dispatch
-    overhead is amortised away (one dispatch, `iters` kernel executions
-    back-to-back on device)."""
+    """Time a vector->vector kernel accurately on remote/tunneled devices.
+
+    Two defences against timing artifacts:
+      * `iters` dependent applications run inside ONE compiled fori_loop
+        (no per-kernel dispatch overhead);
+      * execution is forced by fetching a scalar reduction to the host
+        (block_until_ready can acknowledge before the device has actually
+        executed on tunneled backends), and the constant round-trip cost
+        cancels via the difference of an `iters`- and a 2×`iters`-length
+        chain.
+    """
     import time
 
-    @jax.jit
-    def chain(x):
-        return jax.lax.fori_loop(0, iters, lambda i, v: vec_fn(v), x)
+    def chain_of(k):
+        @jax.jit
+        def chain(x):
+            return jnp.sum(jax.lax.fori_loop(0, k, lambda i, v: vec_fn(v), x))
 
-    jax.block_until_ready(chain(x0))  # compile + warm
-    best = float("inf")
-    for _ in range(max(warmup, 1)):
-        t0 = time.perf_counter()
-        jax.block_until_ready(chain(x0))
-        best = min(best, (time.perf_counter() - t0) / iters)
-    return Roofline(seconds=best, bytes=bytes_moved, flops=flops, peak_gbps=hbm_peak_gbps())
+        return chain
+
+    def best_time(f, reps):
+        float(f(x0))  # compile + warm, forced
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            float(f(x0))
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    reps = max(warmup, 2)
+    t1 = best_time(chain_of(iters), reps)
+    t2 = best_time(chain_of(2 * iters), reps)
+    per_iter = max((t2 - t1) / iters, 1e-9)
+    return Roofline(seconds=per_iter, bytes=bytes_moved, flops=flops,
+                    peak_gbps=hbm_peak_gbps())

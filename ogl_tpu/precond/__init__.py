@@ -19,25 +19,59 @@ TPU mapping of the Ginkgo machinery (SURVEY.md §2b):
 
 from __future__ import annotations
 
-from typing import Callable
+from typing import Any, Callable
+
+import jax
 
 from ogl_tpu.config import PrecondConfig
 from ogl_tpu.core.formats import Coo
-from ogl_tpu.precond.jacobi import block_jacobi
-from ogl_tpu.precond.isai import isai
-from ogl_tpu.precond.ilu import ic0, ict, ilu0, ilut
-from ogl_tpu.precond.amg import amg
 
-__all__ = ["build", "block_jacobi", "isai", "ilu0", "ic0", "ilut", "ict", "amg"]
+__all__ = ["PrecondOp", "build", "block_jacobi", "isai", "ilu0", "ic0", "ilut",
+           "ict", "amg"]
 
 VALID = ("none", "BJ", "ILU", "ILUT", "IRILU", "IC", "ICT", "ISAI", "GISAI", "Multigrid")
 
 
-def build(cfg: PrecondConfig, coo: Coo) -> Callable:
+class PrecondOp:
+    """A preconditioner as (pure apply function, state pytree).
+
+    The split matters on TPU: `state` (inverted blocks, factor values,
+    AMG level operators) is passed as a TRACED argument to the compiled
+    solver, so regenerating the preconditioner for new matrix coefficients
+    (the reference regenerates every solve unless `caching` is set,
+    Preconditioner.H:353-431) swaps arrays WITHOUT recompiling.  Only a
+    structure change (e.g. a different AMG hierarchy depth) invalidates the
+    compiled program — detected via .fingerprint()."""
+
+    def __init__(self, apply_fn: Callable[[Any, Any], Any], state: Any):
+        self.apply_fn = apply_fn
+        self.state = state
+
+    def __call__(self, r):
+        return self.apply_fn(self.state, r)
+
+    def bind(self, state):
+        """r -> M⁻¹r closure over a traced state (use inside jit)."""
+        return lambda r: self.apply_fn(state, r)
+
+    def fingerprint(self) -> str:
+        leaves, treedef = jax.tree_util.tree_flatten(self.state)
+        shapes = tuple((tuple(l.shape), str(l.dtype)) for l in leaves)
+        return f"{treedef}|{shapes}"
+
+
+# imports live below PrecondOp to avoid a circular import
+from ogl_tpu.precond.jacobi import block_jacobi  # noqa: E402
+from ogl_tpu.precond.isai import isai  # noqa: E402
+from ogl_tpu.precond.ilu import ic0, ict, ilu0, ilut  # noqa: E402
+from ogl_tpu.precond.amg import amg  # noqa: E402
+
+
+def build(cfg: PrecondConfig, coo: Coo) -> "PrecondOp":
     """Factory mirroring init_preconditioner_impl (Preconditioner.H:83-351)."""
     name = cfg.name
     if name == "none":
-        return lambda r: r
+        return PrecondOp(lambda s, r: r, ())
     if name == "BJ":
         return block_jacobi(coo, cfg.max_block_size)
     if name == "ISAI":  # spd variant (Preconditioner.H:226-240)

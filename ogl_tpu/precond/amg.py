@@ -64,13 +64,14 @@ def pgm_aggregate(a_csr) -> np.ndarray:
     return agg
 
 
+@jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class _Level:
     mat: object  # Ell
     inv_diag: object  # (n_l,)
     agg: object | None  # (n_l,) int32 coarse ids, None on coarsest
-    n: int
-    nc: int
+    n: int = dataclasses.field(metadata=dict(static=True))
+    nc: int = dataclasses.field(metadata=dict(static=True))
 
 
 def build_hierarchy(coo: Coo, max_levels: int, min_coarse_rows: int):
@@ -172,26 +173,28 @@ def amg(
     relax: float = 0.9,
     smooth_iters: int = 2,
 ):
-    levels = build_hierarchy(coo, max_levels, min_coarse_rows)
-    n_recurse = {"v": 1, "f": 1, "w": 2}.get(cycle, 1)
+    from ogl_tpu.precond import PrecondOp
 
-    def run_level(li: int, b, w_mode: bool):
-        level = levels[li]
-        if level.agg is None or li == len(levels) - 1:
+    levels = build_hierarchy(coo, max_levels, min_coarse_rows)
+    n_levels = len(levels)
+
+    def run_level(lvls, li: int, b, w_mode: bool):
+        level = lvls[li]
+        if level.agg is None or li == n_levels - 1:
             return _coarse_cg(level, b, coarse_solver_iters)
         x = _smooth(level, jnp.zeros_like(b), b, relax, smooth_iters)
-        recurse = 2 if (w_mode and li < len(levels) - 2) else 1
+        recurse = 2 if (w_mode and li < n_levels - 2) else 1
         for cyc in range(recurse):
             r = b - spmv_ell(level.mat, x)
             rc = jax.ops.segment_sum(r, level.agg, num_segments=level.nc)
-            ec = run_level(li + 1, rc, w_mode or (cycle == "f" and cyc == 0))
+            ec = run_level(lvls, li + 1, rc, w_mode or (cycle == "f" and cyc == 0))
             x = x + jnp.take(ec, level.agg, axis=0)
             x = _smooth(level, x, b, relax, smooth_iters)
         return x
 
-    def apply(r):
+    def apply(lvls, r):
         # one multigrid sweep with zero initial guess (with_criteria
         # Iteration max_iters 1 + zeroGuess, reference :314-345)
-        return run_level(0, r, cycle == "w").astype(r.dtype)
+        return run_level(lvls, 0, r, cycle == "w").astype(r.dtype)
 
-    return apply
+    return PrecondOp(apply, tuple(levels))

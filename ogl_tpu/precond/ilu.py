@@ -128,18 +128,21 @@ def _to_ell(n, rows, cols, vals, dtype):
 
 
 def _lu_apply(n, Ls, Us, udiag, sweeps, dtype):
+    from ogl_tpu.precond import PrecondOp
+
     inv_ud = jnp.asarray((1.0 / udiag), dtype)
 
-    def apply(r):
+    def apply(s, r):
+        ls, us, inv = s
         z = r
         for _ in range(sweeps):
-            z = r - spmv_ell(Ls, z)
-        x = z * inv_ud
+            z = r - spmv_ell(ls, z)
+        x = z * inv
         for _ in range(sweeps):
-            x = (z - spmv_ell(Us, x)) * inv_ud
+            x = (z - spmv_ell(us, x)) * inv
         return x
 
-    return apply
+    return PrecondOp(apply, (Ls, Us, inv_ud))
 
 
 def ilu0(coo: Coo, sweeps: int = 8):
@@ -188,18 +191,21 @@ def ilut(coo: Coo, sweeps: int = 8, drop_tol: float = 1e-4, fill_factor: float =
 
 
 def _ic_apply(n, Ls, Lst, ldiag, sweeps, dtype):
+    from ogl_tpu.precond import PrecondOp
+
     inv_d = jnp.asarray(1.0 / ldiag, dtype)
 
-    def apply(r):
-        z = r * inv_d
+    def apply(s, r):
+        ls, lst, inv = s
+        z = r * inv
         for _ in range(sweeps):
-            z = (r - spmv_ell(Ls, z)) * inv_d
-        x = z * inv_d
+            z = (r - spmv_ell(ls, z)) * inv
+        x = z * inv
         for _ in range(sweeps):
-            x = (z - spmv_ell(Lst, x)) * inv_d
+            x = (z - spmv_ell(lst, x)) * inv
         return x
 
-    return apply
+    return PrecondOp(apply, (Ls, Lst, inv_d))
 
 
 def ic0(coo: Coo, sweeps: int = 8):

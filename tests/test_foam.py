@@ -147,6 +147,26 @@ def test_update_sys_matrix_false_keeps_old_coeffs():
     np.testing.assert_allclose(np.asarray(x2), x_true, atol=1e-6)  # NOT x_true/2
 
 
+def test_coefficient_update_changes_solution():
+    """Steady-state path: same sparsity, new coefficients — the compiled
+    program must see the NEW values (regression: closure-captured matrices
+    would silently freeze the operator)."""
+    import dataclasses
+
+    m, b, x_true = _problem()
+    controls = {
+        "solver": "GKOCG", "executor": "reference", "tolerance": 1e-10,
+        "relTol": 0, "maxIter": 500, "dtype": "float64",
+        "preconditioner": {"preconditioner": "BJ", "maxBlockSize": 1},
+    }
+    x1, _ = foam.solve("p", m, b, controls)
+    np.testing.assert_allclose(np.asarray(x1), x_true, atol=1e-6)
+    m2 = dataclasses.replace(m, diag=2 * m.diag, upper=2 * m.upper)  # A' = 2A
+    x2, perf2 = foam.solve("p", m2, b, {})
+    np.testing.assert_allclose(np.asarray(x2), x_true / 2.0, atol=1e-6)
+    assert perf2.converged
+
+
 def test_export_writes_mtx(tmp_path):
     m, b, _ = _problem((6, 6))
     cwd = os.getcwd()
