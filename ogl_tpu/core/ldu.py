@@ -143,6 +143,14 @@ def init_local_sparsity(
     """
     lower_addr = np.asarray(lower_addr, np.int64)
     upper_addr = np.asarray(upper_addr, np.int64)
+
+    from ogl_tpu import native
+
+    nat = native.init_local_sparsity(n, lower_addr, upper_addr, symmetric)
+    if nat is not None:
+        r, c, p = nat
+        return r.astype(np.int64), c.astype(np.int64), p.astype(np.int64)
+
     nf = len(upper_addr)
     after_nbrs = nf if symmetric else 2 * nf
     faces = np.arange(nf, dtype=np.int64)
@@ -276,6 +284,62 @@ def assemble_coeffs(
         symmetric=sp.symmetric,
         n_local_iface=sp.n_local_iface,
     )
+
+
+def decompose(m: LduMatrix, n_parts: int) -> list[LduMatrix]:
+    """Split a global symmetric LDU system into per-rank LduMatrix systems
+    with processor interfaces — the structural equivalent of decomposePar
+    with contiguous (`simple`) blocks.  Crossing faces become one
+    ProcInterface per neighbor rank, with the pairwise face order identical
+    on both sides (global face order), as OpenFOAM guarantees."""
+    if not m.symmetric:
+        raise NotImplementedError("decompose currently supports symmetric LDU")
+    n, p = m.n, n_parts
+    bounds = [round(i * n / p) for i in range(p + 1)]
+    owner_of = np.searchsorted(bounds, np.arange(n), side="right") - 1
+
+    lo = np.asarray(m.lower_addr, np.int64)
+    up = np.asarray(m.upper_addr, np.int64)
+    ro, ru = owner_of[lo], owner_of[up]
+    interior = ro == ru
+
+    parts = []
+    for i in range(p):
+        sel = interior & (ro == i)
+        base = bounds[i]
+        # crossing faces: grouped per neighbor rank, in global face order
+        ifaces = {}
+        for f in np.nonzero(~interior)[0]:
+            a, b = int(ro[f]), int(ru[f])
+            if i == a:
+                ifaces.setdefault(b, ([], []))
+            elif i == b:
+                ifaces.setdefault(a, ([], []))
+            else:
+                continue
+            other = b if i == a else a
+            cell = int(lo[f]) if i == a else int(up[f])
+            ifaces[other][0].append(cell - base)
+            ifaces[other][1].append(float(np.asarray(m.upper)[f]))
+        diag = np.asarray(m.diag)[bounds[i]:bounds[i + 1]].copy()
+        parts.append(
+            LduMatrix(
+                n=bounds[i + 1] - bounds[i],
+                lower_addr=lo[sel] - base,
+                upper_addr=up[sel] - base,
+                diag=diag,
+                upper=np.asarray(m.upper)[sel],
+                proc_interfaces=tuple(
+                    ProcInterface(
+                        neighbor=r,
+                        face_cells=np.array(cells, np.int64),
+                        coeffs=-np.array(coeffs),  # bouCoeff = -A_offdiag
+                    )
+                    for r, (cells, coeffs) in sorted(ifaces.items())
+                ),
+            )
+        )
+    return parts
 
 
 def ldu_to_coo_host(ldu: LduMatrix, scale=1.0, dtype=None) -> formats.Coo:

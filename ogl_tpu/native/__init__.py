@@ -1,0 +1,146 @@
+"""Native host runtime loader.
+
+Compiles src/ogl_host.cpp to a shared library on first use (g++ -O3,
+cached under native/build/) and exposes it through ctypes.  Every entry has
+a NumPy fallback so the framework works without a toolchain; `available()`
+reports which path is active.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+
+import numpy as np
+
+__all__ = ["lib", "available", "init_local_sparsity", "ilu0_csr", "ic0_csr",
+           "pgm_aggregate", "sort_coo"]
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_HERE, "src", "ogl_host.cpp")
+_BUILD = os.path.join(_HERE, "build")
+_SO = os.path.join(_BUILD, "libogl_host.so")
+
+_lock = threading.Lock()
+_lib = None
+_tried = False
+
+
+def _compile() -> bool:
+    os.makedirs(_BUILD, exist_ok=True)
+    cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17",
+           _SRC, "-o", _SO]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+        return True
+    except Exception:
+        return False
+
+
+def lib():
+    """The loaded ctypes library, or None when unavailable."""
+    global _lib, _tried
+    with _lock:
+        if _lib is not None or _tried:
+            return _lib
+        _tried = True
+        if not os.path.exists(_SO) or os.path.getmtime(_SO) < os.path.getmtime(_SRC):
+            if not _compile():
+                return None
+        try:
+            L = ctypes.CDLL(_SO)
+        except OSError:
+            return None
+        i64, i32, f64 = ctypes.c_int64, ctypes.c_int32, ctypes.c_double
+        p64 = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
+        p32 = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
+        pf = np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS")
+        L.ogl_init_local_sparsity.argtypes = [i64, i64, ctypes.c_int, p64, p64, p32, p32, p32]
+        L.ogl_init_local_sparsity.restype = None
+        L.ogl_ilu0.argtypes = [i64, p64, p32, pf]
+        L.ogl_ilu0.restype = ctypes.c_int
+        L.ogl_ic0.argtypes = [i64, p64, p32, pf]
+        L.ogl_ic0.restype = ctypes.c_int
+        L.ogl_pgm_aggregate.argtypes = [i64, p64, p32, pf, p32]
+        L.ogl_pgm_aggregate.restype = i64
+        L.ogl_sort_coo.argtypes = [i64, i64, p64, p64, p32, p32, p32]
+        L.ogl_sort_coo.restype = None
+        _lib = L
+        return _lib
+
+
+def available() -> bool:
+    return lib() is not None
+
+
+def init_local_sparsity(n, lower_addr, upper_addr, symmetric):
+    """Native LDU->row-major sparsity; returns (rows, cols, permute) int32.
+    None if the native library is unavailable (caller falls back)."""
+    L = lib()
+    if L is None:
+        return None
+    lower_addr = np.ascontiguousarray(lower_addr, np.int64)
+    upper_addr = np.ascontiguousarray(upper_addr, np.int64)
+    nf = len(upper_addr)
+    nnz = 2 * nf + n
+    rows = np.empty(nnz, np.int32)
+    cols = np.empty(nnz, np.int32)
+    permute = np.empty(nnz, np.int32)
+    L.ogl_init_local_sparsity(n, nf, int(bool(symmetric)), lower_addr,
+                              upper_addr, rows, cols, permute)
+    return rows, cols, permute
+
+
+def ilu0_csr(n, indptr, cols, vals):
+    """In-place-style ILU(0) on CSR; returns factored vals copy or None."""
+    L = lib()
+    if L is None:
+        return None
+    indptr = np.ascontiguousarray(indptr, np.int64)
+    cols = np.ascontiguousarray(cols, np.int32)
+    out = np.ascontiguousarray(vals, np.float64).copy()
+    if L.ogl_ilu0(n, indptr, cols, out) != 0:
+        raise ZeroDivisionError("ILU(0): zero pivot")
+    return out
+
+
+def ic0_csr(n, indptr, cols, vals):
+    """IC(0) on the lower-triangle CSR (incl. diagonal); returns L vals."""
+    L = lib()
+    if L is None:
+        return None
+    indptr = np.ascontiguousarray(indptr, np.int64)
+    cols = np.ascontiguousarray(cols, np.int32)
+    out = np.ascontiguousarray(vals, np.float64).copy()
+    if L.ogl_ic0(n, indptr, cols, out) != 0:
+        raise ZeroDivisionError("IC(0): zero pivot")
+    return out
+
+
+def pgm_aggregate(n, indptr, cols, absvals):
+    L = lib()
+    if L is None:
+        return None
+    indptr = np.ascontiguousarray(indptr, np.int64)
+    cols = np.ascontiguousarray(cols, np.int32)
+    absvals = np.ascontiguousarray(absvals, np.float64)
+    agg = np.empty(n, np.int32)
+    nc = L.ogl_pgm_aggregate(n, indptr, cols, absvals, agg)
+    return agg, int(nc)
+
+
+def sort_coo(n, rows, cols):
+    """Row-major sort of COO coordinates; returns (rows32, cols32, perm)."""
+    L = lib()
+    if L is None:
+        return None
+    rows = np.ascontiguousarray(rows, np.int64)
+    cols = np.ascontiguousarray(cols, np.int64)
+    nnz = len(rows)
+    orows = np.empty(nnz, np.int32)
+    ocols = np.empty(nnz, np.int32)
+    operm = np.empty(nnz, np.int32)
+    L.ogl_sort_coo(nnz, n, rows, cols, orows, ocols, operm)
+    return orows, ocols, operm

@@ -35,6 +35,13 @@ def pgm_aggregate(a_csr) -> np.ndarray:
     singletons.  Returns agg[i] = coarse index."""
     n = a_csr.shape[0]
     indptr, indices, data = a_csr.indptr, a_csr.indices, np.abs(a_csr.data)
+
+    from ogl_tpu import native
+
+    nat = native.pgm_aggregate(n, indptr.astype(np.int64), indices, data)
+    if nat is not None:
+        return nat[0].astype(np.int64)
+
     agg = np.full(n, -1, np.int64)
     nc = 0
     for i in range(n):

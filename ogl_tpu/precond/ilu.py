@@ -42,25 +42,30 @@ def _host_csr(coo: Coo):
 
 
 def ilu0_factors(coo: Coo):
-    """IKJ-ordered ILU(0) on the host; returns (L_strict, U_strict, u_diag)
-    as (rows, cols, vals) triples / vector in NumPy."""
+    """IKJ-ordered ILU(0) on the host (native C++ when available); returns
+    (L_strict, U_strict, u_diag) as (rows, cols, vals) triples / vector."""
     n, indptr, cols, vals = _host_csr(coo)
-    a = vals.copy()
-    col_pos = [dict(zip(cols[indptr[i]:indptr[i + 1]], range(indptr[i], indptr[i + 1]))) for i in range(n)]
-    for i in range(n):
-        s, e = indptr[i], indptr[i + 1]
-        for kk in range(s, e):
-            k = cols[kk]
-            if k >= i:
-                break
-            dk = col_pos[k].get(k)
-            a[kk] = a[kk] / a[dk]
-            lik = a[kk]
-            for jj in range(col_pos[k][k] + 1, indptr[k + 1]):
-                j = cols[jj]
-                tgt = col_pos[i].get(j)
-                if tgt is not None:
-                    a[tgt] -= lik * a[jj]
+
+    from ogl_tpu import native
+
+    a = native.ilu0_csr(n, indptr, cols, vals)
+    if a is None:
+        a = vals.copy()
+        col_pos = [dict(zip(cols[indptr[i]:indptr[i + 1]], range(indptr[i], indptr[i + 1]))) for i in range(n)]
+        for i in range(n):
+            s, e = indptr[i], indptr[i + 1]
+            for kk in range(s, e):
+                k = cols[kk]
+                if k >= i:
+                    break
+                dk = col_pos[k].get(k)
+                a[kk] = a[kk] / a[dk]
+                lik = a[kk]
+                for jj in range(col_pos[k][k] + 1, indptr[k + 1]):
+                    j = cols[jj]
+                    tgt = col_pos[i].get(j)
+                    if tgt is not None:
+                        a[tgt] -= lik * a[jj]
     rows_full = np.repeat(np.arange(n), np.diff(indptr))
     lower = rows_full > cols
     upper = rows_full < cols
@@ -75,8 +80,29 @@ def ilu0_factors(coo: Coo):
 
 
 def ic0_factor(coo: Coo):
-    """IC(0): A ≈ L Lᵀ on the lower-triangular pattern of A."""
+    """IC(0): A ≈ L Lᵀ on the lower-triangular pattern of A
+    (native C++ when available)."""
     n, indptr, cols, vals = _host_csr(coo)
+
+    from ogl_tpu import native
+
+    if native.available():
+        # build lower-triangle CSR (incl. diagonal)
+        rows_full = np.repeat(np.arange(n), np.diff(indptr))
+        low = cols <= rows_full
+        lcols = cols[low].astype(np.int32)
+        lvals = vals[low]
+        lptr = np.zeros(n + 1, np.int64)
+        np.add.at(lptr, rows_full[low] + 1, 1)
+        lptr = np.cumsum(lptr)
+        lv = native.ic0_csr(n, lptr, lcols, lvals)
+        lr2 = np.repeat(np.arange(n), np.diff(lptr))
+        dm = lr2 == lcols
+        ldiag = np.zeros(n)
+        ldiag[lr2[dm]] = lv[dm]
+        strict = ~dm
+        return (lr2[strict], lcols[strict].astype(np.int64), lv[strict]), ldiag
+
     lrow: list[dict[int, float]] = [dict() for _ in range(n)]
     ldiag = np.zeros(n)
     for i in range(n):

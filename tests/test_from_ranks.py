@@ -1,0 +1,116 @@
+"""Reference-parity distributed construction: per-rank LDU + processor
+interfaces -> DistMatrix (the decomposePar path), validated against the
+global operator on the virtual mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ogl_tpu import dist
+from ogl_tpu import testing as problems
+from ogl_tpu.config import StoppingConfig
+from ogl_tpu.core import ldu
+from ogl_tpu.dist.from_ranks import dist_from_ldu_ranks
+from ogl_tpu.dist.partition import gather_global, split_vector
+from ogl_tpu.solve.stopping import StoppingParams
+
+
+def _mesh(n):
+    return Mesh(np.array(jax.devices()[:n]), ("x",))
+
+
+def test_decompose_reassembles():
+    m = problems.poisson_ldu((12, 6))
+    a = problems.poisson_dense((12, 6))
+    parts = ldu.decompose(m, 4)
+    assert sum(p.n for p in parts) == m.n
+    # each rank's local matrix + interfaces reassemble the global matrix
+    off = 0
+    recon = np.zeros_like(a)
+    for part in parts:
+        acoo = ldu.ldu_to_coo_host(part)
+        from ogl_tpu.core import formats
+
+        recon[off:off + part.n, off:off + part.n] += formats.to_dense(acoo)
+        off += part.n
+    # off-block entries come from interfaces; check their count
+    crossing = np.count_nonzero(a) - np.count_nonzero(recon)
+    total_iface = sum(len(pi.face_cells) for p in parts for pi in p.proc_interfaces)
+    assert crossing == total_iface
+
+
+@pytest.mark.parametrize("n_parts", [2, 4, 8])
+def test_from_ranks_matvec_matches_global(n_parts):
+    m = problems.poisson_ldu((16, 16))
+    a = problems.poisson_dense((16, 16))
+    parts = ldu.decompose(m, n_parts)
+    dm = dist_from_ldu_ranks(parts)
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=m.n)
+    xs = jnp.asarray(split_vector(dm, x))
+    mesh = _mesh(n_parts)
+
+    def body(lc, lv, hc, hv, xv):
+        ops = dist.dist_ops(lc[0], lv[0], hc[0], hv[0], dm.plan, dm.global_n, "x")
+        return ops.matvec(xv[0])[None]
+
+    y = jax.jit(
+        jax.shard_map(body, mesh=mesh, in_specs=(P("x"),) * 5, out_specs=P("x"),
+                      check_vma=False)
+    )(dm.local_cols, dm.local_vals, dm.halo_cols, dm.halo_vals, xs)
+    np.testing.assert_allclose(gather_global(dm, y), a @ x, rtol=1e-12, atol=1e-12)
+
+
+def test_from_ranks_cg_solves():
+    m = problems.poisson_ldu((16, 8))
+    a = problems.poisson_dense((16, 8))
+    parts = ldu.decompose(m, 4)
+    dm = dist_from_ldu_ranks(parts)
+    rng = np.random.default_rng(1)
+    x_true = rng.normal(size=m.n)
+    b = a @ x_true
+    bs = jnp.asarray(split_vector(dm, b))
+    sp = StoppingParams.of(StoppingConfig(tolerance=1e-10, rel_tol=0.0, max_iter=500))
+    x, res = dist.dist_solve(dm, bs, jnp.zeros_like(bs), sp, _mesh(4), solver="GKOCG")
+    assert bool(np.asarray(res.converged).all())
+    np.testing.assert_allclose(gather_global(dm, x), x_true, atol=1e-6)
+
+
+def test_multiple_interfaces_same_pair():
+    """Two ranks coupled through two separate interfaces (like two cyclic
+    processor patches): pairwise ordering must survive."""
+    # global 1-D chain of 8 cells split 4/4 -> one crossing face; fabricate a
+    # second coupling between cell 0 and cell 7 by adding a face (0,7)
+    lower = np.array([0, 1, 2, 3, 4, 5, 6, 0])
+    upper = np.array([1, 2, 3, 4, 5, 6, 7, 7])
+    order = np.lexsort((upper, lower))
+    m = ldu.LduMatrix(
+        n=8,
+        lower_addr=lower[order],
+        upper_addr=upper[order],
+        diag=np.full(8, 4.0),
+        upper=np.full(8, -1.0),
+    )
+    a = np.zeros((8, 8))
+    np.fill_diagonal(a, 4.0)
+    for f in range(8):
+        a[m.lower_addr[f], m.upper_addr[f]] = m.upper[f]
+        a[m.upper_addr[f], m.lower_addr[f]] = m.upper[f]
+    parts = ldu.decompose(m, 2)
+    dm = dist_from_ldu_ranks(parts)
+    rng = np.random.default_rng(2)
+    x = rng.normal(size=8)
+    xs = jnp.asarray(split_vector(dm, x))
+    mesh = _mesh(2)
+
+    def body(lc, lv, hc, hv, xv):
+        ops = dist.dist_ops(lc[0], lv[0], hc[0], hv[0], dm.plan, dm.global_n, "x")
+        return ops.matvec(xv[0])[None]
+
+    y = jax.jit(
+        jax.shard_map(body, mesh=mesh, in_specs=(P("x"),) * 5, out_specs=P("x"),
+                      check_vma=False)
+    )(dm.local_cols, dm.local_vals, dm.halo_cols, dm.halo_vals, xs)
+    np.testing.assert_allclose(gather_global(dm, y), a @ x, atol=1e-12)
