@@ -128,3 +128,37 @@ def dist_from_ldu_ranks(ranks: list, dtype=np.float64) -> DistMatrix:
         local_sizes=local_sizes,
         global_n=global_n,
     )
+
+
+def update_values(dm: DistMatrix, ranks: list, dtype=np.float64) -> DistMatrix:
+    """Steady-state coefficient update: same sparsity, new values (the
+    distributed analogue of the reference's update_local_matrix_data /
+    update_non_local_matrix_data, HostMatrix.C:593-732).  The halo plan,
+    column tables, and shapes are reused; only the two value stacks are
+    rebuilt and swapped in."""
+    import dataclasses
+
+    p = len(ranks)
+    lv = np.zeros(dm.local_vals.shape, dtype)
+    hv = np.zeros(dm.halo_vals.shape, dtype)
+    for i, m in enumerate(ranks):
+        coo = ldu_mod.ldu_to_coo_host(m, dtype=dtype)
+        lr = np.asarray(coo.rows, np.int64)
+        counts = np.bincount(lr, minlength=dm.n_local)
+        starts = np.zeros(dm.n_local + 1, np.int64)
+        np.cumsum(counts, out=starts[1:])
+        slot = np.arange(len(lr)) - starts[lr]
+        lv[i][lr, slot] = np.asarray(coo.vals)
+        rows, _, perm = ldu_mod.build_non_local_sparsity(m)
+        if m.proc_interfaces:
+            iface = np.concatenate([np.asarray(pi.coeffs) for pi in m.proc_interfaces])
+            hvals = (-iface)[perm]
+            hr = rows.astype(np.int64)
+            counts = np.bincount(hr, minlength=dm.n_local)
+            starts = np.zeros(dm.n_local + 1, np.int64)
+            np.cumsum(counts, out=starts[1:])
+            slot = np.arange(len(hr)) - starts[hr]
+            hv[i][hr, slot] = hvals
+    return dataclasses.replace(
+        dm, local_vals=jnp.asarray(lv), halo_vals=jnp.asarray(hv)
+    )

@@ -4,3 +4,11 @@ from ogl_tpu.foam.solver import (
     SolverPerformance as SolverPerformance,
     solve as solve,
 )
+from ogl_tpu.foam.api import (
+    GKOCG as GKOCG,
+    GKOBiCGStab as GKOBiCGStab,
+    GKOGMRES as GKOGMRES,
+    GKOIR as GKOIR,
+    GKOMultigrid as GKOMultigrid,
+    GKOACG as GKOACG,
+)

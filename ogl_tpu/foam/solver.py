@@ -208,6 +208,10 @@ class FoamSolver:
         if solver is None:
             raise ValueError(f"unknown solver {name!r}; valid: {SOLVER_NAMES}")
         kw = {"krylov_dim": self.cfg.krylov_dim} if name == "GKOGMRES" else {}
+        if self.cfg.export:
+            # per-iteration residual history (reference export_res,
+            # StoppingCriterion.C:115-117)
+            kw["history_len"] = self.cfg.stopping.max_iter + self.cfg.stopping.frequency
 
         def run(mat, pc_state, b, x0, sp):
             ops = single_device_ops(
@@ -292,6 +296,9 @@ class FoamSolver:
             t = time_value if time_value is not None else "0"
             mtx.write_coo(f"processor0/{t}/{self.field}_A_local.mtx", self._coo)
             mtx.write_dense(f"processor0/{t}/{self.field}_b.mtx", b_dev)
+            if res.history is not None:
+                hist = np.asarray(jax.device_get(res.history))[: max(iters, 1)]
+                mtx.write_dense(f"processor0/{t}/{self.field}_residuals.mtx", hist)
 
         perf = SolverPerformance(
             solver_name=f"{cfg.solver}_{cfg.matrix_format}",

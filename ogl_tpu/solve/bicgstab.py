@@ -39,7 +39,7 @@ def _safe_div(num, den):
     return jnp.where(jnp.abs(den) > tiny, num / jnp.where(den == 0, 1, den), 0.0)
 
 
-def bicgstab(ops: Ops, b, x0, cfg: StoppingConfig) -> SolveResult:
+def bicgstab(ops: Ops, b, x0, cfg: StoppingConfig, history_len: int = 0) -> SolveResult:
     dtype = b.dtype
     x0 = jnp.asarray(x0, dtype)
     r0 = b - ops.matvec(x0)
@@ -49,7 +49,7 @@ def bicgstab(ops: Ops, b, x0, cfg: StoppingConfig) -> SolveResult:
     init = _Carry(
         x=x0, r=r0, p=jnp.zeros_like(b), v=jnp.zeros_like(b),
         rho_old=one, alpha=one, omega=one,
-        stop=stopping.init_state(dtype),
+        stop=stopping.init_state(dtype, history_len),
     )
     hard_cap = cfg.max_iter + cfg.frequency
 
@@ -86,4 +86,5 @@ def bicgstab(ops: Ops, b, x0, cfg: StoppingConfig) -> SolveResult:
         init_res_norm=out.stop.init_res_norm,
         final_res_norm=out.stop.res_norm,
         converged=out.stop.converged,
+        history=out.stop.history,
     )

@@ -27,6 +27,7 @@ class SolveResult(NamedTuple):
     init_res_norm: Any
     final_res_norm: Any  # residual at last criterion check (OpenFOAM semantics)
     converged: Any
+    history: Any = None  # per-iteration residuals when requested (export)
 
 
 class _CgCarry(NamedTuple):
@@ -37,7 +38,7 @@ class _CgCarry(NamedTuple):
     stop: stopping.StopState
 
 
-def cg(ops: Ops, b, x0, cfg: StoppingConfig) -> SolveResult:
+def cg(ops: Ops, b, x0, cfg: StoppingConfig, history_len: int = 0) -> SolveResult:
     dtype = b.dtype
     x0 = jnp.asarray(x0, dtype)
     r0 = b - ops.matvec(x0)
@@ -47,7 +48,7 @@ def cg(ops: Ops, b, x0, cfg: StoppingConfig) -> SolveResult:
         r=r0,
         p=jnp.zeros_like(b),
         rho_old=jnp.asarray(1.0, dtype),
-        stop=stopping.init_state(dtype),
+        stop=stopping.init_state(dtype, history_len),
     )
 
     # hard termination guard: gating can defer the maxIter check by at most
@@ -84,4 +85,5 @@ def cg(ops: Ops, b, x0, cfg: StoppingConfig) -> SolveResult:
         init_res_norm=out.stop.init_res_norm,
         final_res_norm=out.stop.res_norm,
         converged=out.stop.converged,
+        history=out.stop.history,
     )

@@ -59,7 +59,7 @@ def _solve_y(H, g, j, m):
     return jax.scipy.linalg.solve_triangular(Hm, gm, lower=False)
 
 
-def gmres(ops: Ops, b, x0, cfg: StoppingConfig, krylov_dim: int = 100) -> SolveResult:
+def gmres(ops: Ops, b, x0, cfg: StoppingConfig, krylov_dim: int = 100, history_len: int = 0) -> SolveResult:
     dtype = b.dtype
     n = b.shape[0]
     m = krylov_dim
@@ -149,11 +149,12 @@ def gmres(ops: Ops, b, x0, cfg: StoppingConfig, krylov_dim: int = 100) -> SolveR
     def outer_cond(o: _Outer):
         return jnp.logical_and(~o.stop.converged, o.stop.iter < hard_cap)
 
-    out = jax.lax.while_loop(outer_cond, outer_body, _Outer(x=x0, stop=stopping.init_state(dtype)))
+    out = jax.lax.while_loop(outer_cond, outer_body, _Outer(x=x0, stop=stopping.init_state(dtype, history_len)))
     return SolveResult(
         x=out.x,
         iters=out.stop.iter,
         init_res_norm=out.stop.init_res_norm,
         final_res_norm=out.stop.res_norm,
         converged=out.stop.converged,
+        history=out.stop.history,
     )

@@ -29,10 +29,10 @@ class _Carry(NamedTuple):
     stop: stopping.StopState
 
 
-def ir(ops: Ops, b, x0, cfg: StoppingConfig, relaxation: float = 1.0) -> SolveResult:
+def ir(ops: Ops, b, x0, cfg: StoppingConfig, relaxation: float = 1.0, history_len: int = 0) -> SolveResult:
     dtype = b.dtype
     x0 = jnp.asarray(x0, dtype)
-    init = _Carry(x=x0, r=b - ops.matvec(x0), stop=stopping.init_state(dtype))
+    init = _Carry(x=x0, r=b - ops.matvec(x0), stop=stopping.init_state(dtype, history_len))
     hard_cap = cfg.max_iter + cfg.frequency
     relax = jnp.asarray(relaxation, dtype)
 
@@ -56,4 +56,5 @@ def ir(ops: Ops, b, x0, cfg: StoppingConfig, relaxation: float = 1.0) -> SolveRe
         init_res_norm=out.stop.init_res_norm,
         final_res_norm=out.stop.res_norm,
         converged=out.stop.converged,
+        history=out.stop.history,
     )

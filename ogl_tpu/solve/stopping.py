@@ -82,12 +82,16 @@ class StopState:
     norm_factor: Any
     init_res_norm: Any  # normalised initial residual
     res_norm: Any  # normalised residual at last check
+    # per-iteration residual history (reference `export` support,
+    # StoppingCriterion.C:115-117); None unless requested — the None/array
+    # choice is static per compiled program
+    history: Any = None
 
     def replace(self, **kw):
         return dataclasses.replace(self, **kw)
 
 
-def init_state(dtype) -> StopState:
+def init_state(dtype, history_len: int = 0) -> StopState:
     one = jnp.asarray(1.0, dtype)
     return StopState(
         iter=jnp.asarray(0, jnp.int32),
@@ -95,6 +99,7 @@ def init_state(dtype) -> StopState:
         norm_factor=one,
         init_res_norm=jnp.asarray(0.0, dtype),
         res_norm=jnp.asarray(0.0, dtype),
+        history=jnp.zeros((history_len,), dtype) if history_len > 0 else None,
     )
 
 
@@ -133,6 +138,9 @@ def check(ops: Ops, cfg: StoppingConfig, state: StopState, r, x, b) -> StopState
 
         state = jax.lax.cond(it == 0, with_nf, without_nf, state)
         rn = state.res_norm
+        if state.history is not None:
+            idx = jnp.minimum(it, state.history.shape[0] - 1)
+            state = state.replace(history=state.history.at[idx].set(rn))
         hit_abs = rn < cfg.tolerance
         hit_rel = jnp.logical_and(cfg.rel_tol > 0, rn < cfg.rel_tol * state.init_res_norm)
         hit_max = it >= cfg.max_iter

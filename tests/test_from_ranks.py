@@ -78,6 +78,37 @@ def test_from_ranks_cg_solves():
     np.testing.assert_allclose(gather_global(dm, x), x_true, atol=1e-6)
 
 
+def test_update_values_same_plan():
+    """Distributed steady-state coefficient update (the reference's
+    update_*_matrix_data): new values, same plan/sparsity."""
+    import dataclasses
+
+    from ogl_tpu.dist.from_ranks import update_values
+
+    m = problems.poisson_ldu((12, 8))
+    parts = ldu.decompose(m, 4)
+    dm = dist_from_ldu_ranks(parts)
+    m2 = dataclasses.replace(m, diag=m.diag + 1.5)
+    parts2 = ldu.decompose(m2, 4)
+    dm2 = update_values(dm, parts2)
+    assert dm2.plan is dm.plan
+    a2 = problems.poisson_dense((12, 8)) + 1.5 * np.eye(m.n)
+    rng = np.random.default_rng(5)
+    x = rng.normal(size=m.n)
+    xs = jnp.asarray(split_vector(dm2, x))
+    mesh = _mesh(4)
+
+    def body(lc, lv, hc, hv, xv):
+        ops = dist.dist_ops(lc[0], lv[0], hc[0], hv[0], dm2.plan, dm2.global_n, "x")
+        return ops.matvec(xv[0])[None]
+
+    y = jax.jit(
+        jax.shard_map(body, mesh=mesh, in_specs=(P("x"),) * 5, out_specs=P("x"),
+                      check_vma=False)
+    )(dm2.local_cols, dm2.local_vals, dm2.halo_cols, dm2.halo_vals, xs)
+    np.testing.assert_allclose(gather_global(dm2, y), a2 @ x, atol=1e-12)
+
+
 def test_multiple_interfaces_same_pair():
     """Two ranks coupled through two separate interfaces (like two cyclic
     processor patches): pairwise ordering must survive."""
