@@ -99,11 +99,19 @@ def main():
     log(f"SpMV: {r.seconds * 1e6:.1f} µs, {r.gbps:.1f} GB/s "
         f"({100 * r.fraction_of_peak:.1f}% of {r.peak_gbps:.0f} GB/s peak)")
 
-    # --- CG solve --------------------------------------------------------
-    ops = single_device_ops(mv_kernel, n)
+    # --- CG solve (merged-kernel path on TPU) ---------------------------
     cfg = StoppingConfig(tolerance=1e-6, rel_tol=0.0, max_iter=1000, frequency=1)
-    solve = jax.jit(lambda b, sp: cg(ops, b, jnp.zeros_like(b), sp))
     sp = StoppingParams.of(cfg)
+    if on_tpu:
+        from ogl_tpu.kernels.fused import CgKernels
+        from ogl_tpu.solve.cg_fused import cg_fused
+
+        kern = CgKernels(n, mat.offsets)
+        data3 = kern.pack_values(mat)
+        solve = jax.jit(lambda b, sp: cg_fused(kern, data3, b, jnp.zeros_like(b), sp))
+    else:
+        ops = single_device_ops(mv_kernel, n)
+        solve = jax.jit(lambda b, sp: cg(ops, b, jnp.zeros_like(b), sp))
     res = solve(b, sp)
     float(res.final_res_norm)  # compile + warm, forced
     solve_t = max(

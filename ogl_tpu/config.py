@@ -100,6 +100,9 @@ class SolverConfig:
     krylov_dim: int = 100
     # dtype of device compute ("float32"|"float64"|"bfloat16")
     dtype: str = "float32"
+    # use the merged-kernel CG path when eligible (GKOCG + Dia format +
+    # diagonal preconditioning on TPU)
+    fused_cg: bool = True
 
 
 _BOOL = {"true": True, "yes": True, "on": True, "1": True,
@@ -178,4 +181,5 @@ def parse_controls(controls: dict[str, Any]) -> SolverConfig:
         precond=precond,
         krylov_dim=int(g("krylovDim", 100)),
         dtype=str(g("dtype", "float32")),
+        fused_cg=_as_bool(g("fusedCG", True)),
     )

@@ -213,6 +213,29 @@ class FoamSolver:
             # StoppingCriterion.C:115-117)
             kw["history_len"] = self.cfg.stopping.max_iter + self.cfg.stopping.frequency
 
+        # merged-kernel CG fast path: Dia format + diagonal preconditioning
+        pcname = self.cfg.precond.name
+        diag_pc = pcname == "none" or (pcname == "BJ" and self.cfg.precond.max_block_size == 1)
+        if (
+            name == "GKOCG"
+            and self.cfg.fused_cg
+            and isinstance(self.matrix, formats.Dia)
+            and diag_pc
+            and jax.default_backend() == "tpu"
+        ):
+            from ogl_tpu.kernels.fused import CgKernels
+            from ogl_tpu.solve.cg_fused import cg_fused
+
+            kern = CgKernels(n, self.matrix.offsets)
+
+            def run_fused(mat, pc_state, b, x0, sp):
+                data3 = kern.pack_values(mat)
+                invd = pc_state if pcname == "BJ" else None
+                return cg_fused(kern, data3, b, x0, sp, invd=invd,
+                                history_len=kw.get("history_len", 0))
+
+            return run_fused
+
         def run(mat, pc_state, b, x0, sp):
             ops = single_device_ops(
                 spmv.matvec(mat), n,

@@ -1,0 +1,248 @@
+"""Merged-CG Pallas kernels for the DIA (stencil) path.
+
+Classical PCG costs ~11+ HBM vector passes per iteration when every
+axpy/dot is its own kernel.  The merged formulation (standard in GPU CG
+literature, mapped here onto the TPU pipeline) needs exactly two kernels:
+
+  K1  p' = z + β·p ;  q = A p' ;  δ = Σ p'·q
+  K2  x' = x + α·p' ;  r' = r − α·q ;  z' = M⁻¹r' (diagonal M) ;
+      ρ' = Σ r'·z' ;  s = Σ|r'|         (residual 1-norm comes out FREE)
+
+Layout: every vector lives in a halo-framed (Rp + 2T, 128) array whose top
+and bottom T rows are zero — one full tile of halo on each side.  K1's
+shifted stencil reads then stay inside the frame with STATIC offsets, and
+both kernels re-write the zero halo tiles themselves, so frames never need
+re-padding between iterations.  Scalar reductions accumulate across the
+sequential TPU grid into (1,1) SMEM outputs.  f32 with f32 accumulate.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ogl_tpu.core.formats import Dia
+from ogl_tpu.kernels.pallas_spmv import LANES
+
+__all__ = ["CgKernels", "make_cg_kernels"]
+
+
+def _k1_kernel(z_hbm, p_hbm, beta_ref, data_ref, pout_ref, q_ref, delta_ref,
+               zs, ps, zsem, psem, *, offsets, T, K, grid):
+    """Tile t covers frame rows [t·T, (t+1)·T); tiles 0 and grid-1 are the
+    zero halo.  The z/p window spans frame rows [t·T−K, (t+1)·T+K)."""
+    t = pl.program_id(0)
+    two = jnp.asarray(2, jnp.int32)
+    slot = jax.lax.rem(t, two)
+    interior = jnp.logical_and(t > 0, t < grid - 1)
+
+    def dma(tile_idx, s):
+        # clamp BOTH ends: only the (compute-skipped) halo tiles ever hit the
+        # clamps; an unclamped last-tile window would overrun the frame by K
+        start = jnp.clip(tile_idx * T - K, 0, grid * T - (T + 2 * K))
+        cz = pltpu.make_async_copy(
+            z_hbm.at[pl.ds(start, T + 2 * K), :], zs.at[s], zsem.at[s])
+        cp = pltpu.make_async_copy(
+            p_hbm.at[pl.ds(start, T + 2 * K), :], ps.at[s], psem.at[s])
+        return cz, cp
+
+    @pl.when(t == 0)
+    def _():
+        for c in dma(0, 0):
+            c.start()
+
+    @pl.when(t + 1 < grid)
+    def _():
+        nxt = jax.lax.rem(t + 1, two)
+        for c in dma(t + 1, nxt):
+            c.start()
+
+    for c in dma(t, slot):
+        c.wait()
+
+    @pl.when(jnp.logical_not(interior))
+    def _():
+        pout_ref[:] = jnp.zeros((T, LANES), pout_ref.dtype)
+        q_ref[:] = jnp.zeros((T, LANES), q_ref.dtype)
+        delta_ref[:] = jnp.zeros((8, LANES), jnp.float32)
+
+    @pl.when(interior)
+    def _():
+        beta = beta_ref[0, 0]
+        pw = zs[slot] + beta * ps[slot]  # (T+2K, LANES)
+        center = pw[K : K + T, :]
+        lane = jax.lax.broadcasted_iota(jnp.int32, (T, LANES), 1)
+        acc = jnp.zeros((T, LANES), jnp.float32)
+        for k, off in enumerate(offsets):
+            qr, rm = divmod(off, LANES)
+            base = K + qr
+            a = pw[base : base + T, :]
+            if rm == 0:
+                sh = a
+            else:
+                b = pw[base + 1 : base + 1 + T, :]
+                ar = pltpu.roll(a, LANES - rm, 1)
+                br = pltpu.roll(b, LANES - rm, 1)
+                sh = jnp.where(lane < LANES - rm, ar, br)
+            acc = acc + data_ref[k].astype(jnp.float32) * sh.astype(jnp.float32)
+        pout_ref[:] = center.astype(pout_ref.dtype)
+        q_ref[:] = acc.astype(q_ref.dtype)
+        # per-tile partial of p'.q, lane-reduced; row 0 of an (8, LANES)
+        # block (TPU block shapes must be (8,128)-divisible), summed outside
+        delta_ref[:] = jnp.pad(
+            jnp.sum(acc * center.astype(jnp.float32), axis=0, keepdims=True),
+            ((0, 7), (0, 0)),
+        )
+
+
+def _k2_kernel(alpha_ref, x_ref, r_ref, p_ref, q_ref, invd_ref,
+               xout_ref, rout_ref, zout_ref, rho_ref, absr_ref):
+    """Pure streaming over the whole frame (halo rows are zero in, zero out)."""
+    t = pl.program_id(0)
+    alpha = alpha_ref[0, 0]
+    xo = x_ref[:] + alpha * p_ref[:]
+    ro = r_ref[:] - alpha * q_ref[:]
+    zo = invd_ref[:] * ro
+    xout_ref[:] = xo
+    rout_ref[:] = ro
+    zout_ref[:] = zo
+    rho_ref[:] = jnp.pad(
+        jnp.sum(ro.astype(jnp.float32) * zo.astype(jnp.float32), axis=0,
+                keepdims=True), ((0, 7), (0, 0)))
+    absr_ref[:] = jnp.pad(
+        jnp.sum(jnp.abs(ro.astype(jnp.float32)), axis=0, keepdims=True),
+        ((0, 7), (0, 0)))
+
+
+class CgKernels:
+    """Merged-CG steps over a halo-framed (Rp + 2T, 128) vector layout.
+
+    This object is a PURE PLAN: it holds only static layout metadata (and
+    hashes/compares by it), so it is safe as a jit static argument across
+    coefficient updates — the packed coefficient blocks (`pack_values`) are
+    traced arguments to k1."""
+
+    def __init__(self, n: int, offsets: tuple, tile: int = 512,
+                 interpret: bool = False):
+        self.n = n
+        self.offsets = tuple(offsets)
+        maxoff = max((abs(o) for o in self.offsets), default=0)
+        k = maxoff // LANES + 1
+        self.K = -(-k // 8) * 8
+        r = math.ceil(n / LANES)
+        self.tile = min(tile, max(self.K, 8 * math.ceil(r / 8)))
+        if self.tile < self.K:
+            raise ValueError(f"tile {self.tile} must be >= halo rows {self.K}")
+        self.rp = math.ceil(r / self.tile) * self.tile
+        self.frame_rows = self.rp + 2 * self.tile
+        self.grid = self.frame_rows // self.tile
+        self.interpret = interpret
+        self.dtype = jnp.float32
+
+    def _key(self):
+        return (self.n, self.offsets, self.tile, self.interpret)
+
+    def __hash__(self):
+        return hash(self._key())
+
+    def __eq__(self, other):
+        return isinstance(other, CgKernels) and self._key() == other._key()
+
+    def pack_values(self, mat: Dia):
+        """Dia values -> the (nd, Rp, 128) coefficient blocks (traced)."""
+        assert tuple(mat.offsets) == self.offsets
+        pad = self.rp * LANES - self.n
+        return jnp.pad(mat.data.astype(self.dtype), ((0, 0), (0, pad))).reshape(
+            len(self.offsets), self.rp, LANES
+        )
+
+    # ---- layout helpers -------------------------------------------------
+    def frame(self, x):
+        """(n,) -> halo-framed (Rp+2T, 128)."""
+        x2 = jnp.pad(jnp.asarray(x, self.dtype), (0, self.rp * LANES - self.n))
+        return jnp.pad(x2.reshape(self.rp, LANES), ((self.tile, self.tile), (0, 0)))
+
+    def unframe(self, xf):
+        return xf[self.tile : self.tile + self.rp].reshape(-1)[: self.n]
+
+    # ---- K1 -------------------------------------------------------------
+    @functools.partial(jax.jit, static_argnums=0)
+    def k1(self, data3, zf, pf, beta):
+        T, K = self.tile, self.K
+        nd = data3.shape[0]
+        pout, q, delta = pl.pallas_call(
+            functools.partial(_k1_kernel, offsets=self.offsets, T=T, K=K,
+                              grid=self.grid),
+            grid=(self.grid,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.HBM),
+                pl.BlockSpec(memory_space=pltpu.HBM),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                # data block for frame tile t is logical block t-1 (halo
+                # tiles read block 0, compute skipped)
+                pl.BlockSpec((nd, T, LANES),
+                             lambda t: (0, jnp.maximum(t - 1, 0), 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=(
+                pl.BlockSpec((T, LANES), lambda t: (t, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((T, LANES), lambda t: (t, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((8, LANES), lambda t: (t, 0), memory_space=pltpu.VMEM),
+            ),
+            out_shape=(
+                jax.ShapeDtypeStruct((self.frame_rows, LANES), self.dtype),
+                jax.ShapeDtypeStruct((self.frame_rows, LANES), self.dtype),
+                jax.ShapeDtypeStruct((self.grid * 8, LANES), jnp.float32),
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((2, T + 2 * K, LANES), self.dtype),
+                pltpu.VMEM((2, T + 2 * K, LANES), self.dtype),
+                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.SemaphoreType.DMA((2,)),
+            ],
+            interpret=self.interpret,
+        )(zf, pf, jnp.asarray(beta, self.dtype).reshape(1, 1), data3)
+        return pout, q, jnp.sum(delta)
+
+    # ---- K2 -------------------------------------------------------------
+    @functools.partial(jax.jit, static_argnums=0)
+    def k2(self, alpha, xf, rf, pf, qf, invdf):
+        T = self.tile
+
+        def blk():
+            return pl.BlockSpec((T, LANES), lambda t: (t, 0), memory_space=pltpu.VMEM)
+
+        xo, ro, zo, rho, absr = pl.pallas_call(
+            _k2_kernel,
+            grid=(self.grid,),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                      blk(), blk(), blk(), blk(), blk()],
+            out_specs=(blk(), blk(), blk(),
+                       pl.BlockSpec((8, LANES), lambda t: (t, 0), memory_space=pltpu.VMEM),
+                       pl.BlockSpec((8, LANES), lambda t: (t, 0), memory_space=pltpu.VMEM)),
+            out_shape=(
+                jax.ShapeDtypeStruct((self.frame_rows, LANES), self.dtype),
+                jax.ShapeDtypeStruct((self.frame_rows, LANES), self.dtype),
+                jax.ShapeDtypeStruct((self.frame_rows, LANES), self.dtype),
+                jax.ShapeDtypeStruct((self.grid * 8, LANES), jnp.float32),
+                jax.ShapeDtypeStruct((self.grid * 8, LANES), jnp.float32),
+            ),
+            interpret=self.interpret,
+        )(jnp.asarray(alpha, self.dtype).reshape(1, 1), xf, rf, pf, qf, invdf)
+        return xo, ro, zo, jnp.sum(rho), jnp.sum(absr)
+
+    def apply(self, data3, xf):
+        """Plain y = A x on a framed vector (K1 with z=x, beta=0)."""
+        _, q, _ = self.k1(data3, xf, xf, 0.0)
+        return q
+
+
+def make_cg_kernels(mat: Dia, tile: int = 512, interpret: bool = False):
+    """Returns (plan, packed coefficient blocks) for a Dia matrix."""
+    kern = CgKernels(mat.shape[0], mat.offsets, tile, interpret)
+    return kern, kern.pack_values(mat)

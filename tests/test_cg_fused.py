@@ -1,0 +1,74 @@
+"""Merged-kernel CG (interpret mode on CPU) vs the reference CG solver:
+identical iteration counts and solutions."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ogl_tpu import testing as problems
+from ogl_tpu.config import StoppingConfig
+from ogl_tpu.core import formats, ldu
+from ogl_tpu.kernels import spmv
+from ogl_tpu.kernels.fused import make_cg_kernels
+from ogl_tpu.precond.jacobi import diagonal_of
+from ogl_tpu.solve import cg
+from ogl_tpu.solve.cg_fused import cg_fused
+from ogl_tpu.solve.krylov import single_device_ops
+
+
+def _setup(dims):
+    m = problems.poisson_ldu(dims)
+    coo = ldu.ldu_to_coo_host(m, dtype=np.float32)
+    mat = formats.coo_to_dia(coo)
+    a = problems.poisson_dense(dims)
+    rng = np.random.default_rng(0)
+    x_true = rng.normal(size=m.n).astype(np.float32)
+    b = jnp.asarray((a @ x_true).astype(np.float32))
+    return coo, mat, b, x_true
+
+
+CFG = StoppingConfig(tolerance=5e-5, rel_tol=0.0, max_iter=400)
+
+
+@pytest.mark.parametrize("dims", [(128, 8), (96, 11)])
+def test_fused_matches_reference_cg(dims):
+    coo, mat, b, x_true = _setup(dims)
+    kern, data3 = make_cg_kernels(mat, tile=16, interpret=True)
+    res_f = cg_fused(kern, data3, b, jnp.zeros_like(b), CFG)
+    ops = single_device_ops(spmv.matvec(mat), mat.shape[0])
+    res_r = cg(ops, b, jnp.zeros_like(b), CFG)
+    assert bool(res_f.converged) and bool(res_r.converged)
+    assert int(res_f.iters) == int(res_r.iters)
+    np.testing.assert_allclose(
+        float(res_f.final_res_norm), float(res_r.final_res_norm), rtol=1e-3
+    )
+    np.testing.assert_allclose(np.asarray(res_f.x), np.asarray(res_r.x), atol=1e-3)
+    np.testing.assert_allclose(np.asarray(res_f.x), x_true, atol=5e-2)
+
+
+def test_fused_with_jacobi_precond():
+    coo, mat, b, x_true = _setup((128, 8))
+    invd = jnp.asarray((1.0 / diagonal_of(coo)).astype(np.float32))
+    kern, data3 = make_cg_kernels(mat, tile=16, interpret=True)
+    res_pc = cg_fused(kern, data3, b, jnp.zeros_like(b), CFG, invd=invd)
+    res_no = cg_fused(kern, data3, b, jnp.zeros_like(b), CFG)
+    assert bool(res_pc.converged)
+    assert int(res_pc.iters) <= int(res_no.iters)
+    np.testing.assert_allclose(np.asarray(res_pc.x), x_true, atol=5e-2)
+
+
+def test_fused_apply_matches_spmv():
+    coo, mat, b, _ = _setup((128, 8))
+    kern, data3 = make_cg_kernels(mat, tile=16, interpret=True)
+    y = kern.unframe(kern.apply(data3, kern.frame(b)))
+    y_ref = spmv.spmv(mat, b)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref), atol=1e-3)
+
+
+def test_fused_min_iter_and_frequency():
+    coo, mat, b, _ = _setup((128, 8))
+    kern, data3 = make_cg_kernels(mat, tile=16, interpret=True)
+    cfg = StoppingConfig(tolerance=5e-5, rel_tol=0.0, max_iter=400, frequency=8)
+    res = cg_fused(kern, data3, b, jnp.zeros_like(b), cfg)
+    assert bool(res.converged)
+    assert int(res.iters) % 8 == 0
