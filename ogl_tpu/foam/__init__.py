@@ -4,6 +4,10 @@ from ogl_tpu.foam.solver import (
     SolverPerformance as SolverPerformance,
     solve as solve,
 )
+from ogl_tpu.foam.dist_solver import (
+    DistFoamSolver as DistFoamSolver,
+    solve_distributed as solve_distributed,
+)
 from ogl_tpu.foam.api import (
     GKOCG as GKOCG,
     GKOBiCGStab as GKOBiCGStab,

@@ -1,0 +1,61 @@
+"""Distributed foam solver on the 8-device virtual mesh: end-to-end
+fvSolution-config solves over decomposed systems with steady-state updates
+(the reference's solve_multi_gpu_impl flow)."""
+
+import dataclasses
+
+import numpy as np
+import pytest
+
+from ogl_tpu import foam, registry
+from ogl_tpu import testing as problems
+from ogl_tpu.core import ldu
+
+
+def _problem(dims=(16, 16)):
+    m = problems.poisson_ldu(dims)
+    a = problems.poisson_dense(dims)
+    rng = np.random.default_rng(11)
+    x_true = rng.normal(size=m.n)
+    return m, a, a @ x_true, x_true
+
+
+def test_dist_foam_solve_from_global():
+    m, a, b, x_true = _problem()
+    controls = {"solver": "GKOCG", "tolerance": 1e-10, "relTol": 0,
+                "maxIter": 600, "dtype": "float64", "preconditioner": "BJ"}
+    x, perf = foam.solve_distributed("p", m, b, controls)
+    assert perf.converged
+    assert perf.solver_name.endswith("dist8")
+    np.testing.assert_allclose(x, x_true, atol=1e-6)
+
+
+def test_dist_foam_steady_state_update():
+    m, a, b, x_true = _problem((12, 8))
+    controls = {"solver": "GKOCG", "tolerance": 1e-10, "relTol": 0,
+                "maxIter": 600, "dtype": "float64"}
+    x1, perf1 = foam.solve_distributed("p", m, b, controls)
+    s1 = registry.global_registry.get("p_dist_solver")
+    m2 = dataclasses.replace(m, diag=2 * m.diag, upper=2 * m.upper)
+    x2, perf2 = foam.solve_distributed("p", m2, b, {})
+    s2 = registry.global_registry.get("p_dist_solver")
+    assert s1 is s2  # same persistent solver
+    assert s2.dm.plan is s1.dm.plan  # plan reused, only values swapped
+    np.testing.assert_allclose(x2, x_true / 2, atol=1e-6)
+
+
+def test_dist_foam_from_rank_list():
+    m, a, b, x_true = _problem((16, 8))
+    parts = ldu.decompose(m, 8)
+    controls = {"solver": "GKOBiCGStab", "tolerance": 1e-10, "relTol": 0,
+                "maxIter": 1200, "dtype": "float64"}
+    x, perf = foam.solve_distributed("u", parts, b, controls)
+    assert perf.converged
+    np.testing.assert_allclose(x, x_true, atol=1e-6)
+
+
+def test_dist_foam_unsupported_precond():
+    m, a, b, _ = _problem((8, 8))
+    with pytest.raises(NotImplementedError, match="Schwarz"):
+        foam.solve_distributed("q", m, b, {"solver": "GKOCG", "dtype": "float64",
+                                           "preconditioner": "ILU"})
