@@ -125,6 +125,13 @@ def main():
         f"final={float(res.final_res_norm):.2e}, solve {solve_t * 1e3:.1f} ms, "
         f"time/iter {tpi * 1e6:.1f} µs, time/iter/DOF {tpi_dof_ns:.3f} ns")
 
+    # --- BASELINE.json config sweep (iteration counts; stderr only) ------
+    if os.environ.get("OGL_BENCH_SWEEP", "1") != "0":
+        try:
+            _config_sweep()
+        except Exception as e:  # the sweep must never break the metric line
+            log(f"config sweep failed: {type(e).__name__}: {e}")
+
     vs_baseline = r.fraction_of_peak / 0.80
     print(json.dumps({
         "metric": "cg_time_per_iter_per_dof",
@@ -132,6 +139,50 @@ def main():
         "unit": "ns",
         "vs_baseline": round(vs_baseline, 3),
     }))
+
+
+def _config_sweep():
+    """The BASELINE.json configs (small sizes; the parity metric is the
+    iteration count, which is size- and tolerance-controlled):
+      1. GKOCG unpreconditioned (the headline above, full size)
+      2. GKOBiCGStab + BJ maxBlockSize>1
+      3. GKOGMRES + GISAI, Ell format, adaptMinIter
+      4. GKOCG + Multigrid (maxLevels 9, minCoarseRows 10)
+      5. multi-rank halo SpMV — validated by __graft_entry__.dryrun_multichip
+         on the virtual mesh (one real chip here)."""
+    from ogl_tpu import foam, registry
+    from ogl_tpu import testing as problems
+
+    registry.global_registry.clear()
+    m = problems.poisson_ldu((48, 48))
+    rng = np.random.default_rng(0)
+    x_true = rng.normal(size=m.n)
+    from ogl_tpu.core import formats as _f, ldu as _l
+
+    a_coo = _l.ldu_to_coo_host(m)
+    import scipy.sparse as sp_
+
+    acsr = sp_.csr_matrix(
+        (np.asarray(a_coo.vals), (np.asarray(a_coo.rows), np.asarray(a_coo.cols))),
+        shape=a_coo.shape,
+    )
+    b = acsr @ x_true
+    configs = [
+        ("GKOBiCGStab+BJ8/Csr", {"solver": "GKOBiCGStab", "matrixFormat": "Csr",
+                                 "preconditioner": {"preconditioner": "BJ", "maxBlockSize": 8}}),
+        ("GKOGMRES+GISAI/Ell", {"solver": "GKOGMRES", "matrixFormat": "Ell",
+                                "adaptMinIter": True,
+                                "preconditioner": {"preconditioner": "GISAI", "sparsityPower": 2}}),
+        ("GKOCG+AMG/Csr", {"solver": "GKOCG", "matrixFormat": "Csr",
+                           "preconditioner": {"preconditioner": "Multigrid",
+                                              "maxLevels": 9, "minCoarseRows": 10}}),
+    ]
+    for name, extra in configs:
+        controls = {"tolerance": 1e-6, "relTol": 0, "maxIter": 2000, **extra}
+        x, perf = foam.solve(f"sweep_{name}", m, b, controls)
+        err = float(np.abs(np.asarray(x) - x_true).max())
+        log(f"sweep {name}: iters={perf.n_iterations} converged={perf.converged} "
+            f"final={perf.final_residual:.2e} max|err|={err:.2e}")
 
 
 if __name__ == "__main__":

@@ -14,6 +14,7 @@ not to replicate); multi-device goes through ogl_tpu.dist instead of MPI.
 
 from __future__ import annotations
 
+import os
 import time
 from typing import Any, NamedTuple
 
@@ -85,19 +86,40 @@ def _device_for(executor: str):
         ) from e
 
 
+def _git_rev() -> str:
+    """Build/version stamping (reference cmake/version.cmake surfaces the
+    git rev in the OGL_Info banner)."""
+    import subprocess
+
+    try:
+        return subprocess.run(
+            ["git", "-C", os.path.dirname(os.path.dirname(os.path.dirname(
+                os.path.abspath(__file__)))), "rev-parse", "--short", "HEAD"],
+            capture_output=True, text=True, timeout=5,
+        ).stdout.strip() or "unknown"
+    except Exception:
+        return "unknown"
+
+
 def _banner(cfg: SolverConfig, field: str, device):
     if field in _banner_shown or cfg.verbose <= 0:
         return
     _banner_shown.add(field)
     print(
         "OGL-TPU\n"
-        f"  version:       {_version}\n"
+        f"  version:       {_version} ({_git_rev()})\n"
+        f"  jax:           {jax.__version__}\n"
         f"  backend:       {jax.default_backend()}\n"
         f"  device:        {device.device_kind}\n"
         f"  matrix format: {cfg.matrix_format}\n"
         f"  dtype:         {cfg.dtype}\n"
         f"  executor:      {cfg.executor}"
     )
+    if cfg.debug:
+        # debugger-attach aid (reference writes /tmp/mpi_debug_<rank>.pid and
+        # sleeps 20 s, lduLduBase.H:97-109; we write the pid, no sleep)
+        with open(f"ogl_debug_{jax.process_index()}.pid", "w") as f:
+            f.write(str(os.getpid()))
 
 
 class FoamSolver:
