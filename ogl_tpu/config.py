@@ -29,7 +29,7 @@ from typing import Any
 
 __all__ = ["StoppingConfig", "PrecondConfig", "SolverConfig", "parse_controls"]
 
-MATRIX_FORMATS = ("Coo", "Csr", "Ell", "Dia", "Sell")
+MATRIX_FORMATS = ("Coo", "Csr", "Ell", "Dia", "Sell", "Gdia")
 
 
 @dataclasses.dataclass(frozen=True)
@@ -103,6 +103,9 @@ class SolverConfig:
     # use the merged-kernel CG path when eligible (GKOCG + Dia format +
     # diagonal preconditioning on TPU)
     fused_cg: bool = True
+    # bandwidth-reducing renumbering applied at setup: "none" | "rcm"
+    # (OpenFOAM renumberMesh analogue; reduces Gdia plane count)
+    reorder: str = "none"
 
 
 _BOOL = {"true": True, "yes": True, "on": True, "1": True,
@@ -182,4 +185,5 @@ def parse_controls(controls: dict[str, Any]) -> SolverConfig:
         krylov_dim=int(g("krylovDim", 100)),
         dtype=str(g("dtype", "float32")),
         fused_cg=_as_bool(g("fusedCG", True)),
+        reorder=str(g("reorder", "none")),
     )

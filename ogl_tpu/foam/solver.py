@@ -35,12 +35,19 @@ __all__ = ["SolverPerformance", "FoamSolver", "solve", "SOLVER_NAMES"]
 
 SOLVER_NAMES = ("GKOCG", "GKOBiCGStab", "GKOGMRES", "GKOIR", "GKOMultigrid")
 
+def _to_gdia(c):
+    from ogl_tpu.kernels.gdia import gdia_from_coo
+
+    return gdia_from_coo(c)
+
+
 _FORMAT_CONVERTERS = {
     "Coo": lambda c: c,
     "Csr": formats.coo_to_csr,
     "Ell": formats.coo_to_ell,
     "Dia": formats.coo_to_dia,
     "Sell": formats.coo_to_sell,
+    "Gdia": _to_gdia,
 }
 
 _banner_shown: set[str] = set()
@@ -133,6 +140,7 @@ class FoamSolver:
         self.dtype = jnp.dtype(self.cfg.dtype)
         self.sparsity: ldu.LduSparsity | None = None
         self.matrix = None
+        self._reorder = None
         self._precond_op = None
         self._compiled = {}
         self._res_eval_time: float | None = None
@@ -145,6 +153,31 @@ class FoamSolver:
         if first:
             with common.timed("init_host_sparsity", self.cfg.verbose, self.field, self.timings):
                 self.sparsity = ldu.build_local_sparsity(m)
+            if self.cfg.reorder == "rcm":
+                # bandwidth-reducing renumbering (renumberMesh analogue);
+                # vectors are permuted host-side at solve entry/exit
+                from ogl_tpu.core.reorder import rcm_permutation
+
+                coo0 = formats.Coo(
+                    rows=self.sparsity.rows, cols=self.sparsity.cols,
+                    vals=np.zeros(self.sparsity.nnz, np.float32), shape=(m.n, m.n),
+                )
+                perm = rcm_permutation(coo0)
+                inv = np.empty(m.n, np.int64)
+                inv[perm] = np.arange(m.n)
+                rp = inv[self.sparsity.rows]
+                cp = inv[self.sparsity.cols]
+                entry_order = np.lexsort((cp, rp))
+                self._reorder = (
+                    perm, inv,
+                    jnp.asarray(rp[entry_order].astype(np.int32)),
+                    jnp.asarray(cp[entry_order].astype(np.int32)),
+                    jnp.asarray(entry_order.astype(np.int32)),
+                )
+            elif self.cfg.reorder != "none":
+                raise ValueError(f"unknown reorder {self.cfg.reorder!r}; use none|rcm")
+            else:
+                self._reorder = None
         if first or self.cfg.update_sys_matrix:
             iface = (
                 np.concatenate([np.asarray(li.coeffs) for li in m.local_interfaces])
@@ -160,12 +193,20 @@ class FoamSolver:
                     None if iface is None else jnp.asarray(iface, self.dtype),
                     scale=self.cfg.scaling,
                 )
-            coo = formats.Coo(
-                rows=jnp.asarray(self.sparsity.rows),
-                cols=jnp.asarray(self.sparsity.cols),
-                vals=vals,
-                shape=(m.n, m.n),
-            )
+            if self._reorder is not None:
+                _, _, rp, cp, entry_order = self._reorder
+                coo = formats.Coo(
+                    rows=rp, cols=cp,
+                    vals=jnp.take(vals, entry_order, axis=0),
+                    shape=(m.n, m.n),
+                )
+            else:
+                coo = formats.Coo(
+                    rows=jnp.asarray(self.sparsity.rows),
+                    cols=jnp.asarray(self.sparsity.cols),
+                    vals=vals,
+                    shape=(m.n, m.n),
+                )
             if first or self.matrix is None:
                 with common.timed("convert_format", self.cfg.verbose, self.field, self.timings):
                     self.matrix = _FORMAT_CONVERTERS[self.cfg.matrix_format](coo)
@@ -275,9 +316,16 @@ class FoamSolver:
         self._update_matrix(m)
         self._update_precond()
 
-        b_dev = jnp.asarray(np.asarray(b), self.dtype)
-        if psi is not None and cfg.update_init_guess:
-            x0 = jnp.asarray(np.asarray(psi), self.dtype)
+        b_host = np.asarray(b)
+        psi_host = np.asarray(psi) if psi is not None else None
+        if self._reorder is not None:
+            perm = self._reorder[0]
+            b_host = b_host[perm]
+            if psi_host is not None:
+                psi_host = psi_host[perm]
+        b_dev = jnp.asarray(b_host, self.dtype)
+        if psi_host is not None and cfg.update_init_guess:
+            x0 = jnp.asarray(psi_host, self.dtype)
         else:
             x0 = jnp.zeros_like(b_dev)
 
@@ -353,6 +401,10 @@ class FoamSolver:
             n_iterations=iters,
             converged=bool(res.converged),
         )
+        if self._reorder is not None:
+            # back-permute on host (x_orig = x_permuted[inv])
+            inv = self._reorder[1]
+            return np.asarray(jax.device_get(res.x))[inv], perf
         return res.x, perf
 
 

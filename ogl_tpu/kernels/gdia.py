@@ -1,0 +1,213 @@
+"""Gdia — generalized block-row DIA with lane indices: THE general
+unstructured SpMV format for TPU.
+
+Motivation (measured, ARCHITECTURE.md): XLA's gather lowering makes
+Ell/Csr/Coo SpMV ~1000× off roofline on TPU, and Mosaic's only fast
+dynamic addressing is the in-register LANE gather
+(`take_along_axis(..., axis=1)`, ~3.4 µs per 1M elements).  Gdia therefore
+keeps row alignment STATIC and lane addressing DYNAMIC:
+
+  view vectors as (R, 128);  an entry (dst, src) has
+    q = src//128 − dst//128   (block-row offset — static class)
+    l = src%128               (source lane — per-entry data)
+
+  storage: for each (q, plane) a pair of (R,128) streams — values and
+  int32 lane indices (multiple entries hitting the same destination slot
+  in the same class spill to extra planes);
+
+  SpMV per plane:  acc += vals ⊙ lane_gather(row_shift(x, q), lidx)
+
+The plane count is bounded by the matrix bandwidth in 128-row blocks
+(+ collision multiplicity), so bandwidth-reducing renumbering
+(core/reorder.rcm_permutation — OpenFOAM's renumberMesh analogue) is the
+setup-time companion.  Structured stencils need ~9 planes (vs 7 Dia
+diagonals); Dia remains the faster special case (no index stream).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ogl_tpu.core.formats import Coo, static_field, _pytree
+
+LANES = 128
+
+__all__ = ["Gdia", "gdia_from_coo", "spmv_gdia", "gdia_matvec"]
+
+
+@_pytree
+@dataclasses.dataclass(frozen=True)
+class Gdia:
+    """vals/lidx: (n_planes, R, 128); plane_offsets[p] = block-row offset q.
+    Unused slots: val 0, lane idx 0."""
+
+    vals: jnp.ndarray
+    lidx: jnp.ndarray  # int32 source lanes
+    plane_offsets: tuple[int, ...] = static_field()
+    shape: tuple[int, int] = static_field()
+
+    @property
+    def n_rows_padded(self) -> int:
+        return self.vals.shape[1] * LANES
+
+    @property
+    def dtype(self):
+        return self.vals.dtype
+
+
+def gdia_from_coo(coo: Coo, max_planes: int = 64) -> Gdia:
+    """Host-side packing.  Raises if the plane count exceeds max_planes —
+    renumber with core.reorder.rcm_permutation first."""
+    n = coo.shape[0]
+    r = math.ceil(n / LANES)
+    rows = np.asarray(jax.device_get(coo.rows)).astype(np.int64)
+    cols = np.asarray(jax.device_get(coo.cols)).astype(np.int64)
+    vals = np.asarray(jax.device_get(coo.vals))
+    rd, ld = rows // LANES, rows % LANES
+    rs, ls = cols // LANES, cols % LANES
+    q = rs - rd
+
+    planes: list[tuple[int, np.ndarray, np.ndarray]] = []  # (q, vals2d, lidx2d)
+    for qv in np.unique(q):
+        sel = np.nonzero(q == qv)[0]
+        # plane index = running occurrence count per destination slot
+        dst = rd[sel] * LANES + ld[sel]
+        order = np.argsort(dst, kind="stable")
+        sel = sel[order]
+        dst = dst[order]
+        starts = np.searchsorted(dst, dst)  # first occurrence index
+        plane_of = np.arange(len(dst)) - starts
+        n_p = int(plane_of.max()) + 1 if len(dst) else 0
+        for p in range(n_p):
+            psel = sel[plane_of == p]
+            v2 = np.zeros((r, LANES), vals.dtype)
+            l2 = np.zeros((r, LANES), np.int32)
+            v2[rd[psel], ld[psel]] = vals[psel]
+            l2[rd[psel], ld[psel]] = ls[psel].astype(np.int32)
+            planes.append((int(qv), v2, l2))
+    if len(planes) > max_planes:
+        raise ValueError(
+            f"Gdia needs {len(planes)} planes (> {max_planes}); matrix "
+            "bandwidth too large — renumber (core.reorder.rcm_permutation) "
+            "or raise max_planes"
+        )
+    if not planes:
+        planes = [(0, np.zeros((r, LANES), vals.dtype), np.zeros((r, LANES), np.int32))]
+    return Gdia(
+        vals=jnp.asarray(np.stack([p[1] for p in planes])),
+        lidx=jnp.asarray(np.stack([p[2] for p in planes])),
+        plane_offsets=tuple(p[0] for p in planes),
+        shape=coo.shape,
+    )
+
+
+def spmv_gdia(m: Gdia, x):
+    """XLA reference implementation (correct everywhere; on TPU prefer the
+    Pallas kernel via gdia_matvec)."""
+    n = m.shape[0]
+    r = m.vals.shape[1]
+    qmax = max((abs(qv) for qv in m.plane_offsets), default=0)
+    x2 = jnp.pad(x, (0, r * LANES - n)).reshape(r, LANES)
+    xp = jnp.pad(x2, ((qmax, qmax), (0, 0)))
+    acc = jnp.zeros((r, LANES), x.dtype)
+    for p, qv in enumerate(m.plane_offsets):
+        shifted = jax.lax.dynamic_slice_in_dim(xp, qmax + qv, r, axis=0)
+        g = jnp.take_along_axis(shifted, m.lidx[p], axis=1)
+        acc = acc + m.vals[p].astype(x.dtype) * g
+    return acc.reshape(-1)[:n]
+
+
+# ----------------------------------------------------------------------------
+# Pallas kernel
+# ----------------------------------------------------------------------------
+
+
+def _gdia_kernel(x_hbm, vals_ref, lidx_ref, y_ref, xs, sem,
+                 *, plane_offsets, T, K):
+    i = pl.program_id(0)
+    num = pl.num_programs(0)
+    two = jnp.asarray(2, jnp.int32)
+    slot = jax.lax.rem(i, two)
+
+    def dma(tile_idx, s):
+        return pltpu.make_async_copy(
+            x_hbm.at[pl.ds(tile_idx * T, T + 2 * K), :], xs.at[s], sem.at[s]
+        )
+
+    @pl.when(i == 0)
+    def _():
+        dma(0, 0).start()
+
+    @pl.when(i + 1 < num)
+    def _():
+        dma(i + 1, jax.lax.rem(i + 1, two)).start()
+
+    dma(i, slot).wait()
+
+    acc = jnp.zeros((T, LANES), jnp.float32)
+    for p, qv in enumerate(plane_offsets):
+        base = K + qv
+        shifted = xs[slot, base : base + T, :]
+        g = jnp.take_along_axis(shifted, lidx_ref[p], axis=1)
+        acc = acc + vals_ref[p].astype(jnp.float32) * g.astype(jnp.float32)
+    y_ref[:] = acc.astype(y_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("plane_offsets", "tile", "interpret"))
+def _gdia_padded(vals, lidx, xpad, *, plane_offsets, tile, interpret=False):
+    np_, rp, _ = vals.shape
+    K = (xpad.shape[0] - rp) // 2
+    grid = rp // tile
+    return pl.pallas_call(
+        functools.partial(_gdia_kernel, plane_offsets=plane_offsets, T=tile, K=K),
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec((np_, tile, LANES), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((np_, tile, LANES), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tile, LANES), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((rp, LANES), xpad.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((2, tile + 2 * K, LANES), xpad.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=interpret,
+    )(xpad, vals, lidx)
+
+
+def gdia_matvec(m: Gdia, tile: int = 256, interpret: bool | None = None):
+    """x -> A@x via the lane-gather kernel (TPU; XLA fallback elsewhere)."""
+    if interpret is None:
+        interpret = False
+    if jax.default_backend() != "tpu" and not interpret:
+        return lambda x: spmv_gdia(m, x)
+    n = m.shape[0]
+    r = m.vals.shape[1]
+    qmax = max((abs(qv) for qv in m.plane_offsets), default=0)
+    k = -(-max(qmax, 1) // 8) * 8
+    t = min(tile, max(k, 8 * math.ceil(r / 8)))
+    rp = math.ceil(r / t) * t
+    pad_r = rp - r
+    vals = jnp.pad(m.vals, ((0, 0), (0, pad_r), (0, 0)))
+    lidx = jnp.pad(m.lidx, ((0, 0), (0, pad_r), (0, 0)))
+
+    def mv(x):
+        x2 = jnp.pad(jnp.asarray(x), (0, rp * LANES - n)).reshape(rp, LANES)
+        xpad = jnp.pad(x2, ((k, k), (0, 0)))
+        y = _gdia_padded(vals, lidx, xpad, plane_offsets=m.plane_offsets,
+                         tile=t, interpret=interpret)
+        return y.reshape(-1)[:n]
+
+    return mv

@@ -76,16 +76,50 @@ def spmv_dia(m: Dia, x):
     return y
 
 
+def _spmv_gdia(m, x):
+    from ogl_tpu.kernels.gdia import spmv_gdia
+
+    return spmv_gdia(m, x)
+
+
+def _gdia_type():
+    from ogl_tpu.kernels.gdia import Gdia
+
+    return Gdia
+
+
 _DISPATCH = {Coo: spmv_coo, Csr: spmv_csr, Ell: spmv_ell, Dia: spmv_dia, Sell: spmv_sell}
 
 
+def _lookup(m):
+    f = _DISPATCH.get(type(m))
+    if f is None and type(m).__name__ == "Gdia":
+        return _spmv_gdia
+    if f is None:
+        raise TypeError(f"unknown matrix format {type(m)}")
+    return f
+
+
 def spmv(m, x):
-    """y = A @ x for any format."""
-    return _DISPATCH[type(m)](m, x)
+    """y = A @ x for any format (XLA paths)."""
+    return _lookup(m)(m, x)
 
 
 def matvec(m):
     """Return `x -> A @ x` closing over the (pytree) matrix; suitable for
-    capture inside jit/while_loop bodies."""
-    f = _DISPATCH[type(m)]
+    capture inside jit/while_loop bodies.  On TPU the Dia and Gdia formats
+    route to their Pallas kernels (the XLA lowerings are far off roofline,
+    see ARCHITECTURE.md)."""
+    import jax
+
+    if jax.default_backend() == "tpu":
+        if isinstance(m, Dia) and m.offsets:
+            from ogl_tpu.kernels.pallas_spmv import dia_matvec
+
+            return dia_matvec(m)
+        if type(m).__name__ == "Gdia":
+            from ogl_tpu.kernels.gdia import gdia_matvec
+
+            return gdia_matvec(m)
+    f = _lookup(m)
     return lambda x: f(m, x)

@@ -197,6 +197,25 @@ def test_scaling_config():
     np.testing.assert_allclose(np.asarray(x), x_true / 2.0, atol=1e-6)
 
 
+def test_gdia_format_and_rcm_reorder():
+    """matrixFormat Gdia + reorder rcm: the general unstructured path."""
+    m, b, x_true = _problem()
+    controls = {
+        "solver": "GKOCG", "executor": "reference", "tolerance": 1e-9,
+        "relTol": 0, "maxIter": 600, "dtype": "float64",
+        "matrixFormat": "Gdia", "reorder": "rcm",
+    }
+    x, perf = foam.solve("p", m, b, controls)
+    assert perf.converged
+    np.testing.assert_allclose(np.asarray(x), x_true, atol=1e-6)
+    # steady state with changed coefficients keeps the permutation coherent
+    import dataclasses
+
+    m2 = dataclasses.replace(m, diag=2 * m.diag, upper=2 * m.upper)
+    x2, perf2 = foam.solve("p", m2, b, {})
+    np.testing.assert_allclose(np.asarray(x2), x_true / 2, atol=1e-6)
+
+
 def test_bad_solver_name():
     m, b, _ = _problem((4, 4))
     with pytest.raises(ValueError, match="unknown solver"):
