@@ -47,10 +47,11 @@ __all__ = ["Gdia", "gdia_from_coo", "spmv_gdia", "gdia_matvec"]
 @dataclasses.dataclass(frozen=True)
 class Gdia:
     """vals/lidx: (n_planes, R, 128); plane_offsets[p] = block-row offset q.
-    Unused slots: val 0, lane idx 0."""
+    Unused slots: val 0, lane idx 0.  Lane indices are int8 (< 128), cast
+    to int32 at use — cuts the index-stream HBM traffic 4×."""
 
     vals: jnp.ndarray
-    lidx: jnp.ndarray  # int32 source lanes
+    lidx: jnp.ndarray  # int8 source lanes
     plane_offsets: tuple[int, ...] = static_field()
     shape: tuple[int, int] = static_field()
 
@@ -89,9 +90,9 @@ def gdia_from_coo(coo: Coo, max_planes: int = 64) -> Gdia:
         for p in range(n_p):
             psel = sel[plane_of == p]
             v2 = np.zeros((r, LANES), vals.dtype)
-            l2 = np.zeros((r, LANES), np.int32)
+            l2 = np.zeros((r, LANES), np.int8)
             v2[rd[psel], ld[psel]] = vals[psel]
-            l2[rd[psel], ld[psel]] = ls[psel].astype(np.int32)
+            l2[rd[psel], ld[psel]] = ls[psel].astype(np.int8)
             planes.append((int(qv), v2, l2))
     if len(planes) > max_planes:
         raise ValueError(
@@ -100,7 +101,7 @@ def gdia_from_coo(coo: Coo, max_planes: int = 64) -> Gdia:
             "or raise max_planes"
         )
     if not planes:
-        planes = [(0, np.zeros((r, LANES), vals.dtype), np.zeros((r, LANES), np.int32))]
+        planes = [(0, np.zeros((r, LANES), vals.dtype), np.zeros((r, LANES), np.int8))]
     return Gdia(
         vals=jnp.asarray(np.stack([p[1] for p in planes])),
         lidx=jnp.asarray(np.stack([p[2] for p in planes])),
@@ -120,7 +121,7 @@ def spmv_gdia(m: Gdia, x):
     acc = jnp.zeros((r, LANES), x.dtype)
     for p, qv in enumerate(m.plane_offsets):
         shifted = jax.lax.dynamic_slice_in_dim(xp, qmax + qv, r, axis=0)
-        g = jnp.take_along_axis(shifted, m.lidx[p], axis=1)
+        g = jnp.take_along_axis(shifted, m.lidx[p].astype(jnp.int32), axis=1)
         acc = acc + m.vals[p].astype(x.dtype) * g
     return acc.reshape(-1)[:n]
 
@@ -156,7 +157,7 @@ def _gdia_kernel(x_hbm, vals_ref, lidx_ref, y_ref, xs, sem,
     for p, qv in enumerate(plane_offsets):
         base = K + qv
         shifted = xs[slot, base : base + T, :]
-        g = jnp.take_along_axis(shifted, lidx_ref[p], axis=1)
+        g = jnp.take_along_axis(shifted, lidx_ref[p].astype(jnp.int32), axis=1)
         acc = acc + vals_ref[p].astype(jnp.float32) * g.astype(jnp.float32)
     y_ref[:] = acc.astype(y_ref.dtype)
 
