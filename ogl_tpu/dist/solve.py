@@ -25,7 +25,58 @@ from ogl_tpu.dist.partition import DistMatrix, HaloPlan
 from ogl_tpu.solve import bicgstab, cg, gmres, ir
 from ogl_tpu.solve.krylov import Ops
 
-__all__ = ["halo_exchange", "dist_matvec", "dist_ops", "dist_solve"]
+__all__ = ["halo_exchange", "dist_matvec", "dist_ops", "dist_solve",
+           "schwarz_jacobi_builder", "schwarz_block_jacobi_builder"]
+
+
+def schwarz_jacobi_builder(local_cols, local_vals):
+    """Per-shard scalar Jacobi (additive Schwarz, the parallel default of
+    the reference's wrap_schwarz, Preconditioner.H:47-81)."""
+    n_local = local_cols.shape[0]
+    row_ids = jnp.arange(n_local)[:, None]
+    diag = jnp.sum(jnp.where(local_cols == row_ids, local_vals, 0.0), axis=1)
+    inv = jnp.where(jnp.abs(diag) > 0, 1.0 / jnp.where(diag == 0, 1.0, diag), 0.0)
+    return lambda r: inv * r
+
+
+def schwarz_block_jacobi_builder(block_size: int):
+    """Per-shard BLOCK Jacobi under additive Schwarz: contiguous blocks of
+    `block_size` rows of the shard-local matrix, inverted with a batched
+    dense solve inside the shard (regenerated per solve like the reference
+    with caching=0)."""
+    bs = int(block_size)
+    if bs <= 1:
+        return schwarz_jacobi_builder
+
+    def builder(local_cols, local_vals):
+        n_local, width = local_cols.shape
+        nb = -(-n_local // bs)
+        rows = jnp.repeat(jnp.arange(n_local), width).reshape(n_local, width)
+        b_of_row = rows // bs
+        b_of_col = local_cols // bs
+        in_block = b_of_row == b_of_col
+        # scatter entries into (nb, bs, bs); out-of-block contribute 0 to a
+        # parked block index nb
+        bidx = jnp.where(in_block, b_of_row, nb)
+        blocks = jnp.zeros((nb + 1, bs, bs), local_vals.dtype)
+        blocks = blocks.at[bidx, rows % bs, local_cols % bs].add(
+            jnp.where(in_block, local_vals, 0.0)
+        )[:nb]
+        # identity-pad empty diagonal positions (padded rows beyond n_local)
+        eye = jnp.eye(bs, dtype=local_vals.dtype)
+        diag_abs = jnp.abs(jnp.einsum("bii->bi", blocks))
+        fix = (diag_abs == 0).astype(local_vals.dtype)
+        blocks = blocks + jnp.einsum("bi,ij->bij", fix, eye)
+        inv = jnp.linalg.inv(blocks)
+
+        def apply(r):
+            rp = jnp.pad(r, (0, nb * bs - n_local)).reshape(nb, bs)
+            y = jnp.einsum("bij,bj->bi", inv.astype(r.dtype), rp)
+            return y.reshape(-1)[:n_local]
+
+        return apply
+
+    return builder
 
 _SOLVERS = {"GKOCG": cg, "GKOBiCGStab": bicgstab, "GKOGMRES": gmres, "GKOIR": ir}
 

@@ -29,15 +29,7 @@ from ogl_tpu.solve import stopping
 __all__ = ["DistFoamSolver", "solve_distributed"]
 
 
-def _schwarz_jacobi(local_cols, local_vals):
-    """Per-shard scalar-Jacobi (additive Schwarz with a diagonal local
-    preconditioner — the parallel default of the reference's wrap_schwarz,
-    Preconditioner.H:47-81)."""
-    n_local = local_cols.shape[0]
-    row_ids = jnp.arange(n_local)[:, None]
-    diag = jnp.sum(jnp.where(local_cols == row_ids, local_vals, 0.0), axis=1)
-    inv = jnp.where(jnp.abs(diag) > 0, 1.0 / jnp.where(diag == 0, 1.0, diag), 0.0)
-    return lambda r: inv * r
+from ogl_tpu.dist.solve import schwarz_block_jacobi_builder, schwarz_jacobi_builder
 
 
 class DistFoamSolver:
@@ -86,11 +78,11 @@ class DistFoamSolver:
 
         pc = None
         if self.cfg.precond.name == "BJ":
-            pc = _schwarz_jacobi
+            pc = schwarz_block_jacobi_builder(self.cfg.precond.max_block_size)
         elif self.cfg.precond.name != "none":
             raise NotImplementedError(
                 f"distributed preconditioner {self.cfg.precond.name!r} not yet "
-                "supported; use none or BJ (additive-Schwarz Jacobi)"
+                "supported; use none or BJ (additive-Schwarz block Jacobi)"
             )
 
         x_stack, res = dist_solve(

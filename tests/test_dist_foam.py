@@ -54,6 +54,19 @@ def test_dist_foam_from_rank_list():
     np.testing.assert_allclose(x, x_true, atol=1e-6)
 
 
+def test_dist_foam_block_jacobi():
+    m, a, b, x_true = _problem((16, 16))
+    base = {"solver": "GKOCG", "tolerance": 1e-10, "relTol": 0,
+            "maxIter": 600, "dtype": "float64"}
+    x0, p0 = foam.solve_distributed("bj0", m, b, base)
+    x4, p4 = foam.solve_distributed(
+        "bj4", m, b, {**base, "preconditioner": {"preconditioner": "BJ", "maxBlockSize": 4}},
+    )
+    assert p4.converged
+    np.testing.assert_allclose(x4, x_true, atol=1e-6)
+    assert p4.n_iterations <= p0.n_iterations
+
+
 def test_dist_foam_unsupported_precond():
     m, a, b, _ = _problem((8, 8))
     with pytest.raises(NotImplementedError, match="Schwarz"):
