@@ -279,17 +279,24 @@ class FoamSolver:
         # merged-kernel CG fast path: Dia format + diagonal preconditioning
         pcname = self.cfg.precond.name
         diag_pc = pcname == "none" or (pcname == "BJ" and self.cfg.precond.max_block_size == 1)
+        from ogl_tpu.kernels.gdia import Gdia as _Gdia
+
         if (
             name == "GKOCG"
             and self.cfg.fused_cg
-            and isinstance(self.matrix, formats.Dia)
+            and isinstance(self.matrix, (formats.Dia, _Gdia))
             and diag_pc
             and jax.default_backend() == "tpu"
+            and n >= (1 << 15)  # small tiles fault the fused kernels on hw;
+            # sub-32k problems gain nothing from merging anyway
         ):
-            from ogl_tpu.kernels.fused import CgKernels
+            from ogl_tpu.kernels.fused import CgKernels, GdiaCgKernels
             from ogl_tpu.solve.cg_fused import cg_fused
 
-            kern = CgKernels(n, self.matrix.offsets)
+            if isinstance(self.matrix, formats.Dia):
+                kern = CgKernels(n, self.matrix.offsets)
+            else:
+                kern = GdiaCgKernels(n, self.matrix.plane_offsets)
 
             def run_fused(mat, pc_state, b, x0, sp):
                 data3 = kern.pack_values(mat)

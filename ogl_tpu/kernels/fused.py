@@ -29,7 +29,7 @@ from jax.experimental.pallas import tpu as pltpu
 from ogl_tpu.core.formats import Dia
 from ogl_tpu.kernels.pallas_spmv import LANES
 
-__all__ = ["CgKernels", "make_cg_kernels"]
+__all__ = ["CgKernels", "GdiaCgKernels", "make_cg_kernels"]
 
 
 def _k1_kernel(z_hbm, p_hbm, beta_ref, data_ref, pout_ref, q_ref, delta_ref,
@@ -94,6 +94,63 @@ def _k1_kernel(z_hbm, p_hbm, beta_ref, data_ref, pout_ref, q_ref, delta_ref,
         q_ref[:] = acc.astype(q_ref.dtype)
         # per-tile partial of p'.q, lane-reduced; row 0 of an (8, LANES)
         # block (TPU block shapes must be (8,128)-divisible), summed outside
+        delta_ref[:] = jnp.pad(
+            jnp.sum(acc * center.astype(jnp.float32), axis=0, keepdims=True),
+            ((0, 7), (0, 0)),
+        )
+
+
+def _k1_gdia_kernel(z_hbm, p_hbm, beta_ref, vals_ref, lidx_ref, pout_ref,
+                    q_ref, delta_ref, zs, ps, zsem, psem,
+                    *, plane_offsets, T, K, grid):
+    """K1 for Gdia matrices: the A-apply uses per-plane lane gathers
+    instead of static lane rolls (see kernels/gdia.py)."""
+    t = pl.program_id(0)
+    two = jnp.asarray(2, jnp.int32)
+    slot = jax.lax.rem(t, two)
+    interior = jnp.logical_and(t > 0, t < grid - 1)
+
+    def dma(tile_idx, s):
+        start = jnp.clip(tile_idx * T - K, 0, grid * T - (T + 2 * K))
+        cz = pltpu.make_async_copy(
+            z_hbm.at[pl.ds(start, T + 2 * K), :], zs.at[s], zsem.at[s])
+        cp = pltpu.make_async_copy(
+            p_hbm.at[pl.ds(start, T + 2 * K), :], ps.at[s], psem.at[s])
+        return cz, cp
+
+    @pl.when(t == 0)
+    def _():
+        for c in dma(0, 0):
+            c.start()
+
+    @pl.when(t + 1 < grid)
+    def _():
+        nxt = jax.lax.rem(t + 1, two)
+        for c in dma(t + 1, nxt):
+            c.start()
+
+    for c in dma(t, slot):
+        c.wait()
+
+    @pl.when(jnp.logical_not(interior))
+    def _():
+        pout_ref[:] = jnp.zeros((T, LANES), pout_ref.dtype)
+        q_ref[:] = jnp.zeros((T, LANES), q_ref.dtype)
+        delta_ref[:] = jnp.zeros((8, LANES), jnp.float32)
+
+    @pl.when(interior)
+    def _():
+        beta = beta_ref[0, 0]
+        pw = zs[slot] + beta * ps[slot]
+        center = pw[K : K + T, :]
+        acc = jnp.zeros((T, LANES), jnp.float32)
+        for p, qv in enumerate(plane_offsets):
+            base = K + qv
+            shifted = pw[base : base + T, :]
+            g = jnp.take_along_axis(shifted, lidx_ref[p].astype(jnp.int32), axis=1)
+            acc = acc + vals_ref[p].astype(jnp.float32) * g.astype(jnp.float32)
+        pout_ref[:] = center.astype(pout_ref.dtype)
+        q_ref[:] = acc.astype(q_ref.dtype)
         delta_ref[:] = jnp.pad(
             jnp.sum(acc * center.astype(jnp.float32), axis=0, keepdims=True),
             ((0, 7), (0, 0)),
@@ -242,7 +299,74 @@ class CgKernels:
         return q
 
 
-def make_cg_kernels(mat: Dia, tile: int = 512, interpret: bool = False):
-    """Returns (plan, packed coefficient blocks) for a Dia matrix."""
-    kern = CgKernels(mat.shape[0], mat.offsets, tile, interpret)
+class GdiaCgKernels(CgKernels):
+    """Merged-CG plan for Gdia matrices (lane-gather A-apply).  Packed
+    coefficients are a (vals, lidx) pair."""
+
+    def __init__(self, n: int, plane_offsets: tuple, tile: int = 512,
+                 interpret: bool = False):
+        # parent computes the halo row count from flat offsets; plane
+        # offsets are block-row offsets (rows = q), i.e. flat q*LANES
+        super().__init__(n, tuple(int(q) * LANES for q in plane_offsets),
+                         tile, interpret)
+        self.plane_offsets = tuple(int(q) for q in plane_offsets)
+
+    def _key(self):
+        return (self.n, self.plane_offsets, self.tile, self.interpret, "gdia")
+
+    def pack_values(self, mat):
+        assert tuple(mat.plane_offsets) == self.plane_offsets
+        r = mat.vals.shape[1]
+        pad = self.rp - r
+        vals = jnp.pad(mat.vals.astype(self.dtype), ((0, 0), (0, pad), (0, 0)))
+        lidx = jnp.pad(mat.lidx, ((0, 0), (0, pad), (0, 0)))
+        return vals, lidx
+
+    @functools.partial(jax.jit, static_argnums=0)
+    def k1(self, data3, zf, pf, beta):
+        vals, lidx = data3
+        T, K = self.tile, self.K
+        np_ = vals.shape[0]
+        pout, q, delta = pl.pallas_call(
+            functools.partial(_k1_gdia_kernel, plane_offsets=self.plane_offsets,
+                              T=T, K=K, grid=self.grid),
+            grid=(self.grid,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.HBM),
+                pl.BlockSpec(memory_space=pltpu.HBM),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec((np_, T, LANES),
+                             lambda t: (0, jnp.maximum(t - 1, 0), 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((np_, T, LANES),
+                             lambda t: (0, jnp.maximum(t - 1, 0), 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=(
+                pl.BlockSpec((T, LANES), lambda t: (t, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((T, LANES), lambda t: (t, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((8, LANES), lambda t: (t, 0), memory_space=pltpu.VMEM),
+            ),
+            out_shape=(
+                jax.ShapeDtypeStruct((self.frame_rows, LANES), self.dtype),
+                jax.ShapeDtypeStruct((self.frame_rows, LANES), self.dtype),
+                jax.ShapeDtypeStruct((self.grid * 8, LANES), jnp.float32),
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((2, T + 2 * K, LANES), self.dtype),
+                pltpu.VMEM((2, T + 2 * K, LANES), self.dtype),
+                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.SemaphoreType.DMA((2,)),
+            ],
+            interpret=self.interpret,
+        )(zf, pf, jnp.asarray(beta, self.dtype).reshape(1, 1), vals, lidx)
+        return pout, q, jnp.sum(delta)
+
+
+def make_cg_kernels(mat, tile: int = 512, interpret: bool = False):
+    """Returns (plan, packed coefficient blocks) for a Dia or Gdia matrix."""
+    if isinstance(mat, Dia):
+        kern = CgKernels(mat.shape[0], mat.offsets, tile, interpret)
+    else:
+        kern = GdiaCgKernels(mat.shape[0], mat.plane_offsets, tile, interpret)
     return kern, kern.pack_values(mat)

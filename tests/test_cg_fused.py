@@ -72,3 +72,17 @@ def test_fused_min_iter_and_frequency():
     res = cg_fused(kern, data3, b, jnp.zeros_like(b), cfg)
     assert bool(res.converged)
     assert int(res.iters) % 8 == 0
+
+
+def test_fused_gdia_matches_reference_cg():
+    from ogl_tpu.kernels.gdia import gdia_from_coo
+
+    coo, mat, b, x_true = _setup((128, 8))
+    g = gdia_from_coo(coo)
+    kern, data3 = make_cg_kernels(g, tile=16, interpret=True)
+    res_f = cg_fused(kern, data3, b, jnp.zeros_like(b), CFG)
+    ops = single_device_ops(spmv.matvec(mat), mat.shape[0])
+    res_r = cg(ops, b, jnp.zeros_like(b), CFG)
+    assert bool(res_f.converged)
+    assert int(res_f.iters) == int(res_r.iters)
+    np.testing.assert_allclose(np.asarray(res_f.x), np.asarray(res_r.x), atol=1e-3)
