@@ -115,7 +115,7 @@ def main():
     res = solve(b, sp)
     float(res.final_res_norm)  # compile + warm, forced
     solve_t = max(
-        min(_timed(lambda: float(solve(b, sp).final_res_norm)) for _ in range(3)) - rtt,
+        min(_timed(lambda: float(solve(b, sp).final_res_norm)) for _ in range(6)) - rtt,
         1e-9,
     )
     iters = int(res.iters)
