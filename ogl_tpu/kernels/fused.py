@@ -157,6 +157,98 @@ def _k1_gdia_kernel(z_hbm, p_hbm, beta_ref, vals_ref, lidx_ref, pout_ref,
         )
 
 
+def _k1b_kernel(a_hbm, b_hbm, c_hbm, coef_ref, rhat_ref, data_ref,
+                cout_ref, q_ref, dots_ref, asv, bsv, csv, sems,
+                *, offsets, T, K, grid):
+    """Generalised merged step for BiCGStab:
+        w  = a + ca·b + cb·c          (on the halo window)
+        q  = A w
+        dots = (Σ r̂⊙q, Σ q⊙w, Σ q⊙q)
+    outputs: center(w), q, per-tile dot partials (8, LANES each, stacked).
+    """
+    t = pl.program_id(0)
+    two = jnp.asarray(2, jnp.int32)
+    slot = jax.lax.rem(t, two)
+    interior = jnp.logical_and(t > 0, t < grid - 1)
+
+    def dma(tile_idx, s):
+        start = jnp.clip(tile_idx * T - K, 0, grid * T - (T + 2 * K))
+        return (
+            pltpu.make_async_copy(a_hbm.at[pl.ds(start, T + 2 * K), :], asv.at[s], sems.at[s, 0]),
+            pltpu.make_async_copy(b_hbm.at[pl.ds(start, T + 2 * K), :], bsv.at[s], sems.at[s, 1]),
+            pltpu.make_async_copy(c_hbm.at[pl.ds(start, T + 2 * K), :], csv.at[s], sems.at[s, 2]),
+        )
+
+    @pl.when(t == 0)
+    def _():
+        for c in dma(0, 0):
+            c.start()
+
+    @pl.when(t + 1 < grid)
+    def _():
+        nxt = jax.lax.rem(t + 1, two)
+        for c in dma(t + 1, nxt):
+            c.start()
+
+    for c in dma(t, slot):
+        c.wait()
+
+    @pl.when(jnp.logical_not(interior))
+    def _():
+        cout_ref[:] = jnp.zeros((T, LANES), cout_ref.dtype)
+        q_ref[:] = jnp.zeros((T, LANES), q_ref.dtype)
+        dots_ref[:] = jnp.zeros((24, LANES), jnp.float32)
+
+    @pl.when(interior)
+    def _():
+        ca = coef_ref[0, 0]
+        cb = coef_ref[0, 1]
+        pw = asv[slot] + ca * bsv[slot] + cb * csv[slot]
+        center = pw[K : K + T, :].astype(jnp.float32)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (T, LANES), 1)
+        acc = jnp.zeros((T, LANES), jnp.float32)
+        for k, off in enumerate(offsets):
+            qr, rm = divmod(off, LANES)
+            base = K + qr
+            a = pw[base : base + T, :]
+            if rm == 0:
+                sh = a
+            else:
+                b = pw[base + 1 : base + 1 + T, :]
+                ar = pltpu.roll(a, LANES - rm, 1)
+                br = pltpu.roll(b, LANES - rm, 1)
+                sh = jnp.where(lane < LANES - rm, ar, br)
+            acc = acc + data_ref[k].astype(jnp.float32) * sh.astype(jnp.float32)
+        cout_ref[:] = center.astype(cout_ref.dtype)
+        q_ref[:] = acc.astype(q_ref.dtype)
+        rhat = rhat_ref[:].astype(jnp.float32)
+        d1 = jnp.sum(rhat * acc, axis=0, keepdims=True)
+        d2 = jnp.sum(acc * center, axis=0, keepdims=True)
+        d3 = jnp.sum(acc * acc, axis=0, keepdims=True)
+        dots_ref[:] = jnp.concatenate(
+            [jnp.pad(d, ((0, 7), (0, 0))) for d in (d1, d2, d3)], axis=0
+        )
+
+
+def _kb_update_kernel(coef_ref, x_ref, p_ref, s_ref, t_ref, rhat_ref,
+                      xout_ref, rout_ref, dots_ref):
+    """BiCGStab tail: x' = x + α·p' + ω·s ; r' = s − ω·t ;
+    dots = (Σ r̂⊙r', Σ|r'|)."""
+    i = pl.program_id(0)
+    alpha = coef_ref[0, 0]
+    omega = coef_ref[0, 1]
+    xo = x_ref[:] + alpha * p_ref[:] + omega * s_ref[:]
+    ro = s_ref[:] - omega * t_ref[:]
+    xout_ref[:] = xo
+    rout_ref[:] = ro
+    r32 = ro.astype(jnp.float32)
+    d1 = jnp.sum(rhat_ref[:].astype(jnp.float32) * r32, axis=0, keepdims=True)
+    d2 = jnp.sum(jnp.abs(r32), axis=0, keepdims=True)
+    dots_ref[:] = jnp.concatenate(
+        [jnp.pad(d, ((0, 7), (0, 0))) for d in (d1, d2)], axis=0
+    )
+
+
 def _k2_kernel(alpha_ref, x_ref, r_ref, p_ref, q_ref, invd_ref,
                xout_ref, rout_ref, zout_ref, rho_ref, absr_ref):
     """Pure streaming over the whole frame (halo rows are zero in, zero out)."""
@@ -297,6 +389,77 @@ class CgKernels:
         """Plain y = A x on a framed vector (K1 with z=x, beta=0)."""
         _, q, _ = self.k1(data3, xf, xf, 0.0)
         return q
+
+    # ---- BiCGStab building blocks ---------------------------------------
+    @functools.partial(jax.jit, static_argnums=0)
+    def k1b(self, data3, af, bf, cf, rhatf, ca, cb):
+        """w = a + ca·b + cb·c ; q = A w ; dots (r̂·q, q·w, q·q)."""
+        T, K = self.tile, self.K
+        nd = data3.shape[0]
+        coef = jnp.stack([jnp.asarray(ca, self.dtype),
+                          jnp.asarray(cb, self.dtype)]).reshape(1, 2)
+        w, q, dots = pl.pallas_call(
+            functools.partial(_k1b_kernel, offsets=self.offsets, T=T, K=K,
+                              grid=self.grid),
+            grid=(self.grid,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.HBM),
+                pl.BlockSpec(memory_space=pltpu.HBM),
+                pl.BlockSpec(memory_space=pltpu.HBM),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec((T, LANES), lambda t: (t, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((nd, T, LANES),
+                             lambda t: (0, jnp.maximum(t - 1, 0), 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=(
+                pl.BlockSpec((T, LANES), lambda t: (t, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((T, LANES), lambda t: (t, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((24, LANES), lambda t: (t, 0), memory_space=pltpu.VMEM),
+            ),
+            out_shape=(
+                jax.ShapeDtypeStruct((self.frame_rows, LANES), self.dtype),
+                jax.ShapeDtypeStruct((self.frame_rows, LANES), self.dtype),
+                jax.ShapeDtypeStruct((self.grid * 24, LANES), jnp.float32),
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((2, T + 2 * K, LANES), self.dtype),
+                pltpu.VMEM((2, T + 2 * K, LANES), self.dtype),
+                pltpu.VMEM((2, T + 2 * K, LANES), self.dtype),
+                pltpu.SemaphoreType.DMA((2, 3)),
+            ],
+            interpret=self.interpret,
+        )(af, bf, cf, coef, rhatf, data3)
+        d = dots.reshape(self.grid, 3, 8, LANES)
+        return w, q, jnp.sum(d[:, 0]), jnp.sum(d[:, 1]), jnp.sum(d[:, 2])
+
+    @functools.partial(jax.jit, static_argnums=0)
+    def kb_update(self, xf, pf, sf, tf, rhatf, alpha, omega):
+        """x' = x + α·p' + ω·s ; r' = s − ω·t ; dots (r̂·r', |r'|₁)."""
+        T = self.tile
+        coef = jnp.stack([jnp.asarray(alpha, self.dtype),
+                          jnp.asarray(omega, self.dtype)]).reshape(1, 2)
+
+        def blk():
+            return pl.BlockSpec((T, LANES), lambda t: (t, 0), memory_space=pltpu.VMEM)
+
+        xo, ro, dots = pl.pallas_call(
+            _kb_update_kernel,
+            grid=(self.grid,),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                      blk(), blk(), blk(), blk(), blk()],
+            out_specs=(blk(), blk(),
+                       pl.BlockSpec((16, LANES), lambda t: (t, 0),
+                                    memory_space=pltpu.VMEM)),
+            out_shape=(
+                jax.ShapeDtypeStruct((self.frame_rows, LANES), self.dtype),
+                jax.ShapeDtypeStruct((self.frame_rows, LANES), self.dtype),
+                jax.ShapeDtypeStruct((self.grid * 16, LANES), jnp.float32),
+            ),
+            interpret=self.interpret,
+        )(coef, xf, pf, sf, tf, rhatf)
+        d = dots.reshape(self.grid, 2, 8, LANES)
+        return xo, ro, jnp.sum(d[:, 0]), jnp.sum(d[:, 1])
 
 
 class GdiaCgKernels(CgKernels):

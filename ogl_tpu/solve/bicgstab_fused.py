@@ -1,0 +1,127 @@
+"""Merged-kernel BiCGStab for DIA matrices — three Pallas kernels per
+iteration (two K1B fused direction+SpMV+dots, one update+reductions).
+
+Iteration-exact with solve/bicgstab.py under identity preconditioning
+(diagonal preconditioning can be folded into the operator by row scaling:
+M⁻¹A x = M⁻¹b has the same solution).  Residual-norm checks ride the free
+‖r‖₁ by-product like cg_fused.
+
+STATUS (measured, v5e, 1M DOF): 219 µs/iter vs 194 µs/iter for the
+standard solver (which already rides the Pallas SpMV through
+spmv.matvec's TPU routing) — K1B's three halo windows cost more than the
+dots it fuses, so this variant is kept validated but NOT wired as the
+default.  CG is different: its merged form (cg_fused) wins 30%+ because
+the criterion's ‖r‖₁ and both dots come out of passes CG needs anyway.
+"""
+
+from __future__ import annotations
+
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ogl_tpu.kernels.fused import CgKernels
+from ogl_tpu.solve import stopping
+from ogl_tpu.solve.cg import SolveResult
+
+__all__ = ["bicgstab_fused"]
+
+
+class _Carry(NamedTuple):
+    xf: Any
+    rf: Any
+    pf: Any
+    vf: Any
+    rho: Any
+    rho_old: Any
+    alpha: Any
+    omega: Any
+    absr: Any
+    stop: stopping.StopState
+
+
+def bicgstab_fused(kern: CgKernels, data3, b, x0, cfg, history_len: int = 0) -> SolveResult:
+    dtype = kern.dtype
+    n = kern.n
+    tiny = jnp.asarray(stopping.small_of(dtype) ** 2, dtype)
+
+    def safe_div(num, den):
+        return jnp.where(jnp.abs(den) > tiny, num / jnp.where(den == 0, 1, den), 0.0)
+
+    bf = kern.frame(b)
+    xf = kern.frame(x0)
+    rf = bf - kern.apply(data3, xf)
+    rhatf = rf  # fixed shadow residual
+    rho0 = jnp.sum(rf * rf).astype(dtype)
+    absr0 = jnp.sum(jnp.abs(rf)).astype(dtype)
+
+    xavg = jnp.sum(xf) / n
+    axref = kern.apply(data3, kern.frame(jnp.full((n,), 1.0, dtype) * xavg))
+    b_sub = bf - axref
+    nf = jnp.sum(jnp.abs(rf - b_sub) + jnp.abs(b_sub)) + stopping.small_of(dtype)
+
+    st0 = stopping.init_state(dtype, history_len).replace(norm_factor=nf)
+    hard_cap = cfg.max_iter + cfg.frequency
+    one = jnp.asarray(1.0, dtype)
+
+    def check(st, absr):
+        it = st.iter
+
+        def do_check(st):
+            rn = (absr / st.norm_factor).astype(dtype)
+            st = jax.lax.cond(
+                it == 0,
+                lambda s: s.replace(init_res_norm=rn, res_norm=rn),
+                lambda s: s.replace(res_norm=rn),
+                st,
+            )
+            if st.history is not None:
+                idx = jnp.minimum(it, st.history.shape[0] - 1)
+                st = st.replace(history=st.history.at[idx].set(st.res_norm))
+            rn = st.res_norm
+            hit = (rn < cfg.tolerance) | (
+                jnp.logical_and(cfg.rel_tol > 0, rn < cfg.rel_tol * st.init_res_norm)
+            ) | (it >= cfg.max_iter)
+            return st.replace(converged=hit)
+
+        return jax.lax.cond(stopping.would_check(cfg, it), do_check, lambda s: s, st)
+
+    init = _Carry(
+        xf=xf, rf=rf, pf=jnp.zeros_like(bf), vf=jnp.zeros_like(bf),
+        rho=rho0, rho_old=one, alpha=one, omega=one, absr=absr0, stop=st0,
+    )
+
+    def cond(c: _Carry):
+        return jnp.logical_and(~c.stop.converged, c.stop.iter < hard_cap)
+
+    def body(c: _Carry):
+        st = check(c.stop, c.absr)
+
+        def update(c: _Carry):
+            beta = safe_div(c.rho, c.rho_old) * safe_div(c.alpha, c.omega)
+            w, v, d_rv, _, _ = kern.k1b(data3, c.rf, c.pf, c.vf, rhatf,
+                                        beta, -beta * c.omega)
+            alpha = safe_div(c.rho, d_rv.astype(dtype))
+            s, t, _, d_ts, d_tt = kern.k1b(data3, c.rf, v, v, rhatf,
+                                           -alpha, jnp.asarray(0.0, dtype))
+            omega = safe_div(d_ts.astype(dtype), d_tt.astype(dtype))
+            xo, ro, d_rr, absr = kern.kb_update(c.xf, w, s, t, rhatf, alpha, omega)
+            return _Carry(
+                xf=xo, rf=ro, pf=w, vf=v,
+                rho=d_rr.astype(dtype), rho_old=c.rho,
+                alpha=alpha, omega=omega, absr=absr.astype(dtype),
+                stop=st.replace(iter=st.iter + 1),
+            )
+
+        return jax.lax.cond(st.converged, lambda c: c._replace(stop=st), update, c)
+
+    out = jax.lax.while_loop(cond, body, init)
+    return SolveResult(
+        x=kern.unframe(out.xf),
+        iters=out.stop.iter,
+        init_res_norm=out.stop.init_res_norm,
+        final_res_norm=out.stop.res_norm,
+        converged=out.stop.converged,
+        history=out.stop.history,
+    )

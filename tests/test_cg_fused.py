@@ -86,3 +86,36 @@ def test_fused_gdia_matches_reference_cg():
     assert bool(res_f.converged)
     assert int(res_f.iters) == int(res_r.iters)
     np.testing.assert_allclose(np.asarray(res_f.x), np.asarray(res_r.x), atol=1e-3)
+
+
+def test_fused_bicgstab_matches_reference():
+    from ogl_tpu.solve import bicgstab
+    from ogl_tpu.solve.bicgstab_fused import bicgstab_fused
+
+    coo, mat, b, x_true = _setup((128, 8))
+    kern, data3 = make_cg_kernels(mat, tile=16, interpret=True)
+    res_f = bicgstab_fused(kern, data3, b, jnp.zeros_like(b), CFG)
+    ops = single_device_ops(spmv.matvec(mat), mat.shape[0])
+    res_r = bicgstab(ops, b, jnp.zeros_like(b), CFG)
+    assert bool(res_f.converged) and bool(res_r.converged)
+    assert int(res_f.iters) == int(res_r.iters)
+    np.testing.assert_allclose(np.asarray(res_f.x), np.asarray(res_r.x), atol=1e-3)
+    np.testing.assert_allclose(np.asarray(res_f.x), x_true, atol=5e-2)
+
+
+def test_fused_bicgstab_nonsymmetric():
+    from ogl_tpu.core.formats import coo_from_dense, coo_to_dia
+    from ogl_tpu.solve.bicgstab_fused import bicgstab_fused
+
+    n = 256
+    rng = np.random.default_rng(0)
+    a = np.diag(np.full(n, 3.0)) + np.diag(np.full(n - 1, -2.0), -1) + np.diag(
+        np.full(n - 1, -0.5), 1)
+    mat = coo_to_dia(coo_from_dense(a.astype(np.float32)))
+    x_true = rng.normal(size=n).astype(np.float32)
+    b = jnp.asarray((a @ x_true).astype(np.float32))
+    kern, data3 = make_cg_kernels(mat, tile=16, interpret=True)
+    res = bicgstab_fused(kern, data3, b, jnp.zeros_like(b),
+                         StoppingConfig(tolerance=1e-5, rel_tol=0.0, max_iter=600))
+    assert bool(res.converged)
+    np.testing.assert_allclose(np.asarray(res.x), x_true, atol=1e-3)
