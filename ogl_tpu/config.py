@@ -80,6 +80,10 @@ class PrecondConfig:
     # TPU-specific: sweeps for the Jacobi-style approximate triangular solve
     # used to apply ILU/IC factors (no sequential trisolve on TPU).
     tri_solve_sweeps: int = 8
+    # AMG aggregation: "natural" (consecutive pairs; reshape transfers, the
+    # TPU-fast default) or "pgm" (strength-based matching like the
+    # reference's amgx_pgm; gather/scatter transfers)
+    aggregation: str = "natural"
 
 
 @dataclasses.dataclass(frozen=True)
@@ -161,6 +165,7 @@ def parse_controls(controls: dict[str, Any]) -> SolverConfig:
             cycle=str(pg("cycle", "v")),
             coarse_solver_iters=int(pg("coarseSolverIters", 4)),
             tri_solve_sweeps=int(pg("triSolveSweeps", 8)),
+            aggregation=str(pg("aggregation", "natural")),
         )
     else:
         precond = PrecondConfig(name=str(pc))

@@ -240,6 +240,7 @@ class FoamSolver:
                     min_coarse_rows=pc.min_coarse_rows,
                     cycle=pc.cycle,
                     coarse_solver_iters=pc.coarse_solver_iters,
+                    aggregation=pc.aggregation,
                 )
             else:
                 op = precond.build(pc, self._coo)

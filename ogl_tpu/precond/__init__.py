@@ -95,6 +95,7 @@ def build(cfg: PrecondConfig, coo: Coo) -> "PrecondOp":
             min_coarse_rows=cfg.min_coarse_rows,
             cycle=cfg.cycle,
             coarse_solver_iters=cfg.coarse_solver_iters,
+            aggregation=cfg.aggregation,
         )
     raise ValueError(
         f"unsupported preconditioner: {name}\nValid choices: {', '.join(VALID)}"

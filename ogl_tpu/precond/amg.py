@@ -74,14 +74,27 @@ def pgm_aggregate(a_csr) -> np.ndarray:
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class _Level:
-    mat: object  # Ell
+    mat: object  # Dia | Gdia | Ell
     inv_diag: object  # (n_l,)
     agg: object | None  # (n_l,) int32 coarse ids, None on coarsest
     n: int = dataclasses.field(metadata=dict(static=True))
     nc: int = dataclasses.field(metadata=dict(static=True))
+    # natural (consecutive-pair) aggregation: transfers are reshapes, no
+    # gather/scatter — the TPU-fast default (XLA scatter/gather for the
+    # strength-based transfers costs ~ms per level at scale)
+    natural: bool = dataclasses.field(default=False, metadata=dict(static=True))
 
 
-def build_hierarchy(coo: Coo, max_levels: int, min_coarse_rows: int):
+def natural_aggregate(n: int) -> np.ndarray:
+    """Pair consecutive rows: aggregate c = {2c, 2c+1}.  On RCM/structured
+    orderings the strongest neighbour is usually adjacent, so this is a
+    semi-coarsening variant of pairwise matching whose transfer operators
+    are pure reshapes."""
+    return np.arange(n, dtype=np.int64) // 2
+
+
+def build_hierarchy(coo: Coo, max_levels: int, min_coarse_rows: int,
+                    aggregation: str = "natural"):
     import scipy.sparse as sp
 
     rows = np.asarray(jax.device_get(coo.rows)).astype(np.int64)
@@ -89,13 +102,14 @@ def build_hierarchy(coo: Coo, max_levels: int, min_coarse_rows: int):
     vals = np.asarray(jax.device_get(coo.vals)).astype(np.float64)
     dtype = np.asarray(jax.device_get(coo.vals)).dtype
     a = sp.csr_matrix((vals, (rows, cols)), shape=coo.shape)
+    natural = aggregation == "natural"
 
     levels: list[_Level] = []
     for _ in range(max_levels):
         n = a.shape[0]
         if n <= min_coarse_rows:
             break
-        agg = pgm_aggregate(a)
+        agg = natural_aggregate(n) if natural else pgm_aggregate(a)
         nc = int(agg.max()) + 1
         if nc >= n:  # no coarsening progress
             break
@@ -105,9 +119,10 @@ def build_hierarchy(coo: Coo, max_levels: int, min_coarse_rows: int):
             _Level(
                 mat=_ell_of(a, dtype),
                 inv_diag=jnp.asarray((1.0 / d).astype(dtype)),
-                agg=jnp.asarray(agg.astype(np.int32)),
+                agg=None if natural else jnp.asarray(agg.astype(np.int32)),
                 n=n,
                 nc=nc,
+                natural=natural,
             )
         )
         p = sp.csr_matrix((np.ones(n), (np.arange(n), agg)), shape=(n, nc))
@@ -128,23 +143,71 @@ def build_hierarchy(coo: Coo, max_levels: int, min_coarse_rows: int):
     return levels
 
 
+def _restrict(level: _Level, r):
+    if level.natural:
+        rp = jnp.pad(r, (0, 2 * level.nc - level.n))
+        return rp.reshape(level.nc, 2).sum(axis=1)
+    return jax.ops.segment_sum(r, level.agg, num_segments=level.nc)
+
+
+def _prolong(level: _Level, ec):
+    if level.natural:
+        e = jnp.broadcast_to(ec[:, None], (level.nc, 2)).reshape(-1)
+        return e[: level.n]
+    return jnp.take(ec, level.agg, axis=0)
+
+
 def _ell_of(a_csr, dtype):
+    """Level operator, fastest representable format: Dia (static slices, no
+    gather — PGM coarsening of stencil matrices preserves the diagonal
+    structure exactly) → Gdia (lane gathers, bounded planes) → Ell."""
+    from ogl_tpu.core.formats import coo_to_dia
+
     a = a_csr.tocoo()
     order = np.lexsort((a.col, a.row))
     coo = Coo(
-        rows=jnp.asarray(a.row[order].astype(np.int32)),
-        cols=jnp.asarray(a.col[order].astype(np.int32)),
-        vals=jnp.asarray(a.data[order].astype(dtype)),
+        rows=a.row[order].astype(np.int32),
+        cols=a.col[order].astype(np.int32),
+        vals=a.data[order].astype(dtype),
         shape=a.shape,
     )
+    n_offs = len(np.unique(coo.cols.astype(np.int64) - coo.rows.astype(np.int64)))
+    if n_offs <= 64:
+        return coo_to_dia(coo)
+    try:
+        from ogl_tpu.kernels.gdia import gdia_from_coo
+
+        return gdia_from_coo(coo, max_planes=48)
+    except ValueError:
+        pass
+    coo = Coo(rows=jnp.asarray(coo.rows), cols=jnp.asarray(coo.cols),
+              vals=jnp.asarray(coo.vals), shape=coo.shape)
     return coo_to_ell(coo)
+
+
+def _apply_mat(level: "_Level", x):
+    """Level SpMV: Pallas kernels on TPU for large levels, XLA elsewhere
+    (small Pallas tiles fault on hardware; tiny levels don't need them —
+    and the XLA Dia path is gather-free, so it stays fast at any size)."""
+    from ogl_tpu.core.formats import Dia
+    from ogl_tpu.kernels.gdia import Gdia, gdia_matvec
+    from ogl_tpu.kernels.spmv import spmv as _spmv
+
+    big = level.n >= (1 << 15) and jax.default_backend() == "tpu"
+    if isinstance(level.mat, Dia) and big and level.mat.offsets:
+        from ogl_tpu.kernels.pallas_spmv import dia_matvec
+
+        return dia_matvec(level.mat)(x)
+    if isinstance(level.mat, Gdia) and big:
+        return gdia_matvec(level.mat)(x)
+    return _spmv(level.mat, x)
 
 
 def _smooth(level: _Level, x, b, relax, iters: int):
     """IR with scalar Jacobi: x ← x + relax·D⁻¹(b − A x)  (reference
     smoother_gen: relaxation_factor 0.9, 2 iterations)."""
     for _ in range(iters):
-        x = x + relax * level.inv_diag.astype(b.dtype) * (b - spmv_ell(level.mat, x))
+        x = x + relax * level.inv_diag.astype(b.dtype) * (b - _apply_mat(level, x))
     return x
 
 
@@ -155,7 +218,7 @@ def _coarse_cg(level: _Level, b, iters: int):
 
     def body(_, carry):
         x, r, p, rho = carry
-        q = spmv_ell(level.mat, p)
+        q = _apply_mat(level, p)
         pq = jnp.sum(p * q)
         alpha = rho / jnp.where(jnp.abs(pq) > tiny, pq, 1.0)
         alpha = jnp.where(jnp.abs(pq) > tiny, alpha, 0.0)
@@ -179,23 +242,24 @@ def amg(
     coarse_solver_iters: int = 4,
     relax: float = 0.9,
     smooth_iters: int = 2,
+    aggregation: str = "natural",
 ):
     from ogl_tpu.precond import PrecondOp
 
-    levels = build_hierarchy(coo, max_levels, min_coarse_rows)
+    levels = build_hierarchy(coo, max_levels, min_coarse_rows, aggregation)
     n_levels = len(levels)
 
     def run_level(lvls, li: int, b, w_mode: bool):
         level = lvls[li]
-        if level.agg is None or li == n_levels - 1:
+        if li == n_levels - 1:
             return _coarse_cg(level, b, coarse_solver_iters)
         x = _smooth(level, jnp.zeros_like(b), b, relax, smooth_iters)
         recurse = 2 if (w_mode and li < n_levels - 2) else 1
         for cyc in range(recurse):
-            r = b - spmv_ell(level.mat, x)
-            rc = jax.ops.segment_sum(r, level.agg, num_segments=level.nc)
+            r = b - _apply_mat(level, x)
+            rc = _restrict(level, r)
             ec = run_level(lvls, li + 1, rc, w_mode or (cycle == "f" and cyc == 0))
-            x = x + jnp.take(ec, level.agg, axis=0)
+            x = x + _prolong(level, ec)
             x = _smooth(level, x, b, relax, smooth_iters)
         return x
 

@@ -145,3 +145,13 @@ def test_unknown_name_raises(poisson):
     coo, *_ = poisson
     with pytest.raises(ValueError, match="Valid choices"):
         precond.build(PrecondConfig(name="FancyNew"), coo)
+
+
+@pytest.mark.parametrize("aggregation", ["natural", "pgm"])
+def test_amg_aggregation_modes(poisson, aggregation):
+    coo, a, b, x_true = poisson
+    apply = precond.amg(coo, aggregation=aggregation)
+    it, res = _iters(coo, b, apply)
+    np.testing.assert_allclose(np.asarray(res.x), x_true, atol=1e-6)
+    base, _ = _iters(coo, b)
+    assert it < base  # both aggregations must still accelerate
