@@ -7,10 +7,13 @@ cycle, one multigrid sweep per preconditioner application).
 TPU-first structure: the level hierarchy is data-dependent, so it is built
 ONCE on the host (greedy pairwise aggregation + Galerkin products in
 SciPy) and baked into the compiled program as a static unrolled cycle —
-each level's operator is an Ell matrix, restriction is a segment-sum over
-aggregate ids, prolongation a gather (piecewise-constant P, as in
-unsmoothed AMGX-PGM).  All shapes static, the whole cycle jit-safe
-(SURVEY.md §7 hard part "AMG with static shapes").
+each level's operator picks the fastest representable format (Dia —
+coarsening of stencil matrices preserves diagonal structure — then Gdia,
+then Ell), and with the default "natural" consecutive-pair aggregation the
+transfer operators are pure reshapes (piecewise-constant P; the
+strength-based "pgm" mode matches the reference's amgx_pgm semantics but
+pays XLA gather/scatter transfers).  All shapes static, the whole cycle
+jit-safe (SURVEY.md §7 hard part "AMG with static shapes").
 """
 
 from __future__ import annotations
@@ -22,7 +25,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from ogl_tpu.core.formats import Coo, coo_to_ell
-from ogl_tpu.kernels.spmv import spmv_ell
 
 __all__ = ["amg", "pgm_aggregate", "build_hierarchy"]
 
