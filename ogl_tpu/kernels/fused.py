@@ -12,8 +12,9 @@ Layout: every vector lives in a halo-framed (Rp + 2T, 128) array whose top
 and bottom T rows are zero — one full tile of halo on each side.  K1's
 shifted stencil reads then stay inside the frame with STATIC offsets, and
 both kernels re-write the zero halo tiles themselves, so frames never need
-re-padding between iterations.  Scalar reductions accumulate across the
-sequential TPU grid into (1,1) SMEM outputs.  f32 with f32 accumulate.
+re-padding between iterations.  Scalar reductions emit per-tile (8, 128)
+lane partials summed outside the pallas_call (TPU block divisibility; SMEM
+outputs fault on this toolchain).  f32 with f32 accumulate.
 """
 
 from __future__ import annotations
