@@ -105,6 +105,54 @@ def spmv(m, x):
     return _lookup(m)(m, x)
 
 
+def pack_fast(rows, cols, vals, n: int, max_planes: int = 48):
+    """Pack host COO triplets into the fastest TPU-representable format:
+    Dia (bounded distinct offsets, gather-free) → Gdia (bounded block-row
+    planes, lane gathers) → Ell (XLA gather fallback).  Used for derived
+    operators (ISAI inverses, ILU/IC factors, AMG levels) whose applies
+    would otherwise ride XLA's catastrophic gather lowering."""
+    import numpy as np
+
+    from ogl_tpu.core.formats import Coo, coo_to_dia, coo_to_ell
+
+    rows = np.asarray(rows, np.int64)
+    cols = np.asarray(cols, np.int64)
+    vals = np.asarray(vals)
+    order = np.lexsort((cols, rows))
+    coo = Coo(rows=rows[order].astype(np.int32), cols=cols[order].astype(np.int32),
+              vals=vals[order], shape=(n, n))
+    if len(np.unique(cols - rows)) <= 64:
+        return coo_to_dia(coo)
+    try:
+        from ogl_tpu.kernels.gdia import gdia_from_coo
+
+        return gdia_from_coo(coo, max_planes=max_planes)
+    except ValueError:
+        pass
+    import jax.numpy as jnp
+
+    coo = Coo(rows=jnp.asarray(coo.rows), cols=jnp.asarray(coo.cols),
+              vals=jnp.asarray(coo.vals), shape=coo.shape)
+    return coo_to_ell(coo)
+
+
+def apply_fast(m, x):
+    """SpMV dispatch for derived operators INSIDE jit: Pallas kernels on TPU
+    for large Dia/Gdia, XLA otherwise (small Pallas tiles fault on hw)."""
+    import jax
+
+    big = m.shape[0] >= (1 << 15) and jax.default_backend() == "tpu"
+    if isinstance(m, Dia) and big and m.offsets:
+        from ogl_tpu.kernels.pallas_spmv import dia_matvec
+
+        return dia_matvec(m)(x)
+    if type(m).__name__ == "Gdia" and big:
+        from ogl_tpu.kernels.gdia import gdia_matvec
+
+        return gdia_matvec(m)(x)
+    return _lookup(m)(m, x)
+
+
 def matvec(m):
     """Return `x -> A @ x` closing over the (pytree) matrix; suitable for
     capture inside jit/while_loop bodies.  On TPU the Dia and Gdia formats

@@ -24,8 +24,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ogl_tpu.core.formats import Coo, Ell
-from ogl_tpu.kernels.spmv import spmv_ell
+from ogl_tpu.core.formats import Coo
 
 __all__ = ["ilu0", "ilut", "ic0", "ict", "ilu0_factors", "ic0_factor"]
 
@@ -139,18 +138,12 @@ def ic0_factor(coo: Coo):
 
 
 def _to_ell(n, rows, cols, vals, dtype):
-    order = np.lexsort((cols, rows))
-    rows, cols, vals = rows[order], cols[order], vals[order]
-    counts = np.bincount(rows, minlength=n)
-    k = max(int(counts.max()) if len(rows) else 0, 1)
-    ec = np.repeat(np.arange(n, dtype=np.int32)[:, None], k, axis=1)
-    ev = np.zeros((n, k), dtype)
-    starts = np.zeros(n + 1, np.int64)
-    np.cumsum(counts, out=starts[1:])
-    slot = np.arange(len(rows)) - starts[rows]
-    ec[rows, slot] = cols
-    ev[rows, slot] = vals
-    return Ell(cols=jnp.asarray(ec), vals=jnp.asarray(ev), shape=(n, n))
+    """Factor triangle -> fastest TPU format (Dia/Gdia/Ell; see
+    kernels.spmv.pack_fast) — the Jacobi-sweep applies are SpMVs in the
+    solver hot loop."""
+    from ogl_tpu.kernels.spmv import pack_fast
+
+    return pack_fast(rows, cols, vals.astype(dtype), n)
 
 
 def _lu_apply(n, Ls, Us, udiag, sweeps, dtype):
@@ -159,13 +152,15 @@ def _lu_apply(n, Ls, Us, udiag, sweeps, dtype):
     inv_ud = jnp.asarray((1.0 / udiag), dtype)
 
     def apply(s, r):
+        from ogl_tpu.kernels.spmv import apply_fast
+
         ls, us, inv = s
         z = r
         for _ in range(sweeps):
-            z = r - spmv_ell(ls, z)
+            z = r - apply_fast(ls, z)
         x = z * inv
         for _ in range(sweeps):
-            x = (z - spmv_ell(us, x)) * inv
+            x = (z - apply_fast(us, x)) * inv
         return x
 
     return PrecondOp(apply, (Ls, Us, inv_ud))
@@ -222,13 +217,15 @@ def _ic_apply(n, Ls, Lst, ldiag, sweeps, dtype):
     inv_d = jnp.asarray(1.0 / ldiag, dtype)
 
     def apply(s, r):
+        from ogl_tpu.kernels.spmv import apply_fast
+
         ls, lst, inv = s
         z = r * inv
         for _ in range(sweeps):
-            z = (r - spmv_ell(ls, z)) * inv
+            z = (r - apply_fast(ls, z)) * inv
         x = z * inv
         for _ in range(sweeps):
-            x = (z - spmv_ell(lst, x)) * inv
+            x = (z - apply_fast(lst, x)) * inv
         return x
 
     return PrecondOp(apply, (Ls, Lst, inv_d))

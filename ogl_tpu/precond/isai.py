@@ -7,8 +7,8 @@ sparsityPower) and chosen so (M A)|_{J_i} = e_i|_{J_i}:
     M[i, J_i] · A[J_i, J_i] = e_i[J_i]   ⇒   A[J_i,J_i]ᵀ m = e_i
 
 TPU-native shape: all n small systems are ONE padded batched dense solve
-(n, K, K) at setup (MXU), and the apply is an ELL SpMV — no triangular
-solves anywhere.  The spd variant symmetrises the apply,
+(n, K, K) at setup (MXU), and the apply is a fast-format SpMV
+(Dia/Gdia/Ell via kernels.spmv.pack_fast) — no triangular solves anywhere.  The spd variant symmetrises the apply,
 r ↦ ½(M + Mᵀ)r, so CG sees a symmetric operator (Ginkgo's spd isai
 guarantees SPD through its factored form; the symmetrised general ISAI is
 the batched-dense equivalent)."""
@@ -19,8 +19,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ogl_tpu.core.formats import Coo, Ell
-from ogl_tpu.kernels.spmv import spmv_ell
+from ogl_tpu.core.formats import Coo
 
 __all__ = ["isai"]
 
@@ -88,33 +87,25 @@ def isai(coo: Coo, sparsity_power: int = 1, spd: bool = False):
     ).squeeze(-1)
     m_rows = jnp.where(jnp.asarray(valid), m_rows, 0.0)
 
-    M = Ell(cols=jnp.asarray(J.astype(np.int32)), vals=m_rows, shape=(n, n))
-
+    from ogl_tpu.kernels.spmv import apply_fast, pack_fast
     from ogl_tpu.precond import PrecondOp
 
-    if not spd:
-        return PrecondOp(lambda s, r: spmv_ell(s, r).astype(r.dtype), M)
+    # pack M into the fastest TPU format (its apply is a hot-loop SpMV)
+    mvals_host = np.asarray(jax.device_get(m_rows))
+    mrows_all = np.repeat(np.arange(n)[:, None], k, axis=1)
+    vmask = valid.reshape(-1)
+    M = pack_fast(mrows_all.reshape(-1)[vmask], J.reshape(-1)[vmask],
+                  mvals_host.reshape(-1)[vmask], n)
 
-    # transpose ELL for the symmetrised apply
-    mrows = np.repeat(np.arange(n)[:, None], k, axis=1).reshape(-1)
-    mcols = J.reshape(-1)
-    mvals = np.asarray(jax.device_get(m_rows)).reshape(-1)
-    keep = valid.reshape(-1)
-    order = np.lexsort((mrows[keep], mcols[keep]))
-    t_rows = mcols[keep][order]
-    t_cols = mrows[keep][order]
-    t_vals = mvals[keep][order]
-    tc = np.diff(np.searchsorted(t_rows, np.arange(n + 1)))
-    kt = int(tc.max()) if len(t_rows) else 1
-    Jt = np.repeat(np.arange(n)[:, None], kt, axis=1)
-    Vt = np.zeros((n, kt), vals.dtype)
-    slot_t = np.arange(len(t_rows)) - np.repeat(np.searchsorted(t_rows, np.arange(n)), tc)
-    Jt[t_rows, slot_t] = t_cols
-    Vt[t_rows, slot_t] = t_vals
-    Mt = Ell(cols=jnp.asarray(Jt.astype(np.int32)), vals=jnp.asarray(Vt), shape=(n, n))
+    if not spd:
+        return PrecondOp(lambda s, r: apply_fast(s, r).astype(r.dtype), M)
+
+    # transpose of M for the symmetrised apply
+    Mt = pack_fast(J.reshape(-1)[vmask], mrows_all.reshape(-1)[vmask],
+                   mvals_host.reshape(-1)[vmask], n)
 
     def apply_spd(s, r):
         m, mt = s
-        return (0.5 * (spmv_ell(m, r) + spmv_ell(mt, r))).astype(r.dtype)
+        return (0.5 * (apply_fast(m, r) + apply_fast(mt, r))).astype(r.dtype)
 
     return PrecondOp(apply_spd, (M, Mt))
