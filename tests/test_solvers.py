@@ -156,3 +156,23 @@ def test_nonzero_initial_guess():
     assert bool(res.converged)
     assert int(res.iters) < 40  # warm start must help
     np.testing.assert_allclose(np.asarray(res.x), x_true, atol=1e-6)
+
+
+def test_iteration_parity_across_precisions():
+    """BASELINE.md metric 3: iteration parity between the 'reference
+    executor' setting (float64, the reference CI's CPU fallback) and the
+    TPU-style float32 path — same system, same criterion."""
+    mat64, a, b64, _ = _setup((16, 16))
+    ops64 = single_device_ops(spmv.matvec(mat64), b64.shape[0])
+    cfg = StoppingConfig(tolerance=1e-6, rel_tol=0.0, max_iter=500)
+    r64 = cg(ops64, b64, jnp.zeros_like(b64), cfg)
+
+    mat32 = jax.tree.map(
+        lambda x: x.astype(jnp.float32) if jnp.issubdtype(x.dtype, jnp.floating) else x,
+        mat64,
+    )
+    b32 = jnp.asarray(b64, jnp.float32)
+    ops32 = single_device_ops(spmv.matvec(mat32), b32.shape[0])
+    r32 = cg(ops32, b32, jnp.zeros_like(b32), cfg)
+    assert bool(r64.converged) and bool(r32.converged)
+    assert abs(int(r64.iters) - int(r32.iters)) <= 2
