@@ -10,7 +10,7 @@ import pytest
 from ogl_tpu import foam, registry
 from ogl_tpu import testing as problems
 from ogl_tpu.config import parse_controls
-from ogl_tpu.core import mtx
+from ogl_tpu.core import ldu, mtx
 from ogl_tpu.foam import dictionary
 
 FV_SOLUTION = """
@@ -220,3 +220,49 @@ def test_bad_solver_name():
     m, b, _ = _problem((4, 4))
     with pytest.raises(ValueError, match="unknown solver"):
         foam.solve("p", m, b, {"solver": "GKOFancy", "executor": "reference"})
+
+
+def test_foam_nonsymmetric_ldu():
+    """Momentum-equation-like asymmetric LDU through the foam layer."""
+    import dataclasses
+
+    m = problems.poisson_ldu((10, 10))
+    rng = np.random.default_rng(9)
+    m = dataclasses.replace(m, lower=m.upper * (0.5 + 0.1 * rng.random(m.n_faces)))
+    from ogl_tpu.core import formats as _f
+
+    a = _f.to_dense(ldu.ldu_to_coo_host(m))
+    x_true = rng.normal(size=m.n)
+    b = a @ x_true
+    x, perf = foam.solve("u", m, b, {
+        "solver": "GKOBiCGStab", "executor": "reference", "tolerance": 1e-9,
+        "relTol": 0, "maxIter": 800, "dtype": "float64",
+    })
+    assert perf.converged
+    np.testing.assert_allclose(np.asarray(x), x_true, atol=1e-6)
+
+
+def test_foam_cyclic_interface():
+    """Local (cyclic) interfaces enter the matrix with negated coefficients
+    and survive steady-state updates (reference HostMatrix.C:204,469-589)."""
+    m0 = problems.poisson_ldu((12,))
+    iface = ldu.LocalInterface(
+        rows=np.array([0, 11]), cols=np.array([11, 0]), coeffs=np.array([1.0, 1.0])
+    )
+    import dataclasses
+
+    m = dataclasses.replace(m0, local_interfaces=(iface,),
+                            diag=m0.diag + 1.0)  # keep SPD with the -(-1) coupling
+    from ogl_tpu.core import formats as _f
+
+    a = _f.to_dense(ldu.ldu_to_coo_host(m))
+    assert a[0, 11] == -1.0 and a[11, 0] == -1.0  # negated bouCoeffs
+    rng = np.random.default_rng(10)
+    x_true = rng.normal(size=m.n)
+    b = a @ x_true
+    x, perf = foam.solve("pc", m, b, {
+        "solver": "GKOCG", "executor": "reference", "tolerance": 1e-10,
+        "relTol": 0, "maxIter": 300, "dtype": "float64",
+    })
+    assert perf.converged
+    np.testing.assert_allclose(np.asarray(x), x_true, atol=1e-7)
