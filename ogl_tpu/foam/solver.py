@@ -318,7 +318,14 @@ class FoamSolver:
 
     def solve(self, m: ldu.LduMatrix, b, psi=None, time_value: str | None = None) -> tuple[Any, SolverPerformance]:
         """One solve: returns (x, SolverPerformance).  `psi` is the initial
-        guess (used when updateInitGuess, like the reference's dist_x)."""
+        guess (used when updateInitGuess, like the reference's dist_x).
+        Runs on the device the `executor` keyword selected (the reference's
+        ExecutorHandler semantics: `reference`/`omp` -> CPU, accelerator
+        otherwise)."""
+        with jax.default_device(self.device):
+            return self._solve_impl(m, b, psi, time_value)
+
+    def _solve_impl(self, m: ldu.LduMatrix, b, psi, time_value):
         cfg = self.cfg
         _banner(cfg, self.field, self.device)
         self._update_matrix(m)
