@@ -110,6 +110,9 @@ class SolverConfig:
     # bandwidth-reducing renumbering applied at setup: "none" | "rcm"
     # (OpenFOAM renumberMesh analogue; reduces Gdia plane count)
     reorder: str = "none"
+    # force full device-matrix regeneration each solve instead of the
+    # in-place value overwrite (reference CsrMatrixWrapper.H:76-136)
+    regenerate: bool = False
 
 
 _BOOL = {"true": True, "yes": True, "on": True, "1": True,
@@ -191,4 +194,5 @@ def parse_controls(controls: dict[str, Any]) -> SolverConfig:
         dtype=str(g("dtype", "float32")),
         fused_cg=_as_bool(g("fusedCG", True)),
         reorder=str(g("reorder", "none")),
+        regenerate=_as_bool(g("regenerate", False)),
     )

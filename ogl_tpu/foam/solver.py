@@ -207,7 +207,9 @@ class FoamSolver:
                     vals=vals,
                     shape=(m.n, m.n),
                 )
-            if first or self.matrix is None:
+            if first or self.matrix is None or self.cfg.regenerate:
+                # `regenerate` forces a full rebuild every solve (reference
+                # CsrMatrixWrapper.H:76-86)
                 with common.timed("convert_format", self.cfg.verbose, self.field, self.timings):
                     self.matrix = _FORMAT_CONVERTERS[self.cfg.matrix_format](coo)
                     self._coo = coo
@@ -331,14 +333,23 @@ class FoamSolver:
         self._update_matrix(m)
         self._update_precond()
 
-        b_host = np.asarray(b)
-        psi_host = np.asarray(psi) if psi is not None else None
-        if self._reorder is not None:
-            perm = self._reorder[0]
-            b_host = b_host[perm]
-            if psi_host is not None:
-                psi_host = psi_host[perm]
-        b_dev = jnp.asarray(b_host, self.dtype)
+        if not cfg.update_rhs and getattr(self, "_b_dev", None) is not None:
+            # updateRHS false: reuse the cached device RHS (reference
+            # PersistentVector update gating, lduLduBase.H:224)
+            b_dev = self._b_dev
+            psi_host = np.asarray(psi) if psi is not None else None
+            if self._reorder is not None and psi_host is not None:
+                psi_host = psi_host[self._reorder[0]]
+        else:
+            b_host = np.asarray(b)
+            psi_host = np.asarray(psi) if psi is not None else None
+            if self._reorder is not None:
+                perm = self._reorder[0]
+                b_host = b_host[perm]
+                if psi_host is not None:
+                    psi_host = psi_host[perm]
+            b_dev = jnp.asarray(b_host, self.dtype)
+            self._b_dev = b_dev
         if psi_host is not None and cfg.update_init_guess:
             x0 = jnp.asarray(psi_host, self.dtype)
         else:

@@ -266,3 +266,28 @@ def test_foam_cyclic_interface():
     })
     assert perf.converged
     np.testing.assert_allclose(np.asarray(x), x_true, atol=1e-7)
+
+
+def test_update_rhs_false_reuses_cached_b():
+    """updateRHS false: later solves ignore the provided b (reference
+    PersistentVector gating, lduLduBase.H:224)."""
+    m, b, x_true = _problem()
+    controls = {"solver": "GKOCG", "executor": "reference", "tolerance": 1e-10,
+                "relTol": 0, "maxIter": 500, "dtype": "float64",
+                "updateRHS": False}
+    x1, _ = foam.solve("p", m, b, controls)
+    x2, _ = foam.solve("p", m, 5 * b, {})  # new b ignored
+    np.testing.assert_allclose(np.asarray(x2), x_true, atol=1e-6)
+
+
+def test_regenerate_forces_rebuild():
+    m, b, x_true = _problem()
+    controls = {"solver": "GKOCG", "executor": "reference", "tolerance": 1e-10,
+                "relTol": 0, "maxIter": 500, "dtype": "float64",
+                "regenerate": True}
+    x1, _ = foam.solve("p", m, b, controls)
+    import dataclasses
+
+    m2 = dataclasses.replace(m, diag=2 * m.diag, upper=2 * m.upper)
+    x2, _ = foam.solve("p", m2, b, {})
+    np.testing.assert_allclose(np.asarray(x2), x_true / 2, atol=1e-6)
