@@ -49,6 +49,8 @@ __all__ = [
     "coo_to_dia",
     "coo_to_sell",
     "with_values",
+    "ValueMap",
+    "value_map",
 ]
 
 
@@ -220,6 +222,20 @@ def to_dense(m) -> np.ndarray:
             if row < 0 or row >= n:
                 continue
             np.add.at(out, (np.full(c.shape[1], row), c[slot]), v[slot])
+    elif type(m).__name__ == "Gdia":
+        v = np.asarray(jax.device_get(m.vals))  # (P, R, 128)
+        l = np.asarray(jax.device_get(m.lidx)).astype(np.int64)
+        lanes = v.shape[-1]
+        rr = np.arange(v.shape[1])
+        for p, qv in enumerate(m.plane_offsets):
+            for blk in rr:
+                src_blk = blk + qv
+                if src_blk < 0 or src_blk * lanes >= mcols:
+                    continue
+                i = blk * lanes + np.arange(lanes)
+                j = src_blk * lanes + l[p, blk]
+                ok = (i < n) & (j < mcols) & (v[p, blk] != 0)
+                np.add.at(out, (i[ok], j[ok]), v[p, blk][ok])
     else:
         raise TypeError(f"unknown format {type(m)}")
     return out
@@ -280,15 +296,23 @@ def coo_to_ell(m: Coo, width: int | None = None) -> Ell:
     return Ell(cols=jnp.asarray(ecols), vals=jnp.asarray(evals), shape=m.shape)
 
 
+def dia_layout(rows: np.ndarray, cols: np.ndarray, n: int):
+    """Entry→slot layout for DIA packing: returns (offsets, dest) where
+    dest[i] is the flat index of entry i into the (n_diags, n) data array."""
+    rows = np.asarray(rows, np.int64)
+    cols = np.asarray(cols, np.int64)
+    offs = np.unique(cols - rows)
+    d_ids = np.searchsorted(offs, cols - rows)
+    return tuple(int(o) for o in offs), d_ids * n + rows
+
+
 def coo_to_dia(m: Coo) -> Dia:
     rows, cols, vals = _host(m)
     n = m.shape[0]
-    offs = np.unique(cols.astype(np.int64) - rows.astype(np.int64))
-    data = np.zeros((len(offs), n), dtype=vals.dtype)
-    off_index = {int(o): i for i, o in enumerate(offs)}
-    d_ids = np.array([off_index[int(o)] for o in (cols.astype(np.int64) - rows)], np.int64)
-    np.add.at(data, (d_ids, rows), vals)
-    return Dia(data=jnp.asarray(data), offsets=tuple(int(o) for o in offs), shape=m.shape)
+    offs, dest = dia_layout(rows, cols, n)
+    data = np.zeros(len(offs) * n, dtype=vals.dtype)
+    np.add.at(data, dest, vals)
+    return Dia(data=jnp.asarray(data.reshape(len(offs), n)), offsets=offs, shape=m.shape)
 
 
 def coo_to_sell(m: Coo, slice_height: int = 8, sigma: int = 64) -> Sell:
@@ -335,3 +359,82 @@ def with_values(m, vals: Array):
     if isinstance(m, Dia):
         return dataclasses.replace(m, data=vals)
     return dataclasses.replace(m, vals=vals)
+
+
+@_pytree
+@dataclasses.dataclass(frozen=True)
+class ValueMap:
+    """Static entry→slot map making the steady-state coefficient update one
+    jit'd scatter on device for EVERY format (the reference's in-place device
+    value overwrite, CsrMatrixWrapper.H:74-136, generalised to the formats
+    whose storage is a permutation of the COO entry order).
+
+    `dest[i]` is the flat index of COO entry i in the format's value storage
+    (None = the storage IS the entry order: Coo/Csr).  `unique` means no two
+    entries share a slot, so the scatter is a set; otherwise duplicates are
+    accumulated (matching the converters' np.add.at semantics)."""
+
+    dest: Array | None
+    out_shape: tuple = static_field()
+    unique: bool = static_field()
+
+    def update(self, m, coo_vals):
+        """New container with same sparsity, values from the row-major COO
+        entry array.  Pure jax — safe inside jit; zero host work."""
+        if self.dest is None:
+            return with_values(m, coo_vals)
+        size = 1
+        for s in self.out_shape:
+            size *= int(s)
+        flat = jnp.zeros(size, coo_vals.dtype)
+        if self.unique:
+            flat = flat.at[self.dest].set(coo_vals, unique_indices=True)
+        else:
+            flat = flat.at[self.dest].add(coo_vals)
+        return with_values(m, flat.reshape(self.out_shape))
+
+
+def value_map(m, rows, cols) -> ValueMap:
+    """Build the ValueMap for container `m`, given the host COO structure
+    (row-major sorted, the order `ldu.assemble_coeffs` emits values in).
+    One-time setup; the returned map's `update` is the per-step path."""
+    if isinstance(m, (Coo, Csr)):
+        return ValueMap(dest=None, out_shape=(int(len(rows)),), unique=True)
+    rows = np.asarray(jax.device_get(rows)).astype(np.int64)
+    cols = np.asarray(jax.device_get(cols)).astype(np.int64)
+    n = m.shape[0]
+    if isinstance(m, Ell):
+        k, slot = ell_layout(rows, n, m.row_width)
+        dest = rows * k + slot
+        shape = (n, k)
+    elif isinstance(m, Dia):
+        offs, dest = dia_layout(rows, cols, n)
+        if offs != m.offsets:
+            raise ValueError("sparsity changed: DIA offsets do not match container")
+        shape = (len(offs), n)
+    elif isinstance(m, Sell):
+        perm = np.asarray(jax.device_get(m.row_perm)).astype(np.int64)
+        valid = perm >= 0
+        inv = np.zeros(n, np.int64)
+        inv[perm[valid]] = np.nonzero(valid)[0]
+        w = int(m.vals.shape[-1])
+        _, slot = ell_layout(rows, n)
+        dest = inv[rows] * w + slot
+        shape = tuple(int(s) for s in m.vals.shape)
+    elif type(m).__name__ == "Gdia":
+        from ogl_tpu.kernels.gdia import gdia_layout
+
+        plane_offsets, _, dest, _ = gdia_layout(rows, cols, n)
+        if plane_offsets != m.plane_offsets:
+            raise ValueError("sparsity changed: Gdia planes do not match container")
+        shape = tuple(int(s) for s in m.vals.shape)
+    else:
+        raise TypeError(f"no value map for format {type(m)}")
+    size = 1
+    for s in shape:
+        size *= s
+    assert size < 2**31, "value storage too large for int32 slot indices"
+    unique = len(np.unique(dest)) == len(dest)
+    return ValueMap(
+        dest=jnp.asarray(dest, jnp.int32), out_shape=shape, unique=unique
+    )

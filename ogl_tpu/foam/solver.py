@@ -141,6 +141,7 @@ class FoamSolver:
         self.sparsity: ldu.LduSparsity | None = None
         self.matrix = None
         self._reorder = None
+        self._value_map = None
         self._precond_op = None
         self._compiled = {}
         self._res_eval_time: float | None = None
@@ -214,14 +215,21 @@ class FoamSolver:
                     self.matrix = _FORMAT_CONVERTERS[self.cfg.matrix_format](coo)
                     self._coo = coo
             else:
-                # steady state: same sparsity, swap value array in place
-                # (reference CsrMatrixWrapper.H:74-136)
-                if self.cfg.matrix_format in ("Coo", "Csr"):
-                    self.matrix = formats.with_values(self.matrix, vals)
-                    self._coo = coo
-                else:
-                    self.matrix = _FORMAT_CONVERTERS[self.cfg.matrix_format](coo)
-                    self._coo = coo
+                # steady state: same sparsity, swap the device value array in
+                # place via the precomputed entry→slot map — one jit'd scatter,
+                # zero host NumPy for ANY format (reference
+                # CsrMatrixWrapper.H:74-136)
+                if self._value_map is None:
+                    self._value_map = formats.value_map(
+                        self.matrix, self.sparsity.rows if self._reorder is None
+                        else self._reorder[2],
+                        self.sparsity.cols if self._reorder is None
+                        else self._reorder[3],
+                    )
+                with common.timed("update_device_values", self.cfg.verbose,
+                                  self.field, self.timings):
+                    self.matrix = self._value_map.update(self.matrix, coo.vals)
+                self._coo = coo
 
     # -- preconditioner (TTL caching, Preconditioner.H:353-431) ---------
     def _update_precond(self):

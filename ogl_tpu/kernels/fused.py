@@ -286,6 +286,13 @@ class CgKernels:
         self.K = -(-k // 8) * 8
         r = math.ceil(n / LANES)
         self.tile = min(tile, max(self.K, 8 * math.ceil(r / 8)))
+        # guarantee >= 2 interior tiles when the row count allows: a pipeline
+        # with exactly one interior tile (grid=3) never completes on v5e hw
+        # (k1 wedges in the DMA waits); halving the tile sidesteps it
+        if math.ceil(r / self.tile) == 1:
+            half = 8 * math.ceil(r / 2 / 8)
+            if half >= self.K and half < r:
+                self.tile = half
         if self.tile < self.K:
             raise ValueError(f"tile {self.tile} must be >= halo rows {self.K}")
         self.rp = math.ceil(r / self.tile) * self.tile

@@ -40,7 +40,7 @@ from ogl_tpu.core.formats import Coo, static_field, _pytree
 
 LANES = 128
 
-__all__ = ["Gdia", "gdia_from_coo", "spmv_gdia", "gdia_matvec"]
+__all__ = ["Gdia", "gdia_from_coo", "gdia_layout", "spmv_gdia", "gdia_matvec"]
 
 
 @_pytree
@@ -64,19 +64,23 @@ class Gdia:
         return self.vals.dtype
 
 
-def gdia_from_coo(coo: Coo, max_planes: int = 64) -> Gdia:
-    """Host-side packing.  Raises if the plane count exceeds max_planes —
-    renumber with core.reorder.rcm_permutation first."""
-    n = coo.shape[0]
-    r = math.ceil(n / LANES)
-    rows = np.asarray(jax.device_get(coo.rows)).astype(np.int64)
-    cols = np.asarray(jax.device_get(coo.cols)).astype(np.int64)
-    vals = np.asarray(jax.device_get(coo.vals))
+def gdia_layout(rows, cols, n: int, max_planes: int = 64):
+    """Entry→slot layout for Gdia packing.
+
+    Returns (plane_offsets, r, dest, lanes): entry i goes to flat position
+    dest[i] of the (n_planes, r, 128) storage, with source lane lanes[i].
+    Shared by `gdia_from_coo` and the steady-state value-update path
+    (core.formats.value_map) so both agree on plane assignment."""
+    rows = np.asarray(rows, np.int64)
+    cols = np.asarray(cols, np.int64)
+    r = max(math.ceil(n / LANES), 1)
     rd, ld = rows // LANES, rows % LANES
     rs, ls = cols // LANES, cols % LANES
     q = rs - rd
 
-    planes: list[tuple[int, np.ndarray, np.ndarray]] = []  # (q, vals2d, lidx2d)
+    plane_offsets: list[int] = []
+    dest = np.zeros(len(rows), np.int64)
+    plane_base = 0
     for qv in np.unique(q):
         sel = np.nonzero(q == qv)[0]
         # plane index = running occurrence count per destination slot
@@ -87,25 +91,37 @@ def gdia_from_coo(coo: Coo, max_planes: int = 64) -> Gdia:
         starts = np.searchsorted(dst, dst)  # first occurrence index
         plane_of = np.arange(len(dst)) - starts
         n_p = int(plane_of.max()) + 1 if len(dst) else 0
-        for p in range(n_p):
-            psel = sel[plane_of == p]
-            v2 = np.zeros((r, LANES), vals.dtype)
-            l2 = np.zeros((r, LANES), np.int8)
-            v2[rd[psel], ld[psel]] = vals[psel]
-            l2[rd[psel], ld[psel]] = ls[psel].astype(np.int8)
-            planes.append((int(qv), v2, l2))
-    if len(planes) > max_planes:
+        dest[sel] = (plane_base + plane_of) * (r * LANES) + dst
+        plane_offsets.extend([int(qv)] * n_p)
+        plane_base += n_p
+    if len(plane_offsets) > max_planes:
         raise ValueError(
-            f"Gdia needs {len(planes)} planes (> {max_planes}); matrix "
+            f"Gdia needs {len(plane_offsets)} planes (> {max_planes}); matrix "
             "bandwidth too large — renumber (core.reorder.rcm_permutation) "
             "or raise max_planes"
         )
-    if not planes:
-        planes = [(0, np.zeros((r, LANES), vals.dtype), np.zeros((r, LANES), np.int8))]
+    if not plane_offsets:
+        plane_offsets = [0]
+    return tuple(plane_offsets), r, dest, ls.astype(np.int8)
+
+
+def gdia_from_coo(coo: Coo, max_planes: int = 64) -> Gdia:
+    """Host-side packing.  Raises if the plane count exceeds max_planes —
+    renumber with core.reorder.rcm_permutation first."""
+    n = coo.shape[0]
+    rows = np.asarray(jax.device_get(coo.rows)).astype(np.int64)
+    cols = np.asarray(jax.device_get(coo.cols)).astype(np.int64)
+    vals = np.asarray(jax.device_get(coo.vals))
+    plane_offsets, r, dest, lanes = gdia_layout(rows, cols, n, max_planes)
+    np_ = len(plane_offsets)
+    v = np.zeros(np_ * r * LANES, vals.dtype)
+    l = np.zeros(np_ * r * LANES, np.int8)
+    v[dest] = vals
+    l[dest] = lanes
     return Gdia(
-        vals=jnp.asarray(np.stack([p[1] for p in planes])),
-        lidx=jnp.asarray(np.stack([p[2] for p in planes])),
-        plane_offsets=tuple(p[0] for p in planes),
+        vals=jnp.asarray(v.reshape(np_, r, LANES)),
+        lidx=jnp.asarray(l.reshape(np_, r, LANES)),
+        plane_offsets=plane_offsets,
         shape=coo.shape,
     )
 
