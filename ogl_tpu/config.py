@@ -113,6 +113,9 @@ class SolverConfig:
     # force full device-matrix regeneration each solve instead of the
     # in-place value overwrite (reference CsrMatrixWrapper.H:76-136)
     regenerate: bool = False
+    # distributed local-block format: "auto" (Dia if the union of diagonal
+    # offsets across shards is narrow, else Ell), "Dia", or "Ell"
+    dist_local_format: str = "auto"
 
 
 _BOOL = {"true": True, "yes": True, "on": True, "1": True,
@@ -195,4 +198,5 @@ def parse_controls(controls: dict[str, Any]) -> SolverConfig:
         fused_cg=_as_bool(g("fusedCG", True)),
         reorder=str(g("reorder", "none")),
         regenerate=_as_bool(g("regenerate", False)),
+        dist_local_format=str(g("distLocalFormat", "auto")),
     )

@@ -287,56 +287,108 @@ def assemble_coeffs(
 
 
 def decompose(m: LduMatrix, n_parts: int) -> list[LduMatrix]:
-    """Split a global symmetric LDU system into per-rank LduMatrix systems
-    with processor interfaces — the structural equivalent of decomposePar
-    with contiguous (`simple`) blocks.  Crossing faces become one
-    ProcInterface per neighbor rank, with the pairwise face order identical
-    on both sides (global face order), as OpenFOAM guarantees."""
-    if not m.symmetric:
-        raise NotImplementedError("decompose currently supports symmetric LDU")
+    """Split a global LDU system (symmetric or not, with or without local
+    cyclic interfaces) into per-rank LduMatrix systems with processor
+    interfaces — the structural equivalent of decomposePar with contiguous
+    (`simple`) blocks (reference HostMatrix.C:309-331, 412-436 handles all
+    matrix types and interface kinds in parallel).
+
+    Crossing internal faces: one ProcInterface per neighbor rank, faces in
+    global face order on both sides (the OpenFOAM pairwise contract).  The
+    owner (lower-rank-row) side carries the upper coefficient, the neighbour
+    side the lower coefficient (== upper when symmetric): each side stores
+    the A[row, remote-col] entry of ITS rows.
+
+    Crossing cyclic-interface entries (a cyclic patch whose two sides land
+    on different ranks): appended as a second ProcInterface per pair, both
+    sides ordered by the canonical global pair key, relying on cyclic
+    couplings coming in (i→j, j→i) pairs exactly like processor faces."""
     n, p = m.n, n_parts
     bounds = [round(i * n / p) for i in range(p + 1)]
     owner_of = np.searchsorted(bounds, np.arange(n), side="right") - 1
 
     lo = np.asarray(m.lower_addr, np.int64)
     up = np.asarray(m.upper_addr, np.int64)
+    upper_c = np.asarray(m.upper)
+    lower_c = None if m.symmetric else np.asarray(m.lower)
     ro, ru = owner_of[lo], owner_of[up]
     interior = ro == ru
+
+    # crossing faces per rank: {nbr: ([cells], [coeffs])} in global face order
+    face_ifaces: list[dict[int, tuple[list, list]]] = [dict() for _ in range(p)]
+    for f in np.nonzero(~interior)[0]:
+        a, b = int(ro[f]), int(ru[f])
+        # a's row is lo[f] (coeff = upper: A[lo, up]); b's row is up[f]
+        # (coeff = lower for non-symmetric: A[up, lo])
+        face_ifaces[a].setdefault(b, ([], []))
+        face_ifaces[a][b][0].append(int(lo[f]) - bounds[a])
+        face_ifaces[a][b][1].append(float(upper_c[f]))
+        face_ifaces[b].setdefault(a, ([], []))
+        face_ifaces[b][a][0].append(int(up[f]) - bounds[b])
+        face_ifaces[b][a][1].append(float(upper_c[f] if m.symmetric else lower_c[f]))
+
+    # local (cyclic) interface entries: same-rank stay LocalInterface;
+    # crossing become a second ProcInterface per pair, canonically ordered
+    local_keep: list[dict] = [dict() for _ in range(p)]  # rank -> rows/cols/coeffs
+    cyc_ifaces: list[dict[int, list]] = [dict() for _ in range(p)]  # rank -> nbr -> [(key, row, coeff)]
+    for li in m.local_interfaces:
+        lrows = np.asarray(li.rows, np.int64)
+        lcols = np.asarray(li.cols, np.int64)
+        lcoef = np.asarray(li.coeffs)
+        ra, rc = owner_of[lrows], owner_of[lcols]
+        for e in range(len(lrows)):
+            i, j = int(ra[e]), int(rc[e])
+            if i == j:
+                d = local_keep[i].setdefault("e", ([], [], []))
+                d[0].append(int(lrows[e]) - bounds[i])
+                d[1].append(int(lcols[e]) - bounds[i])
+                d[2].append(float(lcoef[e]))
+            else:
+                gr, gc = int(lrows[e]), int(lcols[e])
+                key = (gr, gc) if i < j else (gc, gr)
+                cyc_ifaces[i].setdefault(j, []).append(
+                    (key, gr - bounds[i], float(lcoef[e]))
+                )
 
     parts = []
     for i in range(p):
         sel = interior & (ro == i)
         base = bounds[i]
-        # crossing faces: grouped per neighbor rank, in global face order
-        ifaces = {}
-        for f in np.nonzero(~interior)[0]:
-            a, b = int(ro[f]), int(ru[f])
-            if i == a:
-                ifaces.setdefault(b, ([], []))
-            elif i == b:
-                ifaces.setdefault(a, ([], []))
-            else:
-                continue
-            other = b if i == a else a
-            cell = int(lo[f]) if i == a else int(up[f])
-            ifaces[other][0].append(cell - base)
-            ifaces[other][1].append(float(np.asarray(m.upper)[f]))
-        diag = np.asarray(m.diag)[bounds[i]:bounds[i + 1]].copy()
+        proc = []
+        nbrs = sorted(set(face_ifaces[i]) | set(cyc_ifaces[i]))
+        for r in nbrs:
+            if r in face_ifaces[i]:
+                cells, coeffs = face_ifaces[i][r]
+                proc.append(ProcInterface(
+                    neighbor=r,
+                    face_cells=np.array(cells, np.int64),
+                    coeffs=-np.array(coeffs),  # bouCoeff = -A_offdiag
+                ))
+            if r in cyc_ifaces[i]:
+                ent = sorted(cyc_ifaces[i][r], key=lambda t: t[0])
+                proc.append(ProcInterface(
+                    neighbor=r,
+                    face_cells=np.array([e[1] for e in ent], np.int64),
+                    coeffs=-np.array([e[2] for e in ent]),
+                ))
+        local = ()
+        if "e" in local_keep[i]:
+            rws, cls, cfs = local_keep[i]["e"]
+            local = (LocalInterface(
+                rows=np.array(rws, np.int64),
+                cols=np.array(cls, np.int64),
+                coeffs=np.array(cfs),
+            ),)
         parts.append(
             LduMatrix(
                 n=bounds[i + 1] - bounds[i],
                 lower_addr=lo[sel] - base,
                 upper_addr=up[sel] - base,
-                diag=diag,
-                upper=np.asarray(m.upper)[sel],
-                proc_interfaces=tuple(
-                    ProcInterface(
-                        neighbor=r,
-                        face_cells=np.array(cells, np.int64),
-                        coeffs=-np.array(coeffs),  # bouCoeff = -A_offdiag
-                    )
-                    for r, (cells, coeffs) in sorted(ifaces.items())
-                ),
+                diag=np.asarray(m.diag)[bounds[i]:bounds[i + 1]].copy(),
+                upper=upper_c[sel],
+                lower=None if m.symmetric else lower_c[sel],
+                local_interfaces=local,
+                proc_interfaces=tuple(proc),
             )
         )
     return parts

@@ -11,154 +11,240 @@ matching order on both sides.  The halo buffer uses one slot per
 processor-interface face in natural enumeration order (reference
 HostMatrix.C:412-436) — NOT deduplicated by column, exactly like the
 reference's recv buffer.
+
+Steady-state coefficient updates follow the reference's bulk-copy +
+on-device gather design (HostMatrix.C:684-704 row_gather path +
+CsrMatrixWrapper.H:74-136 in-place value overwrite): the raw per-rank LDU
+blocks are packed into one padded (P, S) source stack on the host (a
+vectorised memcpy), uploaded once, and two jit'd gathers place every value
+into the stacked local/halo storages — no per-entry host work.
 """
 
 from __future__ import annotations
+
+import dataclasses
+from functools import partial
 
 import numpy as np
 import jax
 import jax.numpy as jnp
 
 from ogl_tpu.core import ldu as ldu_mod
-from ogl_tpu.dist.partition import DistMatrix, HaloPlan, _ell_pack
+from ogl_tpu.dist.partition import (
+    CooStack,
+    DiaStack,
+    DistMatrix,
+    EllStack,
+    HaloPlan,
+    pack_halo_stack,
+    pack_local_stack,
+)
 
-__all__ = ["dist_from_ldu_ranks"]
+__all__ = ["DistAssembler", "dist_from_ldu_ranks"]
 
 
-def dist_from_ldu_ranks(ranks: list, dtype=np.float64) -> DistMatrix:
-    """Build a sharded DistMatrix from one LduMatrix (with proc_interfaces)
-    per rank."""
-    p = len(ranks)
-    local_sizes = tuple(m.n for m in ranks)
-    n_local = max(local_sizes)
-    global_n = sum(local_sizes)
+def _rank_sources(m: ldu_mod.LduMatrix, dtype):
+    """The rank's source-value vector [upper | (lower) | diag |
+    -local_iface | -proc_iface] (signs applied; reference HostMatrix.C:204
+    negates interface bouCoeffs)."""
+    parts = [np.asarray(m.upper, dtype)]
+    if not m.symmetric:
+        parts.append(np.asarray(m.lower, dtype))
+    parts.append(np.asarray(m.diag, dtype))
+    if m.local_interfaces:
+        parts.append(-np.concatenate([np.asarray(li.coeffs, dtype)
+                                      for li in m.local_interfaces]))
+    if m.proc_interfaces:
+        parts.append(-np.concatenate([np.asarray(pi.coeffs, dtype)
+                                      for pi in m.proc_interfaces]))
+    return np.concatenate(parts) if parts else np.zeros(0, dtype)
 
-    loc = []  # per rank (rows, cols, vals)
-    halo = []  # per rank (rows, slots, vals)
-    halo_sizes = []
-    sends = []  # per rank {nbr: local send idx}
-    for m in ranks:
-        coo = ldu_mod.ldu_to_coo_host(m, dtype=dtype)
-        loc.append((np.asarray(coo.rows, np.int64), np.asarray(coo.cols, np.int64),
-                    np.asarray(coo.vals)))
-        rows, slots, perm = ldu_mod.build_non_local_sparsity(m)
-        if m.proc_interfaces:
-            iface = np.concatenate([np.asarray(pi.coeffs) for pi in m.proc_interfaces])
-            hvals = (-iface)[perm]  # negated bouCoeffs (HostMatrix.C:204)
+
+@partial(jax.jit, static_argnames=("local_shape",))
+def _assemble_values(src_stack, perm_local, dest_local, perm_halo, scale,
+                     *, local_shape):
+    """(P, S) source stack -> (stacked local value storage, halo values).
+    Pure gathers/scatter with static shapes; pads read the zero tail slot."""
+    vals_l = scale * jnp.take_along_axis(src_stack, perm_local, axis=1)
+    size = 1
+    for s in local_shape:
+        size *= int(s)
+
+    def place(v, d):
+        return jnp.zeros(size + 1, v.dtype).at[d].add(v)[:size]
+
+    flat = jax.vmap(place)(vals_l, dest_local)
+    local_vals = flat.reshape((flat.shape[0],) + local_shape)
+    halo_vals = scale * jnp.take_along_axis(src_stack, perm_halo, axis=1)
+    return local_vals, halo_vals
+
+
+class DistAssembler:
+    """Builds a DistMatrix from per-rank LduMatrix systems once, then
+    re-assembles coefficients on device every later step (the
+    PersistentSparsityPattern + update split of the reference)."""
+
+    def __init__(self, ranks: list, dtype=np.float64, local_format: str = "auto"):
+        self.dtype = np.dtype(dtype)
+        p = len(ranks)
+        local_sizes = tuple(m.n for m in ranks)
+        n_local = max(local_sizes)
+        global_n = sum(local_sizes)
+
+        loc_shards = []   # (rows, cols, vals)
+        halo_shards = []  # (rows, slots, vals)
+        halo_sizes = []
+        sends = []        # per rank {nbr: local send idx}
+        self._sp = []     # per-rank LduSparsity
+        self._halo_perm = []  # per-rank halo permute into proc-iface concat
+        src_lens = []
+        srcs = []
+        for m in ranks:
+            sp = ldu_mod.build_local_sparsity(m)
+            self._sp.append(sp)
+            src = _rank_sources(m, self.dtype)
+            srcs.append(src)
+            src_lens.append(len(src))
+            vals = src[sp.permute]
+            loc_shards.append((sp.rows.astype(np.int64), sp.cols.astype(np.int64), vals))
+            hrows, hslots, hperm = ldu_mod.build_non_local_sparsity(m)
+            self._halo_perm.append(hperm.astype(np.int64))
+            off_proc = len(src) - sum(len(pi.face_cells) for pi in m.proc_interfaces)
+            hvals = src[off_proc + hperm] if len(hperm) else np.zeros(0, self.dtype)
+            halo_shards.append((hrows.astype(np.int64), hslots.astype(np.int64), hvals))
+            halo_sizes.append(sum(len(pi.face_cells) for pi in m.proc_interfaces))
+            send, _ = ldu_mod.communication_pattern(m)
+            sends.append(send)
+
+        halo_size = max(max(halo_sizes, default=0), 1)
+
+        # recv slot layout per rank: natural interface-face enumeration, so
+        # the slots owned by neighbor r are the positions of r's interfaces
+        # in that enumeration (in interface order) — matching r's send order
+        # to us by the pairwise contract.
+        recv_slots = []  # per rank {nbr: slot array}
+        for m in ranks:
+            slots_of = {}
+            ctr = 0
+            for pi in m.proc_interfaces:
+                r = int(pi.neighbor)
+                k = len(pi.face_cells)
+                slots_of.setdefault(r, []).append(np.arange(ctr, ctr + k))
+                ctr += k
+            recv_slots.append({r: np.concatenate(v) for r, v in slots_of.items()})
+
+        # ppermute schedule by ring offset
+        per_offset: dict[int, dict[int, np.ndarray]] = {}
+        for owner in range(p):
+            for req, sidx in sends[owner].items():
+                d = (req - owner) % p
+                per_offset.setdefault(d, {})[owner] = np.asarray(sidx, np.int64)
+        offsets = tuple(sorted(per_offset))
+        send_idx_list, recv_pos_list = [], []
+        for d in offsets:
+            owners = per_offset[d]
+            s = max(len(v) for v in owners.values())
+            sidx = np.zeros((p, s), np.int32)
+            rpos = np.full((p, s), halo_size, np.int32)
+            for owner, v in owners.items():
+                req = (owner + d) % p
+                sidx[owner, : len(v)] = v
+                slots = recv_slots[req][owner]
+                assert len(slots) == len(v), (
+                    f"pairwise interface mismatch: rank {owner} sends {len(v)} "
+                    f"faces to {req}, which expects {len(slots)}"
+                )
+                rpos[req, : len(slots)] = slots
+            send_idx_list.append(jnp.asarray(sidx))
+            recv_pos_list.append(jnp.asarray(rpos))
+
+        plan = HaloPlan(
+            send_idx=tuple(send_idx_list),
+            recv_pos=tuple(recv_pos_list),
+            offsets=offsets,
+            halo_size=halo_size,
+            n_parts=p,
+        )
+
+        local, dest_local = pack_local_stack(
+            loc_shards, n_local, self.dtype, fmt=local_format
+        )
+        halo = pack_halo_stack(halo_shards, self.dtype)
+
+        self.dm = DistMatrix(
+            local=local,
+            halo=halo,
+            plan=plan,
+            n_local=n_local,
+            local_sizes=local_sizes,
+            global_n=global_n,
+        )
+
+        # ---- update machinery (device gathers; pads read the zero slot S)
+        self._src_size = max(src_lens) if src_lens else 1
+        s_pad = self._src_size  # parking index (src stack padded by one)
+        e_l = dest_local.shape[1]
+        perm_local = np.full((p, e_l), s_pad, np.int32)
+        for i, sp in enumerate(self._sp):
+            perm_local[i, : sp.nnz] = sp.permute
+        e_h = int(halo.vals.shape[1])
+        perm_halo = np.full((p, e_h), s_pad, np.int32)
+        for i, (m, hperm) in enumerate(zip(ranks, self._halo_perm)):
+            if len(hperm):
+                off_proc = src_lens[i] - sum(len(pi.face_cells) for pi in m.proc_interfaces)
+                perm_halo[i, : len(hperm)] = off_proc + hperm
+        self._perm_local = jnp.asarray(perm_local)
+        self._dest_local = dest_local
+        self._perm_halo = jnp.asarray(perm_halo)
+        if isinstance(local, DiaStack):
+            self._local_kind = "Dia"
+            self._local_shape = tuple(int(s) for s in local.data.shape[1:])
         else:
-            hvals = np.zeros(0, dtype)
-        halo.append((rows.astype(np.int64), slots.astype(np.int64), hvals.astype(dtype)))
-        halo_sizes.append(sum(len(pi.face_cells) for pi in m.proc_interfaces))
-        send, _ = ldu_mod.communication_pattern(m)
-        sends.append(send)
+            self._local_kind = "Ell"
+            self._local_shape = tuple(int(s) for s in local.vals.shape[1:])
 
-    halo_size = max(max(halo_sizes, default=0), 1)
+    def shard_triples(self, ranks):
+        """Per-shard local-block COO triples with CURRENT values (host) —
+        what the Schwarz preconditioner setup factorises, the reference's
+        dist_A->get_local_matrix() (Preconditioner.H:62-66)."""
+        out = []
+        for sp, m in zip(self._sp, ranks):
+            src = _rank_sources(m, self.dtype)
+            out.append((sp.rows.astype(np.int64), sp.cols.astype(np.int64),
+                        src[sp.permute]))
+        return out
 
-    # recv slot layout per rank: natural interface-face enumeration, so the
-    # slots owned by neighbor r are the positions of r's interfaces in that
-    # enumeration (in interface order) — matching r's send order to us by
-    # the pairwise contract.
-    recv_slots = []  # per rank {nbr: slot array}
-    for m in ranks:
-        slots_of = {}
-        ctr = 0
-        for pi in m.proc_interfaces:
-            r = int(pi.neighbor)
-            k = len(pi.face_cells)
-            slots_of.setdefault(r, []).append(np.arange(ctr, ctr + k))
-            ctr += k
-        recv_slots.append({r: np.concatenate(v) for r, v in slots_of.items()})
+    def _src_stack(self, ranks) -> np.ndarray:
+        """Bulk-pack the raw per-rank LDU blocks into the padded (P, S+1)
+        source stack (host memcpy only; the trailing slot stays 0)."""
+        out = np.zeros((len(ranks), self._src_size + 1), self.dtype)
+        for i, m in enumerate(ranks):
+            src = _rank_sources(m, self.dtype)
+            out[i, : len(src)] = src
+        return out
 
-    # ppermute schedule by ring offset
-    per_offset: dict[int, dict[int, np.ndarray]] = {}
-    for owner in range(p):
-        for req, sidx in sends[owner].items():
-            d = (req - owner) % p
-            per_offset.setdefault(d, {})[owner] = np.asarray(sidx, np.int64)
-    offsets = tuple(sorted(per_offset))
-    send_idx_list, recv_pos_list = [], []
-    for d in offsets:
-        owners = per_offset[d]
-        s = max(len(v) for v in owners.values())
-        sidx = np.zeros((p, s), np.int32)
-        rpos = np.full((p, s), halo_size, np.int32)
-        for owner, v in owners.items():
-            req = (owner + d) % p
-            sidx[owner, : len(v)] = v
-            slots = recv_slots[req][owner]
-            assert len(slots) == len(v), (
-                f"pairwise interface mismatch: rank {owner} sends {len(v)} "
-                f"faces to {req}, which expects {len(slots)}"
-            )
-            rpos[req, : len(slots)] = slots
-        send_idx_list.append(jnp.asarray(sidx))
-        recv_pos_list.append(jnp.asarray(rpos))
-
-    plan = HaloPlan(
-        send_idx=tuple(send_idx_list),
-        recv_pos=tuple(recv_pos_list),
-        offsets=offsets,
-        halo_size=halo_size,
-        n_parts=p,
-    )
-
-    loc_w = max(
-        (int(np.bincount(r).max()) for r, _, _ in loc if len(r)), default=1
-    )
-    halo_w = max(
-        (int(np.bincount(r).max()) for r, _, _ in halo if len(r)), default=1
-    )
-    lc = np.zeros((p, n_local, loc_w), np.int32)
-    lv = np.zeros((p, n_local, loc_w), dtype)
-    hc = np.zeros((p, n_local, halo_w), np.int32)
-    hv = np.zeros((p, n_local, halo_w), dtype)
-    for i in range(p):
-        lr, lcc, lvv = loc[i]
-        lc[i], lv[i] = _ell_pack(n_local, lr, lcc, lvv, loc_w, dtype)
-        hr, hs, hvv = halo[i]
-        hc[i], hv[i] = _ell_pack(n_local, hr, hs, hvv, halo_w, dtype)
-
-    return DistMatrix(
-        local_cols=jnp.asarray(lc),
-        local_vals=jnp.asarray(lv),
-        halo_cols=jnp.asarray(hc),
-        halo_vals=jnp.asarray(hv),
-        plan=plan,
-        n_local=n_local,
-        local_sizes=local_sizes,
-        global_n=global_n,
-    )
+    def update(self, ranks, scale=1.0) -> DistMatrix:
+        """Steady-state coefficient update: same sparsity, new values — the
+        distributed analogue of update_local_matrix_data /
+        update_non_local_matrix_data + the device value overwrite
+        (HostMatrix.C:593-732, CsrMatrixWrapper.H:74-136)."""
+        src = jnp.asarray(self._src_stack(ranks))
+        local_vals, halo_vals = _assemble_values(
+            src, self._perm_local, self._dest_local, self._perm_halo,
+            jnp.asarray(scale, src.dtype), local_shape=self._local_shape,
+        )
+        dm = self.dm
+        if isinstance(dm.local, DiaStack):
+            local = dataclasses.replace(dm.local, data=local_vals)
+        else:
+            local = dataclasses.replace(dm.local, vals=local_vals)
+        halo = dataclasses.replace(dm.halo, vals=halo_vals)
+        self.dm = dataclasses.replace(dm, local=local, halo=halo)
+        return self.dm
 
 
-def update_values(dm: DistMatrix, ranks: list, dtype=np.float64) -> DistMatrix:
-    """Steady-state coefficient update: same sparsity, new values (the
-    distributed analogue of the reference's update_local_matrix_data /
-    update_non_local_matrix_data, HostMatrix.C:593-732).  The halo plan,
-    column tables, and shapes are reused; only the two value stacks are
-    rebuilt and swapped in."""
-    import dataclasses
-
-    p = len(ranks)
-    lv = np.zeros(dm.local_vals.shape, dtype)
-    hv = np.zeros(dm.halo_vals.shape, dtype)
-    for i, m in enumerate(ranks):
-        coo = ldu_mod.ldu_to_coo_host(m, dtype=dtype)
-        lr = np.asarray(coo.rows, np.int64)
-        counts = np.bincount(lr, minlength=dm.n_local)
-        starts = np.zeros(dm.n_local + 1, np.int64)
-        np.cumsum(counts, out=starts[1:])
-        slot = np.arange(len(lr)) - starts[lr]
-        lv[i][lr, slot] = np.asarray(coo.vals)
-        rows, _, perm = ldu_mod.build_non_local_sparsity(m)
-        if m.proc_interfaces:
-            iface = np.concatenate([np.asarray(pi.coeffs) for pi in m.proc_interfaces])
-            hvals = (-iface)[perm]
-            hr = rows.astype(np.int64)
-            counts = np.bincount(hr, minlength=dm.n_local)
-            starts = np.zeros(dm.n_local + 1, np.int64)
-            np.cumsum(counts, out=starts[1:])
-            slot = np.arange(len(hr)) - starts[hr]
-            hv[i][hr, slot] = hvals
-    return dataclasses.replace(
-        dm, local_vals=jnp.asarray(lv), halo_vals=jnp.asarray(hv)
-    )
+def dist_from_ldu_ranks(ranks: list, dtype=np.float64,
+                        local_format: str = "auto") -> DistMatrix:
+    """Build a sharded DistMatrix from one LduMatrix (with proc_interfaces)
+    per rank (one-shot; use DistAssembler to keep the update path)."""
+    return DistAssembler(ranks, dtype=dtype, local_format=local_format).dm

@@ -12,15 +12,17 @@ TPU-first re-design (SURVEY.md §2c mapping):
     `lax.ppermute` rounds — one per ring-offset class d=(dst−src) mod P —
     so a 1/2/3-D domain decomposition needs only a handful of permutes,
     each riding ICI neighbour links;
-  * the non-local ("halo-column") matrix follows the reference's layout:
-    row-major sorted entries whose columns index a halo buffer
-    (HostMatrix.C:438-466 — row-major sortedness is required for
-    convergence, :449-456), except the halo buffer is deduplicated by
-    global column (each remote value appears once).
+  * the LOCAL (volume-sized) operator is stored per shard in a fast TPU
+    format stacked on the parts axis: DIA with the union of diagonal
+    offsets across shards (gather-free SpMV — the reference's device-fast
+    inner formats, CsrMatrixWrapper.H:138-161) with an ELL fallback for
+    unstructured shards;
+  * the NON-LOCAL (surface-sized) halo matrix is stored as per-shard COO
+    triplets whose columns index the halo buffer — its apply is a
+    surface-sized gather+segment-sum, not a volume-sized gather.
 
 All shapes are padded uniform across shards (SPMD requires identical local
-programs); pads are index 0 with value 0 and parked halo slots, so they are
-numerically inert.
+programs); pads are numerically inert (zero values, parked indices).
 """
 
 from __future__ import annotations
@@ -31,9 +33,21 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ogl_tpu.core.formats import Coo, static_field, _pytree
+from ogl_tpu.core.formats import Coo, Dia, Ell, static_field, _pytree
 
-__all__ = ["DistMatrix", "HaloPlan", "partition_coo", "gather_global"]
+__all__ = [
+    "DistMatrix",
+    "HaloPlan",
+    "DiaStack",
+    "EllStack",
+    "CooStack",
+    "pack_local_stack",
+    "pack_halo_stack",
+    "shard_local_matrix",
+    "partition_coo",
+    "split_vector",
+    "gather_global",
+]
 
 
 @_pytree
@@ -54,15 +68,43 @@ class HaloPlan:
 
 @_pytree
 @dataclasses.dataclass(frozen=True)
-class DistMatrix:
-    """Sharded matrix: per-shard local ELL (cols = local indices) plus
-    per-shard non-local ELL (cols = halo-buffer slots), stacked on the
-    parts axis, and the halo plan."""
+class DiaStack:
+    """Per-shard DIA local blocks stacked on the parts axis, sharing the
+    UNION of diagonal offsets (static, identical program per shard)."""
 
-    local_cols: jnp.ndarray  # (P, n_local, K)
-    local_vals: jnp.ndarray
-    halo_cols: jnp.ndarray  # (P, n_local, Kh) into halo buffer
-    halo_vals: jnp.ndarray
+    data: jnp.ndarray  # (P, n_diags, n_local)
+    offsets: tuple[int, ...] = static_field()
+
+
+@_pytree
+@dataclasses.dataclass(frozen=True)
+class EllStack:
+    """Per-shard ELL local blocks (pad cols point at the row itself,
+    val 0)."""
+
+    cols: jnp.ndarray  # (P, n_local, K)
+    vals: jnp.ndarray
+
+
+@_pytree
+@dataclasses.dataclass(frozen=True)
+class CooStack:
+    """Per-shard COO triplets (the halo matrix: surface-sized).  Pad
+    entries: row = n_local (dropped), col = parking slot, val = 0."""
+
+    rows: jnp.ndarray  # (P, E) int32
+    cols: jnp.ndarray  # (P, E) int32 — halo-buffer slots
+    vals: jnp.ndarray  # (P, E)
+
+
+@_pytree
+@dataclasses.dataclass(frozen=True)
+class DistMatrix:
+    """Sharded matrix: stacked per-shard local operator (fast format) plus
+    per-shard non-local COO (cols = halo-buffer slots) and the halo plan."""
+
+    local: DiaStack | EllStack
+    halo: CooStack
     plan: HaloPlan
     n_local: int = static_field()
     local_sizes: tuple[int, ...] = static_field()  # true rows per shard
@@ -74,25 +116,128 @@ class DistMatrix:
 
     @property
     def dtype(self):
-        return self.local_vals.dtype
+        if isinstance(self.local, DiaStack):
+            return self.local.data.dtype
+        return self.local.vals.dtype
 
 
-def _ell_pack(n_rows: int, rows, cols, vals, width: int, dtype):
-    """Pack row-major sorted triplets into an (n_rows, width) ELL block;
-    pad cols point at row 0 with val 0 (inert)."""
-    ec = np.zeros((n_rows, width), np.int32)
-    ev = np.zeros((n_rows, width), dtype)
-    if len(rows):
-        counts = np.bincount(rows, minlength=n_rows)
-        starts = np.zeros(n_rows + 1, np.int64)
+# -----------------------------------------------------------------------------
+# packing (host-side setup)
+# -----------------------------------------------------------------------------
+
+
+def _dia_union_offsets(shards, max_diags: int = 64):
+    """Union of diagonal offsets across shards, or None if too wide for DIA."""
+    offs: set[int] = set()
+    for rows, cols, _ in shards:
+        if len(rows):
+            offs |= set(np.unique(np.asarray(cols, np.int64) - np.asarray(rows, np.int64)).tolist())
+    if not offs:
+        offs = {0}
+    if len(offs) > max_diags:
+        return None
+    return tuple(sorted(int(o) for o in offs))
+
+
+def pack_local_stack(shards, n_local: int, dtype, fmt: str = "auto",
+                     max_diags: int = 64):
+    """Pack per-shard (rows, cols, vals) triples into a stacked local
+    operator.  Returns (stack, dest) where dest is the per-shard entry→slot
+    map (P, E) into the flattened per-shard storage, for the jit'd
+    steady-state value update (pad entries map to the last parking slot).
+
+    fmt: "auto" (Dia if the union of offsets is narrow, else Ell),
+    "Dia", or "Ell".
+    """
+    p = len(shards)
+    e = max((len(r) for r, _, _ in shards), default=0)
+    e = max(e, 1)
+    offs = _dia_union_offsets(shards, max_diags) if fmt in ("auto", "Dia") else None
+    if fmt == "Dia" and offs is None:
+        raise ValueError(f"shard bandwidth too wide for Dia (> {max_diags} offsets)")
+
+    if offs is not None:
+        nd = len(offs)
+        size = nd * n_local
+        data = np.zeros((p, size + 1), dtype)
+        dest = np.full((p, e), size, np.int32)  # parking slot
+        offs_arr = np.asarray(offs, np.int64)
+        for i, (rows, cols, vals) in enumerate(shards):
+            if not len(rows):
+                continue
+            rows = np.asarray(rows, np.int64)
+            cols = np.asarray(cols, np.int64)
+            d_ids = np.searchsorted(offs_arr, cols - rows)
+            dst = d_ids * n_local + rows
+            np.add.at(data[i], dst, vals)
+            dest[i, : len(rows)] = dst
+        stack = DiaStack(
+            data=jnp.asarray(data[:, :size].reshape(p, nd, n_local)),
+            offsets=offs,
+        )
+        return stack, jnp.asarray(dest)
+
+    # ELL fallback
+    k = 1
+    for rows, _, _ in shards:
+        if len(rows):
+            k = max(k, int(np.bincount(np.asarray(rows, np.int64)).max()))
+    size = n_local * k
+    ecols = np.zeros((p, n_local, k), np.int32)
+    ecols[:] = np.arange(n_local, dtype=np.int32)[None, :, None]  # pad col = own row
+    evals = np.zeros((p, n_local, k), dtype)
+    dest = np.full((p, e), size, np.int32)
+    for i, (rows, cols, vals) in enumerate(shards):
+        if not len(rows):
+            continue
+        rows = np.asarray(rows, np.int64)
+        counts = np.bincount(rows, minlength=n_local)
+        starts = np.zeros(n_local + 1, np.int64)
         np.cumsum(counts, out=starts[1:])
         slot = np.arange(len(rows)) - starts[rows]
-        ec[rows, slot] = cols
-        ev[rows, slot] = vals
-    return ec, ev
+        ecols[i, rows, slot] = np.asarray(cols, np.int32)
+        evals[i, rows, slot] = vals
+        dest[i, : len(rows)] = (rows * k + slot).astype(np.int32)
+    return EllStack(cols=jnp.asarray(ecols), vals=jnp.asarray(evals)), jnp.asarray(dest)
 
 
-def partition_coo(coo: Coo, n_parts: int) -> DistMatrix:
+def pack_halo_stack(shards, dtype):
+    """Pack per-shard halo (rows, slots, vals) triples into a CooStack.
+    Entry order within each shard is preserved (row-major sorted by
+    construction — required ordering, reference HostMatrix.C:449-456)."""
+    p = len(shards)
+    e = max((len(r) for r, _, _ in shards), default=0)
+    e = max(e, 1)
+    rows = np.full((p, e), 0, np.int32)
+    cols = np.zeros((p, e), np.int32)
+    vals = np.zeros((p, e), dtype)
+    for i, (r, s, v) in enumerate(shards):
+        rows[i, len(r):] = 0
+        rows[i, : len(r)] = np.asarray(r, np.int32)
+        cols[i, : len(s)] = np.asarray(s, np.int32)
+        vals[i, : len(v)] = v
+    return CooStack(rows=jnp.asarray(rows), cols=jnp.asarray(cols),
+                    vals=jnp.asarray(vals))
+
+
+def shard_local_matrix(local, n_local: int):
+    """Per-shard format container from a stacked local operator whose leaves
+    carry a leading parts axis of size 1 (inside shard_map)."""
+    if isinstance(local, DiaStack):
+        return Dia(data=local.data[0], offsets=local.offsets,
+                   shape=(n_local, n_local))
+    if isinstance(local, EllStack):
+        return Ell(cols=local.cols[0], vals=local.vals[0],
+                   shape=(n_local, n_local))
+    raise TypeError(f"unknown local stack {type(local)}")
+
+
+# -----------------------------------------------------------------------------
+# global-COO construction (decomposePar-simple analogue)
+# -----------------------------------------------------------------------------
+
+
+def partition_coo(coo: Coo, n_parts: int, local_format: str = "auto") -> DistMatrix:
     """Contiguous block (1-D) partition of a global row-major COO into a
     DistMatrix — the structural equivalent of decomposePar + the reference's
     per-rank HostMatrix construction, derived from the global operator.
@@ -155,36 +300,22 @@ def partition_coo(coo: Coo, n_parts: int) -> DistMatrix:
         n_parts=p,
     )
 
-    # ---- pack local + halo ELL blocks per part (row-major preserved)
-    loc_w = 1
-    halo_w = 1
-    packed = []
+    # ---- per-part triples (row-major order preserved)
+    loc_shards, halo_shards = [], []
     for i in range(p):
         sel_l = (part_of_entry == i) & is_local
         sel_h = (part_of_entry == i) & ~is_local
-        lr = rows[sel_l] - bounds[i]
-        if sel_l.any():
-            loc_w = max(loc_w, int(np.bincount(lr).max()))
-        hr = rows[sel_h] - bounds[i]
-        if sel_h.any():
-            halo_w = max(halo_w, int(np.bincount(hr).max()))
         lookup = {int(c): k for k, c in enumerate(halo_cols_of[i])}
         hslots = np.array([lookup[int(c)] for c in cols[sel_h]], np.int64)
-        packed.append((lr, cols[sel_l] - bounds[i], vals[sel_l], hr, hslots, vals[sel_h]))
+        loc_shards.append((rows[sel_l] - bounds[i], cols[sel_l] - bounds[i], vals[sel_l]))
+        halo_shards.append((rows[sel_h] - bounds[i], hslots, vals[sel_h]))
 
-    lc = np.zeros((p, n_local, loc_w), np.int32)
-    lv = np.zeros((p, n_local, loc_w), dtype)
-    hc = np.zeros((p, n_local, halo_w), np.int32)
-    hv = np.zeros((p, n_local, halo_w), dtype)
-    for i, (lr, lcols, lvals, hr, hcols, hvals) in enumerate(packed):
-        lc[i], lv[i] = _ell_pack(n_local, lr, lcols, lvals, loc_w, dtype)
-        hc[i], hv[i] = _ell_pack(n_local, hr, hcols, hvals, halo_w, dtype)
+    local, _ = pack_local_stack(loc_shards, n_local, dtype, fmt=local_format)
+    halo = pack_halo_stack(halo_shards, dtype)
 
     return DistMatrix(
-        local_cols=jnp.asarray(lc),
-        local_vals=jnp.asarray(lv),
-        halo_cols=jnp.asarray(hc),
-        halo_vals=jnp.asarray(hv),
+        local=local,
+        halo=halo,
         plan=plan,
         n_local=n_local,
         local_sizes=local_sizes,

@@ -3,7 +3,8 @@
 The reference's distributed solve (`solve_multi_gpu_impl`,
 lduLduBase.H:189-308) maps as:
   Ginkgo dist Matrix::apply (local + non-local SpMV w/ sparse_communicator)
-      -> `dist_matvec`: local ELL SpMV + ppermute halo rounds + halo SpMV
+      -> `dist_ops`: per-shard fast-format local SpMV (Dia: gather-free;
+         Ell fallback) + ppermute halo rounds + surface-sized COO halo apply
   dist Vector compute_norm1/compute_mean (device reduce + MPI allreduce)
       -> jnp reductions + lax.psum over the mesh axis
   MPI_Comm + executor pairing -> jax Mesh + shard_map
@@ -11,30 +12,42 @@ lduLduBase.H:189-308) maps as:
 The SAME solver bodies (ogl_tpu.solve.*) run inside shard_map — only the
 Ops bundle changes.  Every shard executes an identical program (SPMD); the
 stopping criterion state is replicated because every reduction is psum'd.
+
+Preconditioning is additive Schwarz exactly like the reference wraps every
+local preconditioner in parallel runs (Preconditioner.H:47-81): per-shard
+states are stacked on the parts axis and applied inside shard_map (see
+ogl_tpu.dist.precond).
 """
 
 from __future__ import annotations
-
-from functools import partial
 
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
-from ogl_tpu.dist.partition import DistMatrix, HaloPlan
+from ogl_tpu.core.formats import Dia, Ell
+from ogl_tpu.dist.partition import DistMatrix, HaloPlan, shard_local_matrix
 from ogl_tpu.solve import bicgstab, cg, gmres, ir
 from ogl_tpu.solve.krylov import Ops
 
-__all__ = ["halo_exchange", "dist_matvec", "dist_ops", "dist_solve",
+__all__ = ["halo_exchange", "dist_ops", "dist_solve", "local_diag",
            "schwarz_jacobi_builder", "schwarz_block_jacobi_builder"]
 
 
-def schwarz_jacobi_builder(local_cols, local_vals):
+def local_diag(m):
+    """Diagonal of a per-shard local matrix (Dia or Ell container)."""
+    if isinstance(m, Dia):
+        if 0 in m.offsets:
+            return m.data[m.offsets.index(0)]
+        return jnp.zeros((m.shape[0],), m.dtype)
+    row_ids = jnp.arange(m.shape[0])[:, None]
+    return jnp.sum(jnp.where(m.cols == row_ids, m.vals, 0.0), axis=1)
+
+
+def schwarz_jacobi_builder(local_m):
     """Per-shard scalar Jacobi (additive Schwarz, the parallel default of
     the reference's wrap_schwarz, Preconditioner.H:47-81)."""
-    n_local = local_cols.shape[0]
-    row_ids = jnp.arange(n_local)[:, None]
-    diag = jnp.sum(jnp.where(local_cols == row_ids, local_vals, 0.0), axis=1)
+    diag = local_diag(local_m)
     inv = jnp.where(jnp.abs(diag) > 0, 1.0 / jnp.where(diag == 0, 1.0, diag), 0.0)
     return lambda r: inv * r
 
@@ -48,24 +61,35 @@ def schwarz_block_jacobi_builder(block_size: int):
     if bs <= 1:
         return schwarz_jacobi_builder
 
-    def builder(local_cols, local_vals):
-        n_local, width = local_cols.shape
+    def builder(local_m):
+        n_local = local_m.shape[0]
         nb = -(-n_local // bs)
-        rows = jnp.repeat(jnp.arange(n_local), width).reshape(n_local, width)
-        b_of_row = rows // bs
-        b_of_col = local_cols // bs
-        in_block = b_of_row == b_of_col
-        # scatter entries into (nb, bs, bs); out-of-block contribute 0 to a
-        # parked block index nb
-        bidx = jnp.where(in_block, b_of_row, nb)
-        blocks = jnp.zeros((nb + 1, bs, bs), local_vals.dtype)
-        blocks = blocks.at[bidx, rows % bs, local_cols % bs].add(
-            jnp.where(in_block, local_vals, 0.0)
-        )[:nb]
+        blocks = jnp.zeros((nb + 1, bs, bs), local_m.dtype)
+        if isinstance(local_m, Dia):
+            i = jnp.arange(n_local)
+            for k, off in enumerate(local_m.offsets):
+                j = i + off
+                in_block = (j >= 0) & (j < n_local) & (j // bs == i // bs)
+                bidx = jnp.where(in_block, i // bs, nb)
+                jc = jnp.clip(j, 0, n_local - 1)
+                blocks = blocks.at[bidx, i % bs, jc % bs].add(
+                    jnp.where(in_block, local_m.data[k], 0.0)
+                )
+        else:
+            cols = local_m.cols
+            vals = local_m.vals
+            n_local, width = cols.shape
+            rows = jnp.repeat(jnp.arange(n_local), width).reshape(n_local, width)
+            in_block = (rows // bs) == (cols // bs)
+            bidx = jnp.where(in_block, rows // bs, nb)
+            blocks = blocks.at[bidx, rows % bs, cols % bs].add(
+                jnp.where(in_block, vals, 0.0)
+            )
+        blocks = blocks[:nb]
         # identity-pad empty diagonal positions (padded rows beyond n_local)
-        eye = jnp.eye(bs, dtype=local_vals.dtype)
+        eye = jnp.eye(bs, dtype=blocks.dtype)
         diag_abs = jnp.abs(jnp.einsum("bii->bi", blocks))
-        fix = (diag_abs == 0).astype(local_vals.dtype)
+        fix = (diag_abs == 0).astype(blocks.dtype)
         blocks = blocks + jnp.einsum("bi,ij->bij", fix, eye)
         inv = jnp.linalg.inv(blocks)
 
@@ -77,6 +101,7 @@ def schwarz_block_jacobi_builder(block_size: int):
         return apply
 
     return builder
+
 
 _SOLVERS = {"GKOCG": cg, "GKOBiCGStab": bicgstab, "GKOGMRES": gmres, "GKOIR": ir}
 
@@ -96,32 +121,28 @@ def halo_exchange(x, plan: HaloPlan, axis: str):
     return h[: plan.halo_size]
 
 
-def _local_spmv(cols, vals, x):
-    return jnp.sum(vals * jnp.take(x, cols, axis=0), axis=1)
+def _halo_apply(halo_rows, halo_cols, halo_vals, h, n_local: int):
+    """Surface-sized non-local apply: y += A_halo @ h (pads: val 0)."""
+    contrib = halo_vals * jnp.take(h, halo_cols, axis=0)
+    return jax.ops.segment_sum(contrib, halo_rows, num_segments=n_local)
 
 
-def dist_matvec(dm: DistMatrix, axis: str):
-    """Per-shard closure y = (A x) on local shards, with halo exchange."""
+def dist_ops(local_m, halo, plan: HaloPlan, global_n: int, axis: str,
+             precond=None) -> Ops:
+    """Ops bundle for use INSIDE shard_map.  `local_m` is the per-shard
+    local matrix (Dia/Ell container); `halo` the per-shard COO triple
+    (rows, cols, vals) with leading axes already stripped; reductions psum
+    over `axis`."""
+    from ogl_tpu.kernels.spmv import apply_fast
 
-    def mv(x, local_cols, local_vals, halo_cols, halo_vals):
-        y = _local_spmv(local_cols, local_vals, x)
-        if dm.plan.offsets:
-            h = halo_exchange(x, dm.plan, axis)
-            y = y + _local_spmv(halo_cols, halo_vals, h)
-        return y
-
-    return mv
-
-
-def dist_ops(local_cols, local_vals, halo_cols, halo_vals, plan: HaloPlan,
-             global_n: int, axis: str, precond=None) -> Ops:
-    """Ops bundle for use INSIDE shard_map: reductions psum over `axis`."""
+    n_local = local_m.shape[0]
+    h_rows, h_cols, h_vals = halo
 
     def mv(x):
-        y = _local_spmv(local_cols, local_vals, x)
+        y = apply_fast(local_m, x)
         if plan.offsets:
             h = halo_exchange(x, plan, axis)
-            y = y + _local_spmv(halo_cols, halo_vals, h)
+            y = y + _halo_apply(h_rows, h_cols, h_vals, h, n_local)
         return y
 
     return Ops(
@@ -142,28 +163,39 @@ def dist_solve(
     axis: str = "x",
     solver: str = "GKOCG",
     precond_builder=None,
+    precond=None,
     krylov_dim: int = 100,
 ):
     """Run a Krylov solve over the mesh.  b/x0 are (P, n_local) stacks
-    (padded rows zero).  `precond_builder`, if given, maps per-shard static
-    data to an apply closure inside the shard (additive-Schwarz semantics:
-    each shard preconditions with its local block only —
-    reference Preconditioner.H:47-81 wrap_schwarz).
+    (padded rows zero).
+
+    Preconditioning (additive-Schwarz semantics, each shard preconditions
+    with its local block only — reference Preconditioner.H:47-81
+    wrap_schwarz), either of:
+      precond_builder: maps the per-shard local matrix container to an
+                       apply closure (built inside the shard program);
+      precond:         (apply_fn, state_stack) — host-built per-shard
+                       states stacked on the parts axis (see
+                       ogl_tpu.dist.precond); apply_fn(state, r) -> z.
 
     Returns (x_stack, SolveResult-of-replicated-scalars).
     """
     solve_fn = _SOLVERS[solver]
     kw = {"krylov_dim": krylov_dim} if solver == "GKOGMRES" else {}
+    pc_apply, pc_stack = precond if precond is not None else (None, ())
 
-    def shard_body(local_cols, local_vals, halo_cols, halo_vals, b, x0, sp):
-        local_cols, local_vals = local_cols[0], local_vals[0]
-        halo_cols, halo_vals = halo_cols[0], halo_vals[0]
+    def shard_body(local, halo, b, x0, sp, pc_state):
+        local_m = shard_local_matrix(local, dm.n_local)
+        halo_t = (halo.rows[0], halo.cols[0], halo.vals[0])
         b, x0 = b[0], x0[0]
-        pc = precond_builder(local_cols, local_vals) if precond_builder else None
-        ops = dist_ops(
-            local_cols, local_vals, halo_cols, halo_vals, dm.plan,
-            dm.global_n, axis, precond=pc,
-        )
+        if pc_apply is not None:
+            state = jax.tree.map(lambda a: a[0], pc_state)
+            pc = lambda r: pc_apply(state, r)
+        elif precond_builder is not None:
+            pc = precond_builder(local_m)
+        else:
+            pc = None
+        ops = dist_ops(local_m, halo_t, dm.plan, dm.global_n, axis, precond=pc)
         res = solve_fn(ops, b, x0, sp, **kw)
         return (
             res.x[None],
@@ -177,12 +209,11 @@ def dist_solve(
     out = jax.shard_map(
         shard_body,
         mesh=mesh,
-        in_specs=(spec_stack, spec_stack, spec_stack, spec_stack, spec_stack,
-                  spec_stack, P()),
+        in_specs=(spec_stack, spec_stack, spec_stack, spec_stack, P(),
+                  spec_stack),
         out_specs=(spec_stack, P(), P(), P(), P()),
         check_vma=False,
-    )(dm.local_cols, dm.local_vals, dm.halo_cols, dm.halo_vals,
-      b_stack, x0_stack, stopping_params)
+    )(dm.local, dm.halo, b_stack, x0_stack, stopping_params, pc_stack)
     x, iters, init_rn, final_rn, conv = out
     from ogl_tpu.solve.cg import SolveResult
 

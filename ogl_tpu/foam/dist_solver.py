@@ -4,32 +4,45 @@ persistent object over a jax.sharding.Mesh.
 
 Construction mirrors the reference: per-rank LduMatrix systems with
 processor interfaces (what decomposePar + the per-rank HostMatrix would
-hold) become a DistMatrix once; steady-state solves only swap coefficient
-stacks (update_values) and re-split b.  The mesh takes the place of the MPI
-communicator; the solve itself is dist.dist_solve (shard_map + ppermute
-halo rounds + psum reductions).
+hold) become a DistMatrix once (DistAssembler); steady-state solves only
+re-assemble coefficients on device and re-split b.  The mesh takes the
+place of the MPI communicator; the solve itself is dist.dist_solve
+(shard_map + ppermute halo rounds + psum reductions) with per-shard fast
+local formats.  Preconditioning wraps the full local set in additive
+Schwarz (dist.precond.build_schwarz — reference Preconditioner.H:47-81),
+with the same TTL caching as the single-device path
+(Preconditioner.H:353-431).
+
+Observability matches FoamSolver / the reference's printed metrics
+(lduLduBase.H:280-305): per-solve statistics (time/iter, time/iter/DOF,
+copy-back bandwidth), the OGL_Info banner, per-rank .mtx export under
+processor<i>/<time>/ (common.C:31-58), and the measured residual-eval
+relative cost feeding adaptMinIter (lduLduBase.H:287-293).
 """
 
 from __future__ import annotations
 
+import time
+
 import numpy as np
 import jax
 import jax.numpy as jnp
-from jax.sharding import Mesh
+from jax.sharding import Mesh, PartitionSpec as P
 
-from ogl_tpu import registry
+from ogl_tpu import common, registry
 from ogl_tpu.config import SolverConfig, parse_controls
 from ogl_tpu.core import ldu as ldu_mod
+from ogl_tpu.core import mtx
+from ogl_tpu.core.formats import Coo
 from ogl_tpu.dist import dist_solve
-from ogl_tpu.dist.from_ranks import dist_from_ldu_ranks, update_values
+from ogl_tpu.dist.from_ranks import DistAssembler
 from ogl_tpu.dist.partition import gather_global, split_vector
-from ogl_tpu.foam.solver import SolverPerformance
+from ogl_tpu.dist.precond import build_schwarz
+from ogl_tpu.dist.solve import dist_ops, shard_local_matrix
+from ogl_tpu.foam.solver import SolverPerformance, _banner
 from ogl_tpu.solve import stopping
 
 __all__ = ["DistFoamSolver", "solve_distributed"]
-
-
-from ogl_tpu.dist.solve import schwarz_block_jacobi_builder, schwarz_jacobi_builder
 
 
 class DistFoamSolver:
@@ -48,55 +61,138 @@ class DistFoamSolver:
             mesh = Mesh(np.array(devs), ("x",))
         self.mesh = mesh
         self.n_parts = int(np.prod(mesh.devices.shape))
-        self.dm = None
+        self.assembler: DistAssembler | None = None
         self.props = registry.global_registry.properties(field_name)
         self.dtype = jnp.dtype(self.cfg.dtype)
+        self._precond = None
+        self._res_eval_time: float | None = None
 
     def _ranks_of(self, m):
         if isinstance(m, ldu_mod.LduMatrix):
             return ldu_mod.decompose(m, self.n_parts)
         return list(m)
 
-    def solve(self, m, b, psi=None):
+    # -- preconditioner (Schwarz wrap + TTL, Preconditioner.H:47-81,353-431)
+    def _update_precond(self, ranks):
+        name = self.cfg.precond.name
+        if name == "none":
+            self._precond = None
+            return
+        if self._precond is not None and self.props.precond_caching_left > 0:
+            self.props.precond_caching_left -= 1
+            return
+        shards = self.assembler.shard_triples(ranks)
+        self._precond = build_schwarz(
+            self.cfg.precond, shards, self.assembler.dm.n_local,
+            np.dtype(self.dtype),
+        )
+        self.props.precond_caching_left = self.cfg.precond.caching
+
+    def _measure_res_eval(self, dm, x_stack, b_stack):
+        """Time one distributed residual-norm evaluation (the criterion's
+        per-check cost; reference lduLduBase.H:287-293)."""
+
+        def body(local, halo, x, b):
+            local_m = shard_local_matrix(local, dm.n_local)
+            ops = dist_ops(local_m, (halo.rows[0], halo.cols[0], halo.vals[0]),
+                           dm.plan, dm.global_n, "x")
+            return ops.allreduce(jnp.sum(jnp.abs(b[0] - ops.matvec(x[0]))))
+
+        spec = P("x")
+        fn = jax.jit(jax.shard_map(body, mesh=self.mesh,
+                                   in_specs=(spec, spec, spec, spec),
+                                   out_specs=P(), check_vma=False))
+        jax.block_until_ready(fn(dm.local, dm.halo, x_stack, b_stack))
+        t0 = time.perf_counter()
+        jax.block_until_ready(fn(dm.local, dm.halo, x_stack, b_stack))
+        return max(time.perf_counter() - t0, 1e-9)
+
+    def _export(self, ranks, b_stack, time_value):
+        """Per-rank matrix/vector export (reference CsrMatrixWrapper.H:271-290,
+        common.C:31-58: processor?/<time>/<field>_A_{local,non_local}.mtx)."""
+        t = time_value if time_value is not None else "0"
+        shards = self.assembler.shard_triples(ranks)
+        dm = self.assembler.dm
+        hrows = np.asarray(jax.device_get(dm.halo.rows))
+        hcols = np.asarray(jax.device_get(dm.halo.cols))
+        hvals = np.asarray(jax.device_get(dm.halo.vals))
+        bs = np.asarray(jax.device_get(b_stack))
+        for i, (rows, cols, vals) in enumerate(shards):
+            n_i = dm.local_sizes[i]
+            pre = f"processor{i}/{t}/{self.field}"
+            mtx.write_coo(f"{pre}_A_local.mtx", Coo(
+                rows=rows.astype(np.int32), cols=cols.astype(np.int32),
+                vals=vals, shape=(n_i, n_i)))
+            live = hvals[i] != 0
+            mtx.write_coo(f"{pre}_A_non_local.mtx", Coo(
+                rows=hrows[i][live], cols=hcols[i][live], vals=hvals[i][live],
+                shape=(n_i, dm.plan.halo_size)))
+            mtx.write_dense(f"{pre}_b.mtx", bs[i, :n_i])
+
+    def solve(self, m, b, psi=None, time_value: str | None = None):
+        cfg = self.cfg
         ranks = self._ranks_of(m)
-        if self.dm is None:
-            self.dm = dist_from_ldu_ranks(ranks, dtype=np.dtype(self.dtype))
-        elif self.cfg.update_sys_matrix:
-            self.dm = update_values(self.dm, ranks, dtype=np.dtype(self.dtype))
-        dm = self.dm
+        _banner(cfg, self.field, self.mesh.devices.ravel()[0])
+        if self.assembler is None:
+            with common.timed("init_dist_matrix", cfg.verbose, self.field):
+                self.assembler = DistAssembler(
+                    ranks, dtype=np.dtype(self.dtype),
+                    local_format=cfg.dist_local_format,
+                )
+        elif cfg.update_sys_matrix:
+            with common.timed("update_dist_values", cfg.verbose, self.field):
+                self.assembler.update(ranks)
+        dm = self.assembler.dm
+        self._update_precond(ranks)
 
         bs = jnp.asarray(split_vector(dm, np.asarray(b)), self.dtype)
-        if psi is not None and self.cfg.update_init_guess:
+        if psi is not None and cfg.update_init_guess:
             x0 = jnp.asarray(split_vector(dm, np.asarray(psi)), self.dtype)
         else:
             x0 = jnp.zeros_like(bs)
 
-        stopping_cfg = self.cfg.stopping.adapted(
-            self.props.prev_solve_iters, self.props.prev_rel_res_cost, self.cfg.export
+        stopping_cfg = cfg.stopping.adapted(
+            self.props.prev_solve_iters, self.props.prev_rel_res_cost, cfg.export
         )
         sp = stopping.StoppingParams.of(stopping_cfg)
 
-        pc = None
-        if self.cfg.precond.name == "BJ":
-            pc = schwarz_block_jacobi_builder(self.cfg.precond.max_block_size)
-        elif self.cfg.precond.name != "none":
-            raise NotImplementedError(
-                f"distributed preconditioner {self.cfg.precond.name!r} not yet "
-                "supported; use none or BJ (additive-Schwarz block Jacobi)"
-            )
-
+        t0 = time.perf_counter()
         x_stack, res = dist_solve(
             dm, bs, x0, sp, self.mesh,
-            solver=self.cfg.solver if self.cfg.solver in
+            solver=cfg.solver if cfg.solver in
             ("GKOCG", "GKOBiCGStab", "GKOGMRES", "GKOIR") else "GKOCG",
-            precond_builder=pc,
-            krylov_dim=self.cfg.krylov_dim,
+            precond=self._precond,
+            krylov_dim=cfg.krylov_dim,
         )
+        jax.block_until_ready(x_stack)
+        solve_t = time.perf_counter() - t0
+
         iters = int(np.asarray(jax.device_get(res.iters)).ravel()[0])
+        time_per_iter = solve_t / max(iters, 1)
+        if self._res_eval_time is None:
+            self._res_eval_time = self._measure_res_eval(dm, x_stack, bs)
+        self.props.prev_rel_res_cost = time_per_iter / self._res_eval_time
         self.props.prev_solve_iters = iters
+
+        t1 = time.perf_counter()
         x = gather_global(dm, x_stack)
+        copy_t = max(time.perf_counter() - t1, 1e-9)
+
+        if cfg.verbose > 0:
+            n = dm.global_n
+            print(
+                "\nStatistics:\n"
+                f"\tTime per iteration: {time_per_iter * 1e6:.3f} [mu s]\n"
+                f"\tTime per residual norm calculation: {self._res_eval_time * 1e6:.3f} [mu s]\n"
+                f"\tTime per iteration and DOF: {time_per_iter * 1e9 / n:.3f} [ns]\n"
+                f"\tRetrieve results bandwidth "
+                f"{np.dtype(self.dtype).itemsize * n / copy_t / 1e9:.3g} [GByte/s]"
+            )
+        if cfg.export or cfg.debug:
+            self._export(ranks, bs, time_value)
+
         perf = SolverPerformance(
-            solver_name=f"{self.cfg.solver}_dist{self.n_parts}",
+            solver_name=f"{cfg.solver}_dist{self.n_parts}",
             field_name=self.field,
             initial_residual=float(np.asarray(jax.device_get(res.init_res_norm)).ravel()[0]),
             final_residual=float(np.asarray(jax.device_get(res.final_res_norm)).ravel()[0]),

@@ -26,7 +26,7 @@ import numpy as np
 
 from ogl_tpu.core.formats import Coo
 
-__all__ = ["ilu0", "ilut", "ic0", "ict", "ilu0_factors", "ic0_factor"]
+__all__ = ["ilu0", "ilut", "ic0", "ict", "ilu0_factors", "ic0_factor", "ict_factor"]
 
 
 def _host_csr(coo: Coo):
@@ -240,12 +240,11 @@ def ic0(coo: Coo, sweeps: int = 8):
     return _ic_apply(n, Ls, Lst, ld, sweeps, dtype)
 
 
-def ict(coo: Coo, sweeps: int = 8, drop_tol: float = 1e-3):
-    """Threshold IC (ParIct equivalent): left-looking row Cholesky with
-    fill-in, dropping computed entries with |l_ij| ≤ drop_tol·√(a_ii·a_jj)
-    unless (i,j) is in A's pattern."""
+def ict_factor(coo: Coo, drop_tol: float = 1e-3):
+    """Threshold IC factor (ParIct equivalent): left-looking row Cholesky
+    with fill-in, dropping computed entries with |l_ij| ≤ drop_tol·√(a_ii·a_jj)
+    unless (i,j) is in A's pattern.  Returns ((rows, cols, vals), ldiag)."""
     n, indptr, cols, vals = _host_csr(coo)
-    dtype = np.asarray(jax.device_get(coo.vals)).dtype
     rows_full = np.repeat(np.arange(n), np.diff(indptr))
     diag = np.zeros(n)
     dm = rows_full == cols
@@ -295,9 +294,15 @@ def ict(coo: Coo, sweeps: int = 8, drop_tol: float = 1e-3):
             rws.append(i)
             cls.append(j)
             vls.append(v)
-    lr = np.array(rws, np.int64)
-    lc = np.array(cls, np.int64)
-    lv = np.array(vls)
+    return (np.array(rws, np.int64), np.array(cls, np.int64),
+            np.array(vls)), ldiag
+
+
+def ict(coo: Coo, sweeps: int = 8, drop_tol: float = 1e-3):
+    """Threshold IC preconditioner (sweep apply over the ict_factor)."""
+    dtype = np.asarray(jax.device_get(coo.vals)).dtype
+    (lr, lc, lv), ldiag = ict_factor(coo, drop_tol)
+    n = coo.shape[0]
     Ls = _to_ell(n, lr, lc, lv, dtype)
     Lst = _to_ell(n, lc, lr, lv, dtype)
     return _ic_apply(n, Ls, Lst, ldiag, sweeps, dtype)

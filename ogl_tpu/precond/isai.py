@@ -21,7 +21,7 @@ import numpy as np
 
 from ogl_tpu.core.formats import Coo
 
-__all__ = ["isai"]
+__all__ = ["isai", "isai_triples"]
 
 
 def _pattern_power(rows, cols, n, p: int):
@@ -38,7 +38,10 @@ def _pattern_power(rows, cols, n, p: int):
     return s
 
 
-def isai(coo: Coo, sparsity_power: int = 1, spd: bool = False):
+def isai_triples(coo: Coo, sparsity_power: int = 1):
+    """The approximate-inverse M as host COO triples (rows, cols, vals) —
+    setup only; used by both the single-device PrecondOp and the
+    distributed Schwarz stacking (dist.precond)."""
     n = coo.shape[0]
     rows = np.asarray(jax.device_get(coo.rows)).astype(np.int64)
     cols = np.asarray(jax.device_get(coo.cols)).astype(np.int64)
@@ -87,22 +90,28 @@ def isai(coo: Coo, sparsity_power: int = 1, spd: bool = False):
     ).squeeze(-1)
     m_rows = jnp.where(jnp.asarray(valid), m_rows, 0.0)
 
+    mvals_host = np.asarray(jax.device_get(m_rows))
+    mrows_all = np.repeat(np.arange(n)[:, None], k, axis=1)
+    vmask = valid.reshape(-1)
+    return (mrows_all.reshape(-1)[vmask], J.reshape(-1)[vmask],
+            mvals_host.reshape(-1)[vmask])
+
+
+def isai(coo: Coo, sparsity_power: int = 1, spd: bool = False):
+    n = coo.shape[0]
+    mr, mc, mv = isai_triples(coo, sparsity_power=sparsity_power)
+
     from ogl_tpu.kernels.spmv import apply_fast, pack_fast
     from ogl_tpu.precond import PrecondOp
 
     # pack M into the fastest TPU format (its apply is a hot-loop SpMV)
-    mvals_host = np.asarray(jax.device_get(m_rows))
-    mrows_all = np.repeat(np.arange(n)[:, None], k, axis=1)
-    vmask = valid.reshape(-1)
-    M = pack_fast(mrows_all.reshape(-1)[vmask], J.reshape(-1)[vmask],
-                  mvals_host.reshape(-1)[vmask], n)
+    M = pack_fast(mr, mc, mv, n)
 
     if not spd:
         return PrecondOp(lambda s, r: apply_fast(s, r).astype(r.dtype), M)
 
     # transpose of M for the symmetrised apply
-    Mt = pack_fast(J.reshape(-1)[vmask], mrows_all.reshape(-1)[vmask],
-                   mvals_host.reshape(-1)[vmask], n)
+    Mt = pack_fast(mc, mr, mv, n)
 
     def apply_spd(s, r):
         m, mt = s

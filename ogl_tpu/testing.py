@@ -13,7 +13,8 @@ import numpy as np
 
 from ogl_tpu.core import ldu
 
-__all__ = ["poisson_ldu", "poisson_dense", "grid_shape"]
+__all__ = ["poisson_ldu", "poisson_dense", "convection_diffusion_ldu",
+           "to_dense_ldu", "grid_shape"]
 
 
 def grid_shape(dims):
@@ -72,11 +73,38 @@ def poisson_ldu(dims, dirichlet_boundary: bool = True) -> ldu.LduMatrix:
     )
 
 
-def poisson_dense(dims, dirichlet_boundary: bool = True) -> np.ndarray:
-    m = poisson_ldu(dims, dirichlet_boundary)
+def convection_diffusion_ldu(dims, peclet: float = 0.5) -> ldu.LduMatrix:
+    """Non-symmetric convection-diffusion system (upwinded convection adds
+    ±peclet to the off-diagonals), exercising the asymmetric LDU path
+    (separate lower/upper arrays, like a momentum equation)."""
+    base = poisson_ldu(dims)
+    nf = base.n_faces
+    upper = base.upper - peclet  # downstream coupling
+    lower = np.full(nf, -1.0) + peclet  # upstream coupling
+    diag = base.diag + 2 * abs(peclet)  # keep diagonally dominant
+    return ldu.LduMatrix(
+        n=base.n,
+        lower_addr=base.lower_addr,
+        upper_addr=base.upper_addr,
+        diag=diag,
+        upper=upper,
+        lower=lower,
+    )
+
+
+def to_dense_ldu(m: ldu.LduMatrix) -> np.ndarray:
+    """Densify any LduMatrix (incl. non-symmetric and local interfaces)."""
     a = np.zeros((m.n, m.n))
     np.fill_diagonal(a, m.diag)
+    lower = m.upper if m.symmetric else m.lower
     for f in range(m.n_faces):
-        a[m.lower_addr[f], m.upper_addr[f]] = m.upper[f]
-        a[m.upper_addr[f], m.lower_addr[f]] = m.upper[f]
+        a[m.lower_addr[f], m.upper_addr[f]] += m.upper[f]
+        a[m.upper_addr[f], m.lower_addr[f]] += lower[f]
+    for li in m.local_interfaces:
+        np.add.at(a, (np.asarray(li.rows), np.asarray(li.cols)),
+                  -np.asarray(li.coeffs))
     return a
+
+
+def poisson_dense(dims, dirichlet_boundary: bool = True) -> np.ndarray:
+    return to_dense_ldu(poisson_ldu(dims, dirichlet_boundary))

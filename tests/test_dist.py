@@ -12,7 +12,9 @@ from ogl_tpu import dist
 from ogl_tpu import testing as problems
 from ogl_tpu.config import StoppingConfig
 from ogl_tpu.core import formats, ldu
-from ogl_tpu.dist.partition import gather_global, partition_coo, split_vector
+from ogl_tpu.dist.partition import (
+    DiaStack, gather_global, partition_coo, shard_local_matrix, split_vector,
+)
 from ogl_tpu.solve.stopping import StoppingParams
 
 
@@ -24,26 +26,33 @@ def _poisson_coo(dims):
     return ldu.ldu_to_coo(problems.poisson_ldu(dims)), problems.poisson_dense(dims)
 
 
+def dist_matvec(dm, mesh, xs):
+    """Helper: y = A @ x over the mesh through the public dist_ops path."""
+
+    def body(local, halo, xv):
+        lm = shard_local_matrix(local, dm.n_local)
+        ops = dist.dist_ops(lm, (halo.rows[0], halo.cols[0], halo.vals[0]),
+                            dm.plan, dm.global_n, "x")
+        return ops.matvec(xv[0])[None]
+
+    return jax.jit(
+        jax.shard_map(body, mesh=mesh, in_specs=(P("x"), P("x"), P("x")),
+                      out_specs=P("x"), check_vma=False)
+    )(dm.local, dm.halo, xs)
+
+
 @pytest.mark.parametrize("n_parts", [2, 4, 8])
-def test_dist_matvec_matches_global(n_parts):
+@pytest.mark.parametrize("local_format", ["auto", "Ell"])
+def test_dist_matvec_matches_global(n_parts, local_format):
     coo, a = _poisson_coo((16, 16))
-    dm = partition_coo(coo, n_parts)
+    dm = partition_coo(coo, n_parts, local_format=local_format)
+    if local_format == "auto":
+        # a stencil matrix's contiguous shards are banded -> Dia local blocks
+        assert isinstance(dm.local, DiaStack)
     rng = np.random.default_rng(0)
     x = rng.normal(size=a.shape[0])
     xs = jnp.asarray(split_vector(dm, x))
-    mesh = _mesh(n_parts)
-
-    def body(lc, lv, hc, hv, xv):
-        ops = dist.dist_ops(lc[0], lv[0], hc[0], hv[0], dm.plan, dm.global_n, "x")
-        return ops.matvec(xv[0])[None]
-
-    y = jax.jit(
-        jax.shard_map(
-            body, mesh=mesh,
-            in_specs=(P("x"), P("x"), P("x"), P("x"), P("x")),
-            out_specs=P("x"), check_vma=False,
-        )
-    )(dm.local_cols, dm.local_vals, dm.halo_cols, dm.halo_vals, xs)
+    y = dist_matvec(dm, _mesh(n_parts), xs)
     np.testing.assert_allclose(gather_global(dm, y), a @ x, rtol=1e-12, atol=1e-12)
 
 
@@ -55,13 +64,12 @@ def test_dist_reductions(n_parts):
     v = rng.normal(size=a.shape[0])
     vs = jnp.asarray(split_vector(dm, v))
     mesh = _mesh(n_parts)
+    dummy = formats.Dia(data=jnp.zeros((1, dm.n_local)), offsets=(0,),
+                        shape=(dm.n_local, dm.n_local))
+    halo0 = (jnp.zeros(1, jnp.int32), jnp.zeros(1, jnp.int32), jnp.zeros(1))
 
     def body(x):
-        ops = dist.dist_ops(
-            jnp.zeros((1, 1), jnp.int32), jnp.zeros((1, 1)),
-            jnp.zeros((1, 1), jnp.int32), jnp.zeros((1, 1)),
-            dm.plan, dm.global_n, "x",
-        )
+        ops = dist.dist_ops(dummy, halo0, dm.plan, dm.global_n, "x")
         return jnp.stack([ops.norm1(x[0]), ops.sum(x[0] * x[0]), ops.mean(x[0])])[None]
 
     out = jax.jit(
@@ -120,16 +128,9 @@ def test_dist_solve_schwarz_jacobi():
     mesh = _mesh(4)
     sp = StoppingParams.of(StoppingConfig(tolerance=1e-10, rel_tol=0.0, max_iter=600))
 
-    def jacobi_builder(local_cols, local_vals):
-        # per-shard diagonal: entries where col == own row index
-        n_local = local_cols.shape[0]
-        row_ids = jnp.arange(n_local)[:, None]
-        diag = jnp.sum(jnp.where(local_cols == row_ids, local_vals, 0.0), axis=1)
-        inv = jnp.where(jnp.abs(diag) > 1e-300, 1.0 / jnp.where(diag == 0, 1.0, diag), 0.0)
-        return lambda r: inv * r
-
     x, res = dist.dist_solve(dm, bs, jnp.zeros_like(bs), sp, mesh,
-                             solver="GKOCG", precond_builder=jacobi_builder)
+                             solver="GKOCG",
+                             precond_builder=dist.schwarz_jacobi_builder)
     assert bool(np.asarray(res.converged).all())
     np.testing.assert_allclose(gather_global(dm, x), x_true, atol=1e-6)
 
@@ -142,16 +143,7 @@ def test_partition_pads_are_inert():
     rng = np.random.default_rng(4)
     x = rng.normal(size=10)
     xs = jnp.asarray(split_vector(dm, x))
-    mesh = _mesh(4)
-
-    def body(lc, lv, hc, hv, xv):
-        ops = dist.dist_ops(lc[0], lv[0], hc[0], hv[0], dm.plan, dm.global_n, "x")
-        return ops.matvec(xv[0])[None]
-
-    y = jax.jit(
-        jax.shard_map(body, mesh=mesh,
-                      in_specs=(P("x"),) * 5, out_specs=P("x"), check_vma=False)
-    )(dm.local_cols, dm.local_vals, dm.halo_cols, dm.halo_vals, xs)
+    y = dist_matvec(dm, _mesh(4), xs)
     np.testing.assert_allclose(gather_global(dm, y), a @ x, atol=1e-12)
     # padded slots stay exactly zero
     y = np.asarray(y)

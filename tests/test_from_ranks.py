@@ -6,15 +6,17 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
-from jax.sharding import Mesh, PartitionSpec as P
+from jax.sharding import Mesh
 
 from ogl_tpu import dist
 from ogl_tpu import testing as problems
 from ogl_tpu.config import StoppingConfig
 from ogl_tpu.core import ldu
-from ogl_tpu.dist.from_ranks import dist_from_ldu_ranks
+from ogl_tpu.dist.from_ranks import DistAssembler, dist_from_ldu_ranks
 from ogl_tpu.dist.partition import gather_global, split_vector
 from ogl_tpu.solve.stopping import StoppingParams
+
+from tests.test_dist import dist_matvec
 
 
 def _mesh(n):
@@ -50,16 +52,7 @@ def test_from_ranks_matvec_matches_global(n_parts):
     rng = np.random.default_rng(0)
     x = rng.normal(size=m.n)
     xs = jnp.asarray(split_vector(dm, x))
-    mesh = _mesh(n_parts)
-
-    def body(lc, lv, hc, hv, xv):
-        ops = dist.dist_ops(lc[0], lv[0], hc[0], hv[0], dm.plan, dm.global_n, "x")
-        return ops.matvec(xv[0])[None]
-
-    y = jax.jit(
-        jax.shard_map(body, mesh=mesh, in_specs=(P("x"),) * 5, out_specs=P("x"),
-                      check_vma=False)
-    )(dm.local_cols, dm.local_vals, dm.halo_cols, dm.halo_vals, xs)
+    y = dist_matvec(dm, _mesh(n_parts), xs)
     np.testing.assert_allclose(gather_global(dm, y), a @ x, rtol=1e-12, atol=1e-12)
 
 
@@ -78,34 +71,26 @@ def test_from_ranks_cg_solves():
     np.testing.assert_allclose(gather_global(dm, x), x_true, atol=1e-6)
 
 
-def test_update_values_same_plan():
+def test_assembler_update_is_device_side():
     """Distributed steady-state coefficient update (the reference's
-    update_*_matrix_data): new values, same plan/sparsity."""
-    import dataclasses
-
-    from ogl_tpu.dist.from_ranks import update_values
-
+    update_*_matrix_data + device value overwrite): new values, same
+    plan/sparsity, correct operator — via jit'd gathers, no repacking."""
     m = problems.poisson_ldu((12, 8))
     parts = ldu.decompose(m, 4)
-    dm = dist_from_ldu_ranks(parts)
+    asm = DistAssembler(parts)
+    dm = asm.dm
+    import dataclasses
+
     m2 = dataclasses.replace(m, diag=m.diag + 1.5)
     parts2 = ldu.decompose(m2, 4)
-    dm2 = update_values(dm, parts2)
+    dm2 = asm.update(parts2)
     assert dm2.plan is dm.plan
+    assert type(dm2.local) is type(dm.local)
     a2 = problems.poisson_dense((12, 8)) + 1.5 * np.eye(m.n)
     rng = np.random.default_rng(5)
     x = rng.normal(size=m.n)
     xs = jnp.asarray(split_vector(dm2, x))
-    mesh = _mesh(4)
-
-    def body(lc, lv, hc, hv, xv):
-        ops = dist.dist_ops(lc[0], lv[0], hc[0], hv[0], dm2.plan, dm2.global_n, "x")
-        return ops.matvec(xv[0])[None]
-
-    y = jax.jit(
-        jax.shard_map(body, mesh=mesh, in_specs=(P("x"),) * 5, out_specs=P("x"),
-                      check_vma=False)
-    )(dm2.local_cols, dm2.local_vals, dm2.halo_cols, dm2.halo_vals, xs)
+    y = dist_matvec(dm2, _mesh(4), xs)
     np.testing.assert_allclose(gather_global(dm2, y), a2 @ x, atol=1e-12)
 
 
@@ -134,14 +119,5 @@ def test_multiple_interfaces_same_pair():
     rng = np.random.default_rng(2)
     x = rng.normal(size=8)
     xs = jnp.asarray(split_vector(dm, x))
-    mesh = _mesh(2)
-
-    def body(lc, lv, hc, hv, xv):
-        ops = dist.dist_ops(lc[0], lv[0], hc[0], hv[0], dm.plan, dm.global_n, "x")
-        return ops.matvec(xv[0])[None]
-
-    y = jax.jit(
-        jax.shard_map(body, mesh=mesh, in_specs=(P("x"),) * 5, out_specs=P("x"),
-                      check_vma=False)
-    )(dm.local_cols, dm.local_vals, dm.halo_cols, dm.halo_vals, xs)
+    y = dist_matvec(dm, _mesh(2), xs)
     np.testing.assert_allclose(gather_global(dm, y), a @ x, atol=1e-12)
