@@ -116,6 +116,11 @@ class SolverConfig:
     # distributed local-block format: "auto" (Dia if the union of diagonal
     # offsets across shards is narrow, else Ell), "Dia", or "Ell"
     dist_local_format: str = "auto"
+    # whether matrixFormat was given explicitly: when False and the executor
+    # is an accelerator whose gather-based SpMV would be slow (Coo/Csr/Ell/
+    # Sell on TPU), the matrix is auto-packed into the fastest representable
+    # format (Dia -> Gdia -> Ell) instead of the reference default Coo
+    matrix_format_explicit: bool = True
 
 
 _BOOL = {"true": True, "yes": True, "on": True, "1": True,
@@ -199,4 +204,5 @@ def parse_controls(controls: dict[str, Any]) -> SolverConfig:
         reorder=str(g("reorder", "none")),
         regenerate=_as_bool(g("regenerate", False)),
         dist_local_format=str(g("distLocalFormat", "auto")),
+        matrix_format_explicit="matrixFormat" in controls,
     )

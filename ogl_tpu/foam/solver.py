@@ -149,6 +149,37 @@ class FoamSolver:
         self.timings = common.Timings()
 
     # -- matrix ---------------------------------------------------------
+    def _convert(self, coo):
+        """Format conversion, with TPU auto-routing: when matrixFormat was
+        not set explicitly and the named format's SpMV would ride XLA's
+        gather lowering on an accelerator (Coo/Csr/Ell/Sell — ~1000x off
+        roofline on TPU), pack into the fastest representable format
+        instead (Dia -> Gdia -> Ell; cf. the reference's inner-format
+        dispatch whose formats are all device-fast in Ginkgo,
+        CsrMatrixWrapper.H:138-161).  Explicit formats are honored."""
+        fmt = self.cfg.matrix_format
+        if (
+            not self.cfg.matrix_format_explicit
+            and self.device.platform == "tpu"
+            and fmt in ("Coo", "Csr", "Ell", "Sell")
+        ):
+            mat = spmv.pack_fast(
+                np.asarray(jax.device_get(coo.rows)),
+                np.asarray(jax.device_get(coo.cols)),
+                np.asarray(jax.device_get(coo.vals)),
+                coo.shape[0],
+            )
+            eff = type(mat).__name__
+            if eff != fmt:
+                common.log(self.cfg.verbose, 0,
+                           f"{self.field}: matrixFormat auto-routed "
+                           f"{fmt} -> {eff} (TPU fast path; set matrixFormat "
+                           "explicitly to override)")
+            self._fmt_used = eff
+            return mat
+        self._fmt_used = fmt
+        return _FORMAT_CONVERTERS[fmt](coo)
+
     def _update_matrix(self, m: ldu.LduMatrix):
         first = self.sparsity is None
         if first:
@@ -212,7 +243,7 @@ class FoamSolver:
                 # `regenerate` forces a full rebuild every solve (reference
                 # CsrMatrixWrapper.H:76-86)
                 with common.timed("convert_format", self.cfg.verbose, self.field, self.timings):
-                    self.matrix = _FORMAT_CONVERTERS[self.cfg.matrix_format](coo)
+                    self.matrix = self._convert(coo)
                     self._coo = coo
             else:
                 # steady state: same sparsity, swap the device value array in
@@ -428,7 +459,7 @@ class FoamSolver:
                 mtx.write_dense(f"processor0/{t}/{self.field}_residuals.mtx", hist)
 
         perf = SolverPerformance(
-            solver_name=f"{cfg.solver}_{cfg.matrix_format}",
+            solver_name=f"{cfg.solver}_{self._fmt_used}",
             field_name=self.field,
             initial_residual=float(res.init_res_norm),
             final_residual=float(res.final_res_norm),
