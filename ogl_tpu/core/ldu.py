@@ -257,6 +257,31 @@ def _assemble(upper, lower, diag, iface, permute, scale, *, symmetric, n_local_i
     return scale * jnp.take(src, permute, axis=0)
 
 
+@partial(jax.jit, donate_argnums=())
+def _assemble_from_src(src, permute, scale):
+    return scale * jnp.take(src, permute, axis=0)
+
+
+def assemble_coeffs_host_src(sp: LduSparsity, m: LduMatrix, dtype, scale=1.0):
+    """Coefficient update with ONE host→device transfer: the raw LDU blocks
+    are concatenated on the host (a memcpy — the reference's bulk copy,
+    HostMatrix.C:684-692) and gathered on device.  Fewer transfers than
+    assemble_coeffs (which uploads diag/upper/lower separately); preferred
+    when the values start host-side."""
+    parts = [np.asarray(m.upper, dtype)]
+    if not sp.symmetric:
+        parts.append(np.asarray(m.lower, dtype))
+    parts.append(np.asarray(m.diag, dtype))
+    if sp.n_local_iface:
+        parts.append(-np.concatenate(
+            [np.asarray(li.coeffs, dtype) for li in m.local_interfaces]))
+    src = np.concatenate(parts)
+    return _assemble_from_src(
+        jnp.asarray(src), jnp.asarray(sp.permute),
+        jnp.asarray(scale, src.dtype),
+    )
+
+
 def assemble_coeffs(
     sp: LduSparsity,
     diag,

@@ -211,19 +211,11 @@ class FoamSolver:
             else:
                 self._reorder = None
         if first or self.cfg.update_sys_matrix:
-            iface = (
-                np.concatenate([np.asarray(li.coeffs) for li in m.local_interfaces])
-                if m.local_interfaces
-                else None
-            )
             with common.timed("update_local_matrix", self.cfg.verbose, self.field, self.timings):
-                vals = ldu.assemble_coeffs(
-                    self.sparsity,
-                    jnp.asarray(np.asarray(m.diag), self.dtype),
-                    jnp.asarray(np.asarray(m.upper), self.dtype),
-                    None if m.symmetric else jnp.asarray(np.asarray(m.lower), self.dtype),
-                    None if iface is None else jnp.asarray(iface, self.dtype),
-                    scale=self.cfg.scaling,
+                # one bulk host concat + ONE upload + a device gather (the
+                # reference's bulk-copy + row_gather path, HostMatrix.C:684-704)
+                vals = ldu.assemble_coeffs_host_src(
+                    self.sparsity, m, self.dtype, scale=self.cfg.scaling
                 )
             if self._reorder is not None:
                 _, _, rp, cp, entry_order = self._reorder
