@@ -40,7 +40,7 @@ def main():
     from ogl_tpu import testing as problems
     from ogl_tpu.config import StoppingConfig
     from ogl_tpu.core import formats, ldu
-    from ogl_tpu.kernels import roofline, spmv
+    from ogl_tpu.kernels import roofline
     from ogl_tpu.solve import cg
     from ogl_tpu.solve.krylov import single_device_ops
     from ogl_tpu.solve.stopping import StoppingParams
@@ -157,7 +157,7 @@ def _config_sweep():
     m = problems.poisson_ldu((48, 48))
     rng = np.random.default_rng(0)
     x_true = rng.normal(size=m.n)
-    from ogl_tpu.core import formats as _f, ldu as _l
+    from ogl_tpu.core import ldu as _l
 
     a_coo = _l.ldu_to_coo_host(m)
     import scipy.sparse as sp_

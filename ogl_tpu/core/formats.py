@@ -27,7 +27,6 @@ distributed correctness, reference HostMatrix.C:449-456).
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
 from typing import Any
 
 import jax

@@ -31,10 +31,8 @@ import jax.numpy as jnp
 
 from ogl_tpu.core import ldu as ldu_mod
 from ogl_tpu.dist.partition import (
-    CooStack,
     DiaStack,
     DistMatrix,
-    EllStack,
     HaloPlan,
     pack_halo_stack,
     pack_local_stack,

@@ -19,7 +19,6 @@ solves, the structure of the reference's IRILU, Preconditioner.H:146-178).
 from __future__ import annotations
 
 import numpy as np
-import jax
 import jax.numpy as jnp
 
 from ogl_tpu.core.formats import Coo, Dia, Ell

@@ -25,7 +25,7 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
-from ogl_tpu.core.formats import Dia, Ell
+from ogl_tpu.core.formats import Dia
 from ogl_tpu.dist.partition import DistMatrix, HaloPlan, shard_local_matrix
 from ogl_tpu.solve import bicgstab, cg, gmres, ir
 from ogl_tpu.solve.krylov import Ops

@@ -26,7 +26,7 @@ from ogl_tpu import __version__ as _version
 from ogl_tpu import common, precond, registry
 from ogl_tpu.config import SolverConfig, parse_controls
 from ogl_tpu.core import formats, ldu, mtx
-from ogl_tpu.kernels import roofline, spmv
+from ogl_tpu.kernels import spmv
 from ogl_tpu.solve import bicgstab, cg, gmres, ir
 from ogl_tpu.solve import stopping
 from ogl_tpu.solve.krylov import single_device_ops

@@ -22,8 +22,6 @@ All functions take x of shape (n,) and return y = A @ x of shape (n,).
 
 from __future__ import annotations
 
-from functools import singledispatch
-
 import jax
 import jax.numpy as jnp
 

@@ -8,7 +8,6 @@ whole solve is a single compiled program with no host syncs.
 
 from __future__ import annotations
 
-import dataclasses
 from typing import Any, NamedTuple
 
 import jax

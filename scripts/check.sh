@@ -4,6 +4,9 @@
 set -euo pipefail
 cd "$(dirname "$0")/.."
 
+echo "== lint =="
+python scripts/lint.py
+
 echo "== byte-compile =="
 python -m compileall -q ogl_tpu bench.py __graft_entry__.py
 

@@ -3,7 +3,6 @@ GKO* solver API with registry caching, adaptMinIter across solves, export."""
 
 import os
 
-import jax.numpy as jnp
 import numpy as np
 import pytest
 

@@ -8,7 +8,7 @@ import pytest
 from ogl_tpu import testing as problems
 from ogl_tpu.core import formats, ldu
 from ogl_tpu.core.reorder import bandwidth, permute_coo, rcm_permutation
-from ogl_tpu.kernels.gdia import Gdia, gdia_from_coo, gdia_matvec, spmv_gdia
+from ogl_tpu.kernels.gdia import gdia_from_coo, gdia_matvec, spmv_gdia
 
 
 def _random_sparse(rng, n=300, density=0.02):

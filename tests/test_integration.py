@@ -7,7 +7,6 @@ diagonal signs)."""
 import hashlib
 import os
 
-import jax.numpy as jnp
 import numpy as np
 import pytest
 

@@ -5,7 +5,6 @@ the 5×5 symmetric/non-symmetric matrices) to pin conversion semantics, then
 property-tests against dense assembly on random LDU systems.
 """
 
-import jax.numpy as jnp
 import numpy as np
 import pytest
 

@@ -7,7 +7,7 @@ import pytest
 
 from ogl_tpu import native
 from ogl_tpu import testing as problems
-from ogl_tpu.core import formats, ldu
+from ogl_tpu.core import formats
 
 pytestmark = pytest.mark.skipif(not native.available(), reason="no native toolchain")
 
