@@ -19,3 +19,4 @@ from ogl_tpu.dist.from_ranks import (
 )
 from ogl_tpu.dist.precond import build_schwarz as build_schwarz
 from ogl_tpu.dist.global_index import GlobalIndex as GlobalIndex
+from ogl_tpu.dist import runtime as runtime

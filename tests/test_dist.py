@@ -149,3 +149,24 @@ def test_partition_pads_are_inert():
     y = np.asarray(y)
     for i, sz in enumerate(dm.local_sizes):
         assert np.all(y[i, sz:] == 0.0)
+
+
+def test_runtime_stage_stack():
+    """Multi-host staging path: per-device shards assemble into the
+    parts-stacked global array without a full-stack host copy, and the
+    staged stack drives a distributed solve."""
+    from ogl_tpu.dist import runtime
+
+    assert runtime.init_distributed() is False  # single-process: no-op
+    coo, a = _poisson_coo((16, 8))
+    dm = partition_coo(coo, 8)
+    mesh = runtime.global_mesh()
+    rng = np.random.default_rng(9)
+    x_true = rng.normal(size=a.shape[0])
+    b_parts = list(split_vector(dm, a @ x_true))
+    bs = runtime.stage_stack(b_parts, mesh)
+    assert bs.shape == (8, dm.n_local)
+    sp = StoppingParams.of(StoppingConfig(tolerance=1e-10, rel_tol=0.0, max_iter=600))
+    x, res = dist.dist_solve(dm, bs, jnp.zeros((8, dm.n_local)), sp, mesh)
+    assert bool(np.asarray(res.converged).all())
+    np.testing.assert_allclose(gather_global(dm, x), x_true, atol=1e-6)
