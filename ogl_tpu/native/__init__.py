@@ -16,7 +16,8 @@ import threading
 import numpy as np
 
 __all__ = ["lib", "available", "init_local_sparsity", "ilu0_csr", "ic0_csr",
-           "pgm_aggregate", "sort_coo"]
+           "pgm_aggregate", "sort_coo", "isai_build", "ilut_triples",
+           "ict_triples"]
 
 _HERE = os.path.dirname(os.path.abspath(__file__))
 _SRC = os.path.join(_HERE, "src", "ogl_host.cpp")
@@ -67,6 +68,14 @@ def lib():
         L.ogl_pgm_aggregate.restype = i64
         L.ogl_sort_coo.argtypes = [i64, i64, p64, p64, p32, p32, p32]
         L.ogl_sort_coo.restype = None
+        pu8 = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
+        L.ogl_isai_build.argtypes = [i64, p64, p32, pf, p64, p32, i64,
+                                     p32, pu8, pf, pf]
+        L.ogl_isai_build.restype = None
+        L.ogl_ilut.argtypes = [i64, p64, p32, pf, f64, i64, i64, p32, p32, pf, pf]
+        L.ogl_ilut.restype = i64
+        L.ogl_ict.argtypes = [i64, p64, p32, pf, f64, i64, p32, p32, pf, pf]
+        L.ogl_ict.restype = i64
         _lib = L
         return _lib
 
@@ -129,6 +138,69 @@ def pgm_aggregate(n, indptr, cols, absvals):
     agg = np.empty(n, np.int32)
     nc = L.ogl_pgm_aggregate(n, indptr, cols, absvals, agg)
     return agg, int(nc)
+
+
+def isai_build(n, a_indptr, a_cols, a_vals, s_indptr, s_cols, k):
+    """Batched ISAI extraction: (J (n,k) int32, valid (n,k) bool,
+    G (n,k,k) f64, e (n,k) f64) or None when unavailable."""
+    L = lib()
+    if L is None:
+        return None
+    a_indptr = np.ascontiguousarray(a_indptr, np.int64)
+    a_cols = np.ascontiguousarray(a_cols, np.int32)
+    a_vals = np.ascontiguousarray(a_vals, np.float64)
+    s_indptr = np.ascontiguousarray(s_indptr, np.int64)
+    s_cols = np.ascontiguousarray(s_cols, np.int32)
+    J = np.empty((n, k), np.int32)
+    valid = np.empty((n, k), np.uint8)
+    G = np.empty((n, k, k), np.float64)
+    e = np.empty((n, k), np.float64)
+    L.ogl_isai_build(n, a_indptr, a_cols, a_vals, s_indptr, s_cols, k,
+                     J.reshape(-1), valid.reshape(-1), G.reshape(-1),
+                     e.reshape(-1))
+    return J, valid.astype(bool), G, e
+
+
+def ilut_triples(n, indptr, cols, vals, drop_tol=1e-4, fill_factor=10.0):
+    """Native threshold ILU: ((L/U strict triples), udiag) or None."""
+    L = lib()
+    if L is None:
+        return None
+    indptr = np.ascontiguousarray(indptr, np.int64)
+    cols32 = np.ascontiguousarray(cols, np.int32)
+    vals = np.ascontiguousarray(vals, np.float64)
+    cap = int(fill_factor * max(len(vals), 1)) + n
+    # per-part row cap: total factor fill <= ~fill_factor x nnz(A)
+    lfil = max(2, int(fill_factor * max(len(vals), 1) / max(n, 1) / 2))
+    orows = np.empty(cap, np.int32)
+    ocols = np.empty(cap, np.int32)
+    ovals = np.empty(cap, np.float64)
+    udiag = np.zeros(n, np.float64)
+    cnt = int(L.ogl_ilut(n, indptr, cols32, vals, float(drop_tol), lfil, cap,
+                         orows, ocols, ovals, udiag))
+    if cnt < 0:
+        raise RuntimeError("native ILUT failed (fill overflow or zero pivot)")
+    return (orows[:cnt].copy(), ocols[:cnt].copy(), ovals[:cnt].copy()), udiag
+
+
+def ict_triples(n, indptr, cols, vals, drop_tol=1e-3, fill_factor=10.0):
+    """Native threshold IC: ((strict-lower triples), ldiag) or None."""
+    L = lib()
+    if L is None:
+        return None
+    indptr = np.ascontiguousarray(indptr, np.int64)
+    cols32 = np.ascontiguousarray(cols, np.int32)
+    vals = np.ascontiguousarray(vals, np.float64)
+    cap = int(fill_factor * max(len(vals), 1)) + n
+    orows = np.empty(cap, np.int32)
+    ocols = np.empty(cap, np.int32)
+    ovals = np.empty(cap, np.float64)
+    ldiag = np.zeros(n, np.float64)
+    cnt = int(L.ogl_ict(n, indptr, cols32, vals, float(drop_tol), cap,
+                        orows, ocols, ovals, ldiag))
+    if cnt < 0:
+        raise RuntimeError("native ICT failed (fill overflow)")
+    return (orows[:cnt].copy(), ocols[:cnt].copy(), ovals[:cnt].copy()), ldiag
 
 
 def sort_coo(n, rows, cols):

@@ -220,4 +220,244 @@ void ogl_sort_coo(int64_t nnz, int64_t n, const int64_t* in_rows,
   }
 }
 
+// ISAI batch extraction (setup of ogl_tpu.precond.isai; cf. Ginkgo
+// preconditioner::Isai at reference Preconditioner.H:226-259): for each row
+// i with support J_i (pattern S, k-padded), fill G[i] = A[J_i, J_i] with
+// identity rows/cols on padding, the padded column sets J, validity mask,
+// and unit-vector rhs e.  O(n * k * (row_nnz + k)).
+void ogl_isai_build(int64_t n, const int64_t* a_indptr, const int32_t* a_cols,
+                    const double* a_vals, const int64_t* s_indptr,
+                    const int32_t* s_cols, int64_t k, int32_t* J,
+                    uint8_t* valid, double* G, double* e) {
+  std::vector<double> work(n, 0.0);
+  std::vector<uint8_t> in_row(n, 0);
+  for (int64_t i = 0; i < n; ++i) {
+    const int64_t ks = s_indptr[i], ke = s_indptr[i + 1];
+    const int64_t ki = ke - ks;
+    int32_t* Ji = J + i * k;
+    uint8_t* vi = valid + i * k;
+    double* Gi = G + i * k * k;
+    double* ei = e + i * k;
+    for (int64_t a = 0; a < k; ++a) {
+      Ji[a] = (a < ki) ? s_cols[ks + a] : static_cast<int32_t>(i);
+      vi[a] = a < ki;
+      ei[a] = 0.0;
+    }
+    // G rows: row a of G = A[J_a, J_b]
+    for (int64_t a = 0; a < k; ++a) {
+      double* Ga = Gi + a * k;
+      if (!vi[a]) {
+        for (int64_t b = 0; b < k; ++b) Ga[b] = (a == b) ? 1.0 : 0.0;
+        continue;
+      }
+      const int64_t ra = Ji[a];
+      for (int64_t p = a_indptr[ra]; p < a_indptr[ra + 1]; ++p) {
+        work[a_cols[p]] = a_vals[p];
+        in_row[a_cols[p]] = 1;
+      }
+      for (int64_t b = 0; b < k; ++b) {
+        if (!vi[b]) {
+          Ga[b] = (a == b) ? 1.0 : 0.0;
+        } else {
+          Ga[b] = in_row[Ji[b]] ? work[Ji[b]] : 0.0;
+        }
+      }
+      for (int64_t p = a_indptr[ra]; p < a_indptr[ra + 1]; ++p) {
+        work[a_cols[p]] = 0.0;
+        in_row[a_cols[p]] = 0;
+      }
+      if (Ji[a] == static_cast<int32_t>(i)) ei[a] = 1.0;
+    }
+  }
+}
+
+// ILUT(p, tau) (threshold ILU, Saad): row-wise IKJ elimination with dual
+// dropping — entries below drop_tol * ||row||_2 are discarded, and at most
+// `lfil` entries are kept in each of the L and U parts of a row (largest
+// magnitude; the fill cap keeps 3-D stencil factorisations O(n·lfil²)) —
+// the role of Ginkgo ParIlut, reference Preconditioner.H:119-145.
+// Outputs strict-L and strict-U entries as (row, col, val) triples plus the
+// U diagonal.  Returns total triple count, or -1 on overflow / zero pivot.
+int64_t ogl_ilut(int64_t n, const int64_t* indptr, const int32_t* cols,
+                 const double* vals, double drop_tol, int64_t lfil,
+                 int64_t max_nnz, int32_t* out_rows, int32_t* out_cols,
+                 double* out_vals, double* out_udiag) {
+  // U rows kept in CSR-ish growing storage for the update sweeps
+  std::vector<std::vector<int32_t>> u_cols(n);
+  std::vector<std::vector<double>> u_vals(n);
+  std::vector<double> work(n, 0.0);
+  std::vector<uint8_t> nz(n, 0);
+  std::vector<int32_t> pattern;  // every touched column of the working row
+  std::vector<int32_t> heap;     // min-heap of columns < i to eliminate
+  auto cmp = [](int32_t a, int32_t b) { return a > b; };
+  int64_t out = 0;
+  for (int64_t i = 0; i < n; ++i) {
+    pattern.clear();
+    heap.clear();
+    double nrm = 0.0;
+    for (int64_t p = indptr[i]; p < indptr[i + 1]; ++p) {
+      const int32_t j = cols[p];
+      work[j] = vals[p];
+      if (!nz[j]) {
+        nz[j] = 1;
+        pattern.push_back(j);
+        if (j < i) heap.push_back(j);
+      }
+      nrm += vals[p] * vals[p];
+    }
+    nrm = std::sqrt(nrm / std::max<int64_t>(indptr[i + 1] - indptr[i], 1));
+    const double tau = drop_tol * nrm;
+    std::make_heap(heap.begin(), heap.end(), cmp);
+    // eliminate columns k < i in ascending order (fill joins the heap)
+    while (!heap.empty()) {
+      std::pop_heap(heap.begin(), heap.end(), cmp);
+      const int32_t kk = heap.back();
+      heap.pop_back();
+      if (out_udiag[kk] == 0.0) return -1;
+      double lik = work[kk] / out_udiag[kk];
+      if (std::fabs(lik) < tau) {
+        work[kk] = 0.0;  // dropped; stays in pattern, skipped at collect
+        continue;
+      }
+      work[kk] = lik;
+      const auto& uc = u_cols[kk];
+      const auto& uv = u_vals[kk];
+      for (size_t q = 0; q < uc.size(); ++q) {
+        const int32_t j = uc[q];
+        work[j] -= lik * uv[q];
+        if (!nz[j]) {
+          nz[j] = 1;
+          pattern.push_back(j);
+          if (j < i) {
+            heap.push_back(j);
+            std::push_heap(heap.begin(), heap.end(), cmp);
+          }
+        }
+      }
+    }
+    // collect row i: threshold-drop, then keep the lfil largest-magnitude
+    // entries in each of the L and U parts (diagonal always kept)
+    double di = 0.0;
+    std::vector<std::pair<double, int32_t>> lpart, upart;  // (|v| keyed)
+    for (int32_t j : pattern) {
+      const double v = work[j];
+      work[j] = 0.0;
+      nz[j] = 0;
+      if (j == i) {
+        di = v;
+        continue;
+      }
+      if (std::fabs(v) < tau) continue;
+      (j < i ? lpart : upart).emplace_back(v, j);
+    }
+    auto keep_largest = [lfil](std::vector<std::pair<double, int32_t>>& part) {
+      if (static_cast<int64_t>(part.size()) > lfil) {
+        std::nth_element(part.begin(), part.begin() + lfil, part.end(),
+                         [](const auto& a, const auto& b) {
+                           return std::fabs(a.first) > std::fabs(b.first);
+                         });
+        part.resize(lfil);
+      }
+      std::sort(part.begin(), part.end(),
+                [](const auto& a, const auto& b) { return a.second < b.second; });
+    };
+    keep_largest(lpart);
+    keep_largest(upart);
+    for (const auto& part : {lpart, upart}) {
+      for (const auto& [v, j] : part) {
+        if (out >= max_nnz) return -1;
+        out_rows[out] = static_cast<int32_t>(i);
+        out_cols[out] = j;
+        out_vals[out] = v;
+        ++out;
+        if (j > i) {
+          u_cols[i].push_back(j);
+          u_vals[i].push_back(v);
+        }
+      }
+    }
+    if (di == 0.0) di = 1e-300;
+    out_udiag[i] = di;
+  }
+  return out;
+}
+
+// ICT (threshold incomplete Cholesky): left-looking row factorisation with
+// fill, dropping |l_ij| <= drop_tol*sqrt(a_ii*a_jj) outside A's pattern
+// (the role of Ginkgo ParIct, reference Preconditioner.H:191-225; same
+// algorithm as ogl_tpu.precond.ilu.ict_factor).  Outputs strict-lower
+// triples + the L diagonal.  Returns triple count or -1 on overflow.
+int64_t ogl_ict(int64_t n, const int64_t* indptr, const int32_t* cols,
+                const double* vals, double drop_tol, int64_t max_nnz,
+                int32_t* out_rows, int32_t* out_cols, double* out_vals,
+                double* out_ldiag) {
+  std::vector<std::vector<int32_t>> l_col_rows(n);  // column k -> rows j
+  std::vector<std::vector<double>> l_col_vals(n);
+  std::vector<double> scale(n, 1.0);
+  for (int64_t i = 0; i < n; ++i)
+    for (int64_t p = indptr[i]; p < indptr[i + 1]; ++p)
+      if (cols[p] == i) scale[i] = std::sqrt(std::max(std::fabs(vals[p]), 1e-300));
+  std::vector<double> work(n, 0.0);
+  std::vector<uint8_t> nz(n, 0), in_a(n, 0);
+  int64_t out = 0;
+  std::vector<int32_t> heap;
+  auto cmp = [](int32_t a, int32_t b) { return a > b; };  // min-heap
+  for (int64_t i = 0; i < n; ++i) {
+    heap.clear();
+    for (int64_t p = indptr[i]; p < indptr[i + 1]; ++p) {
+      const int32_t j = cols[p];
+      if (j > i) break;
+      work[j] = vals[p];
+      nz[j] = 1;
+      in_a[j] = 1;
+      if (j < i) heap.push_back(j);
+    }
+    std::make_heap(heap.begin(), heap.end(), cmp);
+    const int64_t row_start = out;
+    while (!heap.empty()) {
+      std::pop_heap(heap.begin(), heap.end(), cmp);
+      const int32_t k = heap.back();
+      heap.pop_back();
+      const double lik = work[k] / out_ldiag[k];
+      const bool keep =
+          in_a[k] || std::fabs(lik) > drop_tol * scale[i] * scale[k];
+      if (keep) {
+        if (out >= max_nnz) return -1;
+        out_rows[out] = static_cast<int32_t>(i);
+        out_cols[out] = k;
+        out_vals[out] = lik;
+        ++out;
+        const auto& cr = l_col_rows[k];
+        const auto& cv = l_col_vals[k];
+        for (size_t q = 0; q < cr.size(); ++q) {
+          const int32_t j = cr[q];
+          if (j <= k || j >= i) continue;
+          if (nz[j]) {
+            work[j] -= lik * cv[q];
+          } else {
+            work[j] = -lik * cv[q];
+            nz[j] = 1;
+            heap.push_back(j);
+            std::push_heap(heap.begin(), heap.end(), cmp);
+          }
+        }
+      }
+      work[k] = 0.0;
+      nz[k] = 0;
+      in_a[k] = 0;
+    }
+    double d = work[i];
+    work[i] = 0.0;
+    nz[i] = 0;
+    in_a[i] = 0;
+    for (int64_t p = row_start; p < out; ++p) d -= out_vals[p] * out_vals[p];
+    out_ldiag[i] = std::sqrt(std::max(d, 1e-300));
+    for (int64_t p = row_start; p < out; ++p) {
+      l_col_rows[out_cols[p]].push_back(static_cast<int32_t>(i));
+      l_col_vals[out_cols[p]].push_back(out_vals[p]);
+    }
+  }
+  return out;
+}
+
 }  // extern "C"

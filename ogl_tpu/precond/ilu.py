@@ -175,39 +175,58 @@ def ilu0(coo: Coo, sweeps: int = 8):
     return _lu_apply(n, Ls, Us, ud, sweeps, dtype)
 
 
-def ilut(coo: Coo, sweeps: int = 8, drop_tol: float = 1e-4, fill_factor: float = 10.0):
-    """Threshold ILU via SuperLU's ILUTP with pivoting disabled (natural
-    ordering), mirroring ParIlut's role.  Falls back to ILU(0) when the
-    factorisation fails."""
+def ilut_factors(coo: Coo, drop_tol: float = 1e-3, fill_factor: float = 2.0):
+    """Threshold ILU factors ((L_strict), (U_strict), udiag) — native C++
+    when available (row-wise IKJ with dual dropping, the ParIlut role),
+    SuperLU ILUTP (pivoting disabled) otherwise; ILU(0) as last resort."""
+    n, indptr, cols, vals = _host_csr(coo)
+
+    from ogl_tpu import native
+
+    try:
+        nat = native.ilut_triples(n, indptr, cols, vals,
+                                  drop_tol=drop_tol, fill_factor=fill_factor)
+    except RuntimeError:
+        nat = None
+    if nat is not None:
+        (tr, tc, tv), ud = nat
+        lm = tr > tc
+        um = tr < tc
+        return ((tr[lm].astype(np.int64), tc[lm].astype(np.int64), tv[lm]),
+                (tr[um].astype(np.int64), tc[um].astype(np.int64), tv[um]),
+                ud)
+
     import scipy.sparse as sp
     from scipy.sparse.linalg import spilu
 
-    n, indptr, cols, vals = _host_csr(coo)
     a = sp.csr_matrix((vals, cols, indptr), shape=coo.shape).tocsc()
-    dtype = np.asarray(jax.device_get(coo.vals)).dtype
     try:
-        f = spilu(
-            a,
-            drop_tol=drop_tol,
-            fill_factor=fill_factor,
-            permc_spec="NATURAL",
-            diag_pivot_thresh=0.0,
-            options={"ILU_MILU": "SILU"},
-        )
-        L = f.L.tocoo()
-        U = f.U.tocoo()
-        # guard: pivoting must be the identity for the sweep apply
-        if not (np.array_equal(f.perm_r, np.arange(n)) and np.array_equal(f.perm_c, np.arange(n))):
+        f = spilu(a, drop_tol=drop_tol, fill_factor=fill_factor,
+                  permc_spec="NATURAL", diag_pivot_thresh=0.0,
+                  options={"ILU_MILU": "SILU"})
+        if not (np.array_equal(f.perm_r, np.arange(n))
+                and np.array_equal(f.perm_c, np.arange(n))):
             raise RuntimeError("spilu produced a nontrivial permutation")
+        L, U = f.L.tocoo(), f.U.tocoo()
     except Exception:
-        return ilu0(coo, sweeps=sweeps)
-    lmask = L.row > L.col
-    Ls = _to_ell(n, L.row[lmask].astype(np.int64), L.col[lmask].astype(np.int64), L.data[lmask], dtype)
-    umask = U.row < U.col
-    ud = np.zeros(n)
+        return ilu0_factors(coo)
+    lm = L.row > L.col
+    um = U.row < U.col
     dm = U.row == U.col
+    ud = np.zeros(n)
     ud[U.row[dm]] = U.data[dm]
-    Us = _to_ell(n, U.row[umask].astype(np.int64), U.col[umask].astype(np.int64), U.data[umask], dtype)
+    return ((L.row[lm].astype(np.int64), L.col[lm].astype(np.int64), L.data[lm]),
+            (U.row[um].astype(np.int64), U.col[um].astype(np.int64), U.data[um]),
+            ud)
+
+
+def ilut(coo: Coo, sweeps: int = 8, drop_tol: float = 1e-3, fill_factor: float = 2.0):
+    """Threshold ILU preconditioner (sweep apply over ilut_factors)."""
+    dtype = np.asarray(jax.device_get(coo.vals)).dtype
+    (lr, lc, lv), (ur, uc, uv), ud = ilut_factors(coo, drop_tol, fill_factor)
+    n = coo.shape[0]
+    Ls = _to_ell(n, lr, lc, lv, dtype)
+    Us = _to_ell(n, ur, uc, uv, dtype)
     return _lu_apply(n, Ls, Us, ud, sweeps, dtype)
 
 
@@ -243,8 +262,19 @@ def ic0(coo: Coo, sweeps: int = 8):
 def ict_factor(coo: Coo, drop_tol: float = 1e-3):
     """Threshold IC factor (ParIct equivalent): left-looking row Cholesky
     with fill-in, dropping computed entries with |l_ij| ≤ drop_tol·√(a_ii·a_jj)
-    unless (i,j) is in A's pattern.  Returns ((rows, cols, vals), ldiag)."""
+    unless (i,j) is in A's pattern.  Returns ((rows, cols, vals), ldiag).
+    Native C++ when available; pure-Python fallback below."""
     n, indptr, cols, vals = _host_csr(coo)
+
+    from ogl_tpu import native
+
+    try:
+        nat = native.ict_triples(n, indptr, cols, vals, drop_tol=drop_tol)
+    except RuntimeError:
+        nat = None
+    if nat is not None:
+        (tr, tc, tv), ld = nat
+        return (tr.astype(np.int64), tc.astype(np.int64), tv), ld
     rows_full = np.repeat(np.arange(n), np.diff(indptr))
     diag = np.zeros(n)
     dm = rows_full == cols

@@ -16,7 +16,6 @@ the batched-dense equivalent)."""
 from __future__ import annotations
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 
 from ogl_tpu.core.formats import Coo
@@ -41,7 +40,12 @@ def _pattern_power(rows, cols, n, p: int):
 def isai_triples(coo: Coo, sparsity_power: int = 1):
     """The approximate-inverse M as host COO triples (rows, cols, vals) —
     setup only; used by both the single-device PrecondOp and the
-    distributed Schwarz stacking (dist.precond)."""
+    distributed Schwarz stacking (dist.precond).
+
+    The batched extraction G[i] = A[J_i, J_i] runs in the native C++ lib
+    when available (NumPy fallback), and the n small solves run as one
+    batched HOST solve: at k ≤ ~10 the LAPACK batch beats shipping a
+    (n,k,k) tensor to the accelerator and the inverse back."""
     n = coo.shape[0]
     rows = np.asarray(jax.device_get(coo.rows)).astype(np.int64)
     cols = np.asarray(jax.device_get(coo.cols)).astype(np.int64)
@@ -49,52 +53,53 @@ def isai_triples(coo: Coo, sparsity_power: int = 1):
 
     import scipy.sparse as sp
 
-    a = sp.csr_matrix((vals, (rows, cols)), shape=(n, n))
     s = _pattern_power(rows, cols, n, sparsity_power)
-
     counts = np.diff(s.indptr)
     k = int(counts.max())
 
-    # padded per-row column sets J_i (pad with the row itself; padded
-    # positions get identity rows/cols in G so they solve to 0 coupling)
-    J = np.repeat(np.arange(n)[:, None], k, axis=1)
-    slot = np.arange(len(s.indices)) - np.repeat(s.indptr[:-1], counts)
-    row_of = np.repeat(np.arange(n), counts)
-    J[row_of, slot] = s.indices
-    valid = np.zeros((n, k), bool)
-    valid[row_of, slot] = True
+    from ogl_tpu import native
 
-    # G[i] = A[J_i, J_i] via a sorted (row*n+col) -> val lookup, fully
-    # vectorised over the (n, k, k) batch
-    keys = rows * n + cols
-    order_k = np.argsort(keys)
-    keys_sorted = keys[order_k]
-    vals_sorted = vals[order_k]
-    q = (J[:, :, None].astype(np.int64) * n + J[:, None, :]).reshape(-1)
-    idx = np.searchsorted(keys_sorted, q)
-    idx = np.clip(idx, 0, len(keys_sorted) - 1)
-    hit = keys_sorted[idx] == q
-    G = np.where(hit, vals_sorted[idx], 0.0).reshape(n, k, k).astype(vals.dtype)
-    # padded rows/cols become identity so the batched solve stays well posed
-    pad = ~valid
-    eye = np.eye(k, dtype=bool)[None]
-    G = np.where((pad[:, :, None] | pad[:, None, :]) & ~eye, 0.0, G)
-    G = np.where(pad[:, :, None] & eye, 1.0, G)
+    a = sp.csr_matrix((vals.astype(np.float64), (rows, cols)), shape=(n, n))
+    a.sort_indices()
+    nat = native.isai_build(n, a.indptr.astype(np.int64), a.indices, a.data,
+                            s.indptr.astype(np.int64), s.indices, k)
+    if nat is not None:
+        J, valid, G, e = nat
+    else:
+        # padded per-row column sets J_i (pad with the row itself; padded
+        # positions get identity rows/cols in G so they solve to 0 coupling)
+        J = np.repeat(np.arange(n)[:, None], k, axis=1)
+        slot = np.arange(len(s.indices)) - np.repeat(s.indptr[:-1], counts)
+        row_of = np.repeat(np.arange(n), counts)
+        J[row_of, slot] = s.indices
+        valid = np.zeros((n, k), bool)
+        valid[row_of, slot] = True
 
-    e = np.zeros((n, k), vals.dtype)
-    pos = np.argmax(J == np.arange(n)[:, None], axis=1)
-    e[np.arange(n), pos] = 1.0
+        # G[i] = A[J_i, J_i] via a sorted (row*n+col) -> val lookup
+        keys = rows * n + cols
+        order_k = np.argsort(keys)
+        keys_sorted = keys[order_k]
+        vals_sorted = vals[order_k]
+        q = (J[:, :, None].astype(np.int64) * n + J[:, None, :]).reshape(-1)
+        idx = np.searchsorted(keys_sorted, q)
+        idx = np.clip(idx, 0, len(keys_sorted) - 1)
+        hit = keys_sorted[idx] == q
+        G = np.where(hit, vals_sorted[idx], 0.0).reshape(n, k, k)
+        pad = ~valid
+        eye = np.eye(k, dtype=bool)[None]
+        G = np.where((pad[:, :, None] | pad[:, None, :]) & ~eye, 0.0, G)
+        G = np.where(pad[:, :, None] & eye, 1.0, G)
+        e = np.zeros((n, k))
+        pos = np.argmax(J == np.arange(n)[:, None], axis=1)
+        e[np.arange(n), pos] = 1.0
 
-    m_rows = jnp.linalg.solve(
-        jnp.asarray(G).transpose(0, 2, 1), jnp.asarray(e)[..., None]
-    ).squeeze(-1)
-    m_rows = jnp.where(jnp.asarray(valid), m_rows, 0.0)
+    m_rows = np.linalg.solve(G.transpose(0, 2, 1), e[..., None]).squeeze(-1)
+    m_rows = np.where(valid, m_rows, 0.0).astype(vals.dtype)
 
-    mvals_host = np.asarray(jax.device_get(m_rows))
     mrows_all = np.repeat(np.arange(n)[:, None], k, axis=1)
     vmask = valid.reshape(-1)
     return (mrows_all.reshape(-1)[vmask], J.reshape(-1)[vmask],
-            mvals_host.reshape(-1)[vmask])
+            m_rows.reshape(-1)[vmask])
 
 
 def isai(coo: Coo, sparsity_power: int = 1, spd: bool = False):

@@ -1,0 +1,214 @@
+"""Merged-kernel distributed PCG: the two-Pallas-kernel CG iteration
+(solve/cg_fused.py) running per shard inside shard_map, with the halo
+exchange folded INTO the iteration (reference: Ginkgo's distributed
+Matrix::apply does local SpMV + sparse_communicator sends inside
+solver->apply, CsrMatrixWrapper.H:138-210).
+
+Per iteration, per shard:
+  hz   = ppermute-exchange of z's interface values        (surface-sized)
+  hp'  = hz + β·hp'_prev        (the halo of p' by the CG recurrence —
+                                 avoids recomputing p' before K1)
+  K1   p' = z + β·p ; q = A_local p' ; δ₁ = Σ p'·q         (fused Pallas)
+  q   += A_halo hp' ; δ₂ = Σ halo-contrib ⊙ p'             (surface-sized)
+  α    = ρ / psum(δ₁ + δ₂)
+  K2   x,r,z updates ; ρ' and ‖r‖₁ partials                (fused Pallas)
+  ρ', ‖r‖₁ ← psum                                          (replicated)
+
+The stopping criterion state is replicated (all reductions psum'd), so the
+while_loop takes the same path on every shard (SPMD-safe).
+"""
+
+from __future__ import annotations
+
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ogl_tpu.core.formats import Dia
+from ogl_tpu.dist.partition import DiaStack, DistMatrix, HaloPlan
+from ogl_tpu.kernels.fused import CgKernels
+from ogl_tpu.kernels.pallas_spmv import LANES
+from ogl_tpu.solve import stopping
+from ogl_tpu.solve.cg import SolveResult
+
+__all__ = ["dist_cg_fused"]
+
+
+class _Carry(NamedTuple):
+    xf: Any
+    rf: Any
+    zf: Any
+    pf: Any
+    hp: Any  # halo buffer of p' (maintained by the CG recurrence)
+    rho: Any
+    rho_old: Any
+    absr: Any
+    stop: stopping.StopState
+
+
+def _exchange_framed(xf, plan: HaloPlan, axis: str, frame_off: int):
+    """Halo exchange reading interface values straight out of the framed
+    vector (flat frame index of local row r is frame_off + r)."""
+    flat = xf.reshape(-1)
+    h = jnp.zeros((plan.halo_size + 1,), flat.dtype)
+    my = jax.lax.axis_index(axis)
+    p = plan.n_parts
+    for off, sidx, rpos in zip(plan.offsets, plan.send_idx, plan.recv_pos):
+        payload = jnp.take(flat, frame_off + sidx[my], axis=0)
+        perm = [(i, (i + off) % p) for i in range(p)]
+        recvd = jax.lax.ppermute(payload, axis, perm)
+        h = h.at[rpos[my]].set(recvd)
+    return h[: plan.halo_size]
+
+
+def _halo_corr(qf, poutf, h, halo, frame_off: int):
+    """Add the non-local contribution to the framed q and return the δ
+    correction Σ contrib ⊙ p' (all surface-sized work; pads are 0-valued)."""
+    rows, cols, vals = halo
+    contrib = vals * jnp.take(h, cols, axis=0)
+    flat_idx = frame_off + rows
+    qf = qf.reshape(-1).at[flat_idx].add(contrib).reshape(qf.shape)
+    d2 = jnp.sum(contrib * jnp.take(poutf.reshape(-1), flat_idx, axis=0))
+    return qf, d2
+
+
+def dist_cg_fused(
+    dm: DistMatrix,
+    b_stack,
+    x0_stack,
+    cfg,
+    mesh: Mesh,
+    axis: str = "x",
+    invd_stack=None,
+    tile: int = 512,
+    interpret: bool = False,
+) -> SolveResult:
+    """Distributed merged-kernel PCG over `mesh`.  Requires a DiaStack local
+    operator (the fast stencil path); diagonal (Schwarz-Jacobi) or identity
+    preconditioning.  invd_stack: optional (P, n_local) per-shard inverse
+    diagonals.  Semantics match solve/cg.py + the OpenFOAM criterion."""
+    if not isinstance(dm.local, DiaStack):
+        raise TypeError("dist_cg_fused needs a DiaStack local operator")
+    n_local = dm.n_local
+    kern = CgKernels(n_local, dm.local.offsets, tile, interpret)
+    frame_off = kern.tile * LANES
+    global_n = dm.global_n
+    dtype = kern.dtype
+    plan = dm.plan
+    hard_cap = cfg.max_iter + cfg.frequency
+
+    def psum(v):
+        return jax.lax.psum(v, axis)
+
+    def shard_body(local, halo_s, b, x0, invd, sp):
+        data3 = kern.pack_values(
+            Dia(data=local.data[0], offsets=dm.local.offsets,
+                shape=(n_local, n_local)))
+        halo = (halo_s.rows[0], halo_s.cols[0], halo_s.vals[0])
+        bf = kern.frame(b[0].astype(dtype))
+        xf = kern.frame(x0[0].astype(dtype))
+        invdf = kern.frame(invd[0].astype(dtype)) if invd_stack is not None \
+            else kern.frame(jnp.ones((n_local,), dtype))
+
+        def dist_apply(vf):
+            _, qf, _ = kern.k1(data3, vf, vf, 0.0)
+            if plan.offsets:
+                h = _exchange_framed(vf, plan, axis, frame_off)
+                qf, _ = _halo_corr(qf, vf, h, halo, frame_off)
+            return qf
+
+        rf = bf - dist_apply(xf)
+        zf = invdf * rf
+        rho0 = psum(jnp.sum(rf * zf))
+        absr0 = psum(jnp.sum(jnp.abs(rf)))
+
+        # OpenFOAM norm factor on the initial state (StoppingCriterion.C:32-69)
+        xavg = psum(jnp.sum(xf)) / global_n
+        ones_local = jnp.where(jnp.arange(n_local) < n_local, 1.0, 0.0).astype(dtype)
+        axref = dist_apply(kern.frame(ones_local * xavg))
+        b_sub = bf - axref
+        nf = psum(jnp.sum(jnp.abs(rf - b_sub) + jnp.abs(b_sub))) + stopping.small_of(dtype)
+
+        st0 = stopping.init_state(dtype, 0).replace(norm_factor=nf)
+
+        def check(st, absr):
+            it = st.iter
+
+            def do_check(st):
+                rn = (absr / st.norm_factor).astype(dtype)
+                st = jax.lax.cond(
+                    it == 0,
+                    lambda s: s.replace(init_res_norm=rn, res_norm=rn),
+                    lambda s: s.replace(res_norm=rn),
+                    st,
+                )
+                rn = st.res_norm
+                hit = (rn < cfg.tolerance) | (
+                    jnp.logical_and(cfg.rel_tol > 0, rn < cfg.rel_tol * st.init_res_norm)
+                ) | (it >= cfg.max_iter)
+                return st.replace(converged=hit)
+
+            return jax.lax.cond(stopping.would_check(cfg, it), do_check,
+                                lambda s: s, st)
+
+        init = _Carry(
+            xf=xf, rf=rf, zf=zf, pf=jnp.zeros_like(bf),
+            hp=jnp.zeros((plan.halo_size,), dtype),
+            rho=rho0.astype(dtype), rho_old=jnp.asarray(1.0, dtype),
+            absr=absr0.astype(dtype), stop=st0,
+        )
+
+        def cond(c: _Carry):
+            return jnp.logical_and(~c.stop.converged, c.stop.iter < hard_cap)
+
+        def body(c: _Carry):
+            st = check(c.stop, c.absr)
+
+            def update(c: _Carry):
+                beta = jnp.where(st.iter == 0, jnp.asarray(0.0, dtype),
+                                 c.rho / c.rho_old)
+                if plan.offsets:
+                    hz = _exchange_framed(c.zf, plan, axis, frame_off)
+                    hp = hz + beta * c.hp
+                else:
+                    hp = c.hp
+                pf, qf, d1 = kern.k1(data3, c.zf, c.pf, beta)
+                if plan.offsets:
+                    qf, d2 = _halo_corr(qf, pf, hp, halo, frame_off)
+                    delta = psum(d1 + d2)
+                else:
+                    delta = psum(d1)
+                alpha = c.rho / delta.astype(dtype)
+                xf, rf, zf, rho_new, absr = kern.k2(alpha, c.xf, c.rf, pf, qf, invdf)
+                return _Carry(
+                    xf=xf, rf=rf, zf=zf, pf=pf, hp=hp,
+                    rho=psum(rho_new).astype(dtype), rho_old=c.rho,
+                    absr=psum(absr).astype(dtype),
+                    stop=st.replace(iter=st.iter + 1),
+                )
+
+            return jax.lax.cond(st.converged, lambda c: c._replace(stop=st),
+                                update, c)
+
+        out = jax.lax.while_loop(cond, body, init)
+        return (
+            kern.unframe(out.xf)[None],
+            out.stop.iter,
+            out.stop.init_res_norm,
+            out.stop.res_norm,
+            out.stop.converged,
+        )
+
+    spec = P(axis)
+    invd_arg = invd_stack if invd_stack is not None else jnp.ones(
+        (dm.n_parts, n_local), dtype)
+    x, iters, init_rn, final_rn, conv = jax.shard_map(
+        shard_body, mesh=mesh,
+        in_specs=(spec, spec, spec, spec, spec, P()),
+        out_specs=(spec, P(), P(), P(), P()),
+        check_vma=False,
+    )(dm.local, dm.halo, b_stack, x0_stack, invd_arg, cfg)
+    return SolveResult(x=x, iters=iters, init_res_norm=init_rn,
+                       final_res_norm=final_rn, converged=conv)

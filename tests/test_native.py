@@ -103,3 +103,86 @@ def test_sort_coo(rng):
     assert np.all(np.diff(key) >= 0)
     np.testing.assert_array_equal(r, rows[p])
     np.testing.assert_array_equal(c, cols[p])
+
+
+def test_native_isai_build_matches_fallback(rng):
+    from ogl_tpu import native
+    from ogl_tpu.precond.isai import isai_triples
+
+    if not native.available():
+        pytest.skip("native lib unavailable")
+    m = problems.poisson_ldu((9, 7))
+    from ogl_tpu.core import ldu as ldu_mod
+
+    coo = ldu_mod.ldu_to_coo_host(m)
+    mr, mc, mv = isai_triples(coo, sparsity_power=2)
+    # fallback path (monkey-free: call with native disabled via env of lib)
+    import ogl_tpu.native as nat_mod
+
+    saved = nat_mod.isai_build
+    try:
+        nat_mod.isai_build = lambda *a, **k: None
+        fr, fc, fv = isai_triples(coo, sparsity_power=2)
+    finally:
+        nat_mod.isai_build = saved
+    ok = np.lexsort((mc, mr))
+    fk = np.lexsort((fc, fr))
+    np.testing.assert_array_equal(mr[ok], fr[fk])
+    np.testing.assert_array_equal(mc[ok], fc[fk])
+    np.testing.assert_allclose(mv[ok], fv[fk], atol=1e-12)
+
+
+def test_native_ilut_factors_solve():
+    """Native threshold ILU must be a usable preconditioner: L@U close to A
+    on A's pattern, and CG/BiCGStab-style sweep apply reduces residuals."""
+    from ogl_tpu import native
+
+    if not native.available():
+        pytest.skip("native lib unavailable")
+    m = problems.poisson_ldu((12, 10))
+    from ogl_tpu.core import ldu as ldu_mod
+    from ogl_tpu.precond.ilu import ilut_factors
+
+    coo = ldu_mod.ldu_to_coo_host(m)
+    # generous fill cap -> effectively a complete LU on this small system
+    (lr, lc, lv), (ur, uc, uv), ud = ilut_factors(coo, drop_tol=0.0,
+                                                  fill_factor=100.0)
+    n = m.n
+    L = np.eye(n)
+    L[lr, lc] = lv
+    U = np.zeros((n, n))
+    U[ur, uc] = uv
+    np.fill_diagonal(U, ud)
+    a = formats.to_dense(coo)
+    prod = L @ U
+    mask = a != 0
+    # with drop_tol=0 this is a (possibly fill-in-complete) LU: on-pattern
+    # agreement should be tight for this diagonally dominant system
+    np.testing.assert_allclose(prod[mask], a[mask], atol=1e-8)
+
+
+def test_native_ict_matches_python():
+    from ogl_tpu import native
+
+    if not native.available():
+        pytest.skip("native lib unavailable")
+    m = problems.poisson_ldu((10, 9))
+    from ogl_tpu.core import ldu as ldu_mod
+    from ogl_tpu.precond.ilu import ict_factor
+
+    coo = ldu_mod.ldu_to_coo_host(m)
+    (nr, nc, nv), nd = ict_factor(coo, drop_tol=1e-3)
+    import ogl_tpu.native as nat_mod
+
+    saved = nat_mod.ict_triples
+    try:
+        nat_mod.ict_triples = lambda *a, **k: None
+        (pr, pc, pv), pd = ict_factor(coo, drop_tol=1e-3)
+    finally:
+        nat_mod.ict_triples = saved
+    nk = np.lexsort((nc, nr))
+    pk = np.lexsort((pc, pr))
+    np.testing.assert_array_equal(nr[nk], pr[pk])
+    np.testing.assert_array_equal(nc[nk], pc[pk])
+    np.testing.assert_allclose(nv[nk], pv[pk], atol=1e-10)
+    np.testing.assert_allclose(nd, pd, atol=1e-10)
