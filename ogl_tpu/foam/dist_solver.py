@@ -88,6 +88,26 @@ class DistFoamSolver:
         )
         self.props.precond_caching_left = self.cfg.precond.caching
 
+    def _fused_eligible(self, dm) -> bool:
+        """Merged-kernel dist-CG path: GKOCG + DiaStack local + diagonal
+        preconditioning on TPU, large shards (small Pallas tiles fault on
+        hw; cf. the single-device gate in foam.solver._solver_fn)."""
+        from ogl_tpu.dist.partition import DiaStack
+
+        cfg = self.cfg
+        pc = cfg.precond
+        diag_pc = pc.name == "none" or (pc.name == "BJ" and pc.max_block_size == 1)
+        return (
+            cfg.solver == "GKOCG"
+            and cfg.fused_cg
+            and isinstance(dm.local, DiaStack)
+            and 0 in dm.local.offsets
+            and diag_pc
+            and jax.default_backend() == "tpu"
+            and dm.n_local >= (1 << 15)
+            and not cfg.export
+        )
+
     def _measure_res_eval(self, dm, x_stack, b_stack):
         """Time one distributed residual-norm evaluation (the criterion's
         per-check cost; reference lduLduBase.H:287-293)."""
@@ -157,13 +177,26 @@ class DistFoamSolver:
         sp = stopping.StoppingParams.of(stopping_cfg)
 
         t0 = time.perf_counter()
-        x_stack, res = dist_solve(
-            dm, bs, x0, sp, self.mesh,
-            solver=cfg.solver if cfg.solver in
-            ("GKOCG", "GKOBiCGStab", "GKOGMRES", "GKOIR") else "GKOCG",
-            precond=self._precond,
-            krylov_dim=cfg.krylov_dim,
-        )
+        if self._fused_eligible(dm):
+            from ogl_tpu.solve.cg_fused_dist import dist_cg_fused
+
+            invd = None
+            if cfg.precond.name == "BJ":
+                didx = dm.local.offsets.index(0)
+                d = dm.local.data[:, didx]
+                invd = (1.0 / jnp.where(d == 0, 1.0, d)).astype(jnp.float32)
+            res = dist_cg_fused(dm, bs.astype(jnp.float32),
+                                x0.astype(jnp.float32), sp,
+                                self.mesh, invd_stack=invd)
+            x_stack = res.x
+        else:
+            x_stack, res = dist_solve(
+                dm, bs, x0, sp, self.mesh,
+                solver=cfg.solver if cfg.solver in
+                ("GKOCG", "GKOBiCGStab", "GKOGMRES", "GKOIR") else "GKOCG",
+                precond=self._precond,
+                krylov_dim=cfg.krylov_dim,
+            )
         jax.block_until_ready(x_stack)
         solve_t = time.perf_counter() - t0
 
