@@ -80,10 +80,20 @@ class PrecondConfig:
     # TPU-specific: sweeps for the Jacobi-style approximate triangular solve
     # used to apply ILU/IC factors (no sequential trisolve on TPU).
     tri_solve_sweeps: int = 8
-    # AMG aggregation: "natural" (consecutive pairs; reshape transfers, the
+    # AMG aggregation: "natural" (consecutive runs; reshape transfers, the
     # TPU-fast default) or "pgm" (strength-based matching like the
     # reference's amgx_pgm; gather/scatter transfers)
     aggregation: str = "natural"
+    # aggregate size per natural-aggregation level (coarsening rate).  The
+    # TPU cycle cost is launch-latency-bound across small levels, so a
+    # shallower hierarchy (rate 8) is faster per cycle than pairwise
+    coarsening_rate: int = 8
+    # coarsest-level solve: "direct" (dense inverse, one MXU matvec) or
+    # "cg" (fixed-iteration CG, the reference's coarsest_gen)
+    coarse_solver: str = "direct"
+    # Jacobi smoother sweeps per pre/post smooth (reference smoother_gen:
+    # 2 IR iterations, Preconditioner.H:300-312)
+    smoother_sweeps: int = 2
 
 
 @dataclasses.dataclass(frozen=True)
@@ -177,6 +187,9 @@ def parse_controls(controls: dict[str, Any]) -> SolverConfig:
             coarse_solver_iters=int(pg("coarseSolverIters", 4)),
             tri_solve_sweeps=int(pg("triSolveSweeps", 8)),
             aggregation=str(pg("aggregation", "natural")),
+            coarsening_rate=int(pg("coarseningRate", 8)),
+            coarse_solver=str(pg("coarseSolver", "direct")),
+            smoother_sweeps=int(pg("smootherSweeps", 2)),
         )
     else:
         precond = PrecondConfig(name=str(pc))

@@ -158,6 +158,100 @@ def _k1_gdia_kernel(z_hbm, p_hbm, beta_ref, vals_ref, lidx_ref, pout_ref,
         )
 
 
+def _stencil_acc(pw, data_ref, offsets, T, K):
+    """Shared A-apply over a (T+2K, LANES) window: static sublane slices +
+    lane rolls per diagonal (see module docstring)."""
+    lane = jax.lax.broadcasted_iota(jnp.int32, (T, LANES), 1)
+    acc = jnp.zeros((T, LANES), jnp.float32)
+    for k, off in enumerate(offsets):
+        qr, rm = divmod(off, LANES)
+        base = K + qr
+        a = pw[base : base + T, :]
+        if rm == 0:
+            sh = a
+        else:
+            b = pw[base + 1 : base + 1 + T, :]
+            ar = pltpu.roll(a, LANES - rm, 1)
+            br = pltpu.roll(b, LANES - rm, 1)
+            sh = jnp.where(lane < LANES - rm, ar, br)
+        acc = acc + data_ref[k].astype(jnp.float32) * sh.astype(jnp.float32)
+    return acc
+
+
+def _sweep_kernel(x_hbm, coef_ref, data_ref, b_ref, invd_ref, out_ref,
+                  xs, sem, *, offsets, T, K, grid):
+    """Fused Jacobi sweep: out = x + relax·D⁻¹·(b − A x), one A pass.
+    The AMG smoother's hot op — unfused it costs an SpMV plus several
+    full-vector elementwise passes (pad/reshape/update)."""
+    t = pl.program_id(0)
+    two = jnp.asarray(2, jnp.int32)
+    slot = jax.lax.rem(t, two)
+    interior = jnp.logical_and(t > 0, t < grid - 1)
+
+    def dma(tile_idx, s):
+        start = jnp.clip(tile_idx * T - K, 0, grid * T - (T + 2 * K))
+        return pltpu.make_async_copy(
+            x_hbm.at[pl.ds(start, T + 2 * K), :], xs.at[s], sem.at[s])
+
+    @pl.when(t == 0)
+    def _():
+        dma(0, 0).start()
+
+    @pl.when(t + 1 < grid)
+    def _():
+        dma(t + 1, jax.lax.rem(t + 1, two)).start()
+
+    dma(t, slot).wait()
+
+    @pl.when(jnp.logical_not(interior))
+    def _():
+        out_ref[:] = jnp.zeros((T, LANES), out_ref.dtype)
+
+    @pl.when(interior)
+    def _():
+        relax = coef_ref[0, 0]
+        xw = xs[slot]
+        center = xw[K : K + T, :].astype(jnp.float32)
+        acc = _stencil_acc(xw, data_ref, offsets, T, K)
+        upd = center + relax * invd_ref[:].astype(jnp.float32) * (
+            b_ref[:].astype(jnp.float32) - acc)
+        out_ref[:] = upd.astype(out_ref.dtype)
+
+
+def _resid_kernel(x_hbm, data_ref, b_ref, out_ref, xs, sem,
+                  *, offsets, T, K, grid):
+    """Fused residual: out = b − A x, one A pass."""
+    t = pl.program_id(0)
+    two = jnp.asarray(2, jnp.int32)
+    slot = jax.lax.rem(t, two)
+    interior = jnp.logical_and(t > 0, t < grid - 1)
+
+    def dma(tile_idx, s):
+        start = jnp.clip(tile_idx * T - K, 0, grid * T - (T + 2 * K))
+        return pltpu.make_async_copy(
+            x_hbm.at[pl.ds(start, T + 2 * K), :], xs.at[s], sem.at[s])
+
+    @pl.when(t == 0)
+    def _():
+        dma(0, 0).start()
+
+    @pl.when(t + 1 < grid)
+    def _():
+        dma(t + 1, jax.lax.rem(t + 1, two)).start()
+
+    dma(t, slot).wait()
+
+    @pl.when(jnp.logical_not(interior))
+    def _():
+        out_ref[:] = jnp.zeros((T, LANES), out_ref.dtype)
+
+    @pl.when(interior)
+    def _():
+        xw = xs[slot]
+        acc = _stencil_acc(xw, data_ref, offsets, T, K)
+        out_ref[:] = (b_ref[:].astype(jnp.float32) - acc).astype(out_ref.dtype)
+
+
 def _k1b_kernel(a_hbm, b_hbm, c_hbm, coef_ref, rhat_ref, data_ref,
                 cout_ref, q_ref, dots_ref, asv, bsv, csv, sems,
                 *, offsets, T, K, grid):
@@ -397,6 +491,70 @@ class CgKernels:
         """Plain y = A x on a framed vector (K1 with z=x, beta=0)."""
         _, q, _ = self.k1(data3, xf, xf, 0.0)
         return q
+
+    # ---- AMG smoother kernels -------------------------------------------
+    @functools.partial(jax.jit, static_argnums=0)
+    def ksweep(self, data3, xf, bf, invdf, relax):
+        """x' = x + relax·D⁻¹·(b − A x) on framed vectors, one fused pass."""
+        T, K = self.tile, self.K
+        nd = data3.shape[0]
+
+        def blk():
+            return pl.BlockSpec((T, LANES), lambda t: (t, 0),
+                                memory_space=pltpu.VMEM)
+
+        out = pl.pallas_call(
+            functools.partial(_sweep_kernel, offsets=self.offsets, T=T, K=K,
+                              grid=self.grid),
+            grid=(self.grid,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.HBM),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec((nd, T, LANES),
+                             lambda t: (0, jnp.maximum(t - 1, 0), 0),
+                             memory_space=pltpu.VMEM),
+                blk(), blk(),
+            ],
+            out_specs=blk(),
+            out_shape=jax.ShapeDtypeStruct((self.frame_rows, LANES), self.dtype),
+            scratch_shapes=[
+                pltpu.VMEM((2, T + 2 * K, LANES), self.dtype),
+                pltpu.SemaphoreType.DMA((2,)),
+            ],
+            interpret=self.interpret,
+        )(xf, jnp.asarray(relax, self.dtype).reshape(1, 1), data3, bf, invdf)
+        return out
+
+    @functools.partial(jax.jit, static_argnums=0)
+    def kresid(self, data3, xf, bf):
+        """r = b − A x on framed vectors, one fused pass."""
+        T, K = self.tile, self.K
+        nd = data3.shape[0]
+
+        def blk():
+            return pl.BlockSpec((T, LANES), lambda t: (t, 0),
+                                memory_space=pltpu.VMEM)
+
+        out = pl.pallas_call(
+            functools.partial(_resid_kernel, offsets=self.offsets, T=T, K=K,
+                              grid=self.grid),
+            grid=(self.grid,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.HBM),
+                pl.BlockSpec((nd, T, LANES),
+                             lambda t: (0, jnp.maximum(t - 1, 0), 0),
+                             memory_space=pltpu.VMEM),
+                blk(),
+            ],
+            out_specs=blk(),
+            out_shape=jax.ShapeDtypeStruct((self.frame_rows, LANES), self.dtype),
+            scratch_shapes=[
+                pltpu.VMEM((2, T + 2 * K, LANES), self.dtype),
+                pltpu.SemaphoreType.DMA((2,)),
+            ],
+            interpret=self.interpret,
+        )(xf, data3, bf)
+        return out
 
     # ---- BiCGStab building blocks ---------------------------------------
     @functools.partial(jax.jit, static_argnums=0)

@@ -96,6 +96,9 @@ def build(cfg: PrecondConfig, coo: Coo) -> "PrecondOp":
             cycle=cfg.cycle,
             coarse_solver_iters=cfg.coarse_solver_iters,
             aggregation=cfg.aggregation,
+            width=cfg.coarsening_rate,
+            coarse_solver=cfg.coarse_solver,
+            smooth_iters=cfg.smoother_sweeps,
         )
     raise ValueError(
         f"unsupported preconditioner: {name}\nValid choices: {', '.join(VALID)}"

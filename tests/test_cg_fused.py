@@ -119,3 +119,25 @@ def test_fused_bicgstab_nonsymmetric():
                          StoppingConfig(tolerance=1e-5, rel_tol=0.0, max_iter=600))
     assert bool(res.converged)
     np.testing.assert_allclose(np.asarray(res.x), x_true, atol=1e-3)
+
+
+def test_fused_smoother_kernels():
+    """ksweep/kresid (the AMG smoother passes) against the unfused forms."""
+    coo, mat, b, x_true = _setup((128, 8))
+    n = mat.shape[0]
+    kern, data3 = make_cg_kernels(mat, tile=16, interpret=True)
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.normal(size=n).astype(np.float32))
+    invd = jnp.asarray((1.0 / diagonal_of(coo)).astype(np.float32))
+    relax = 0.9
+
+    ax = spmv.spmv(mat, x)
+    want_sweep = np.asarray(x + relax * invd * (b - ax))
+    got_sweep = np.asarray(kern.unframe(kern.ksweep(
+        data3, kern.frame(x), kern.frame(b), kern.frame(invd), relax)))
+    np.testing.assert_allclose(got_sweep, want_sweep, rtol=2e-5, atol=2e-5)
+
+    want_resid = np.asarray(b - ax)
+    got_resid = np.asarray(kern.unframe(kern.kresid(
+        data3, kern.frame(x), kern.frame(b))))
+    np.testing.assert_allclose(got_resid, want_resid, rtol=2e-5, atol=2e-5)

@@ -165,3 +165,53 @@ def test_amg_aggregation_modes(poisson, aggregation):
     np.testing.assert_allclose(np.asarray(res.x), x_true, atol=1e-6)
     base, _ = _iters(coo, b)
     assert it < base  # both aggregations must still accelerate
+
+
+def test_amg_framed_cycle_matches_flat(poisson, monkeypatch):
+    """The fused framed cycle (Pallas ksweep/kresid in interpret mode) must
+    reproduce the flat XLA cycle bit-for-bit-ish."""
+    import sys
+
+    amgmod = sys.modules["ogl_tpu.precond.amg"]
+    coo, a, b, x_true = poisson
+
+    def interpret_plan(mat, inv_diag):
+        from ogl_tpu.core.formats import Dia
+        from ogl_tpu.kernels.fused import CgKernels
+
+        if not isinstance(mat, Dia) or not mat.offsets:
+            return None, None, None
+        try:
+            plan = CgKernels(mat.shape[0], mat.offsets, tile=16, interpret=True)
+        except ValueError:
+            return None, None, None
+        return plan, plan.pack_values(mat), plan.frame(inv_diag)
+
+    flat = precond.amg(coo, width=4)
+    assert all(lv.plan is None for lv in flat.state)  # CPU: fused gated off
+    monkeypatch.setattr(amgmod, "_fused_plan", interpret_plan)
+    fused = precond.amg(coo, width=4)
+    assert any(lv.plan is not None for lv in fused.state)
+    r = jnp.asarray(np.asarray(b, np.float32))
+    zf = np.asarray(fused(r))
+    zl = np.asarray(flat(r))
+    np.testing.assert_allclose(zf, zl, rtol=5e-5, atol=5e-5 * np.abs(zl).max())
+
+
+def test_amg_coarse_direct_vs_cg(poisson):
+    """Dense-inverse coarse solve converges at least as fast as coarse CG."""
+    coo, a, b, x_true = poisson
+    it_d, res_d = _iters(coo, b, precond.amg(coo, coarse_solver="direct"))
+    it_c, res_c = _iters(coo, b, precond.amg(coo, coarse_solver="cg"))
+    assert it_d <= it_c + 1, (it_d, it_c)
+    np.testing.assert_allclose(np.asarray(res_d.x), x_true, atol=1e-6)
+
+
+@pytest.mark.parametrize("width", [2, 4, 8])
+def test_amg_coarsening_widths(poisson, width):
+    coo, a, b, x_true = poisson
+    apply = precond.amg(coo, width=width)
+    it, res = _iters(coo, b, apply)
+    np.testing.assert_allclose(np.asarray(res.x), x_true, atol=1e-6)
+    base, _ = _iters(coo, b)
+    assert it < base
