@@ -132,6 +132,14 @@ def main():
         except Exception as e:  # the sweep must never break the metric line
             log(f"config sweep failed: {type(e).__name__}: {e}")
 
+    # --- large foam-path benches: per-step (update+solve) cost and the
+    # preconditioned 1M cases (GKOCG+Multigrid, GKOGMRES+GISAI) ----------
+    if os.environ.get("OGL_BENCH_LARGE", "1") != "0":
+        try:
+            _foam_large_benches(dims)
+        except Exception as e:
+            log(f"large foam benches failed: {type(e).__name__}: {e}")
+
     vs_baseline = r.fraction_of_peak / 0.80
     print(json.dumps({
         "metric": "cg_time_per_iter_per_dof",
@@ -139,6 +147,77 @@ def main():
         "unit": "ns",
         "vs_baseline": round(vs_baseline, 3),
     }))
+
+
+def _foam_large_benches(dims):
+    """Foam-front-end benches at the headline size (reference printed-metric
+    parity, lduLduBase.H:280-305):
+      * steady-state per-STEP cost — coefficient update + solve, the
+        transient-CFD inner loop (update/init split, SURVEY §3.2);
+      * GKOCG + Multigrid (PGM-AMG) — preconditioned large case;
+      * GKOGMRES + GISAI — preconditioned large case.
+    All results go to stderr."""
+    import dataclasses as dc
+
+    from ogl_tpu import foam, registry
+    from ogl_tpu import testing as problems
+
+    t0 = time.perf_counter()
+    m = problems.poisson_ldu(dims)
+    n = m.n
+    rng = np.random.default_rng(1)
+    b = rng.normal(size=n).astype(np.float32)
+    log(f"foam benches: LDU build {time.perf_counter() - t0:.1f}s, n={n:,}")
+    base = {"tolerance": 1e-6, "relTol": 0, "maxIter": 2000}
+
+    # (a) per-step update+solve (GKOCG, auto format -> fused path on TPU)
+    registry.global_registry.clear()
+    t0 = time.perf_counter()
+    _, perf = foam.solve("benchStep", m, b, {"solver": "GKOCG", **base})
+    log(f"per-step: first solve (init+compile+solve) {time.perf_counter() - t0:.1f}s, "
+        f"iters={perf.n_iterations}")
+    steps = []
+    for i in range(3):
+        m2 = dc.replace(m, upper=m.upper * (1.0 + 1e-7 * (i + 1)),
+                        diag=m.diag * (1.0 + 1e-7 * (i + 1)))
+        t0 = time.perf_counter()
+        _, perf = foam.solve("benchStep", m2, b, {"solver": "GKOCG", **base})
+        steps.append(time.perf_counter() - t0)
+    log(f"per-step (update+solve, steady state): {min(steps) * 1e3:.1f} ms, "
+        f"iters={perf.n_iterations}, {min(steps) * 1e9 / max(perf.n_iterations, 1) / n:.3f} "
+        "ns/iter/DOF incl. coefficient update")
+
+    # (b) GKOCG + Multigrid (precond TTL models the reference `caching` key)
+    amg_controls = {"solver": "GKOCG", **base,
+                    "preconditioner": {"preconditioner": "Multigrid",
+                                       "caching": 30}}
+    t0 = time.perf_counter()
+    _, perf = foam.solve("benchAmg", m, b, amg_controls)
+    log(f"GKOCG+Multigrid: first solve {time.perf_counter() - t0:.1f}s, "
+        f"iters={perf.n_iterations}")
+    ts = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        _, perf = foam.solve("benchAmg", m, b, amg_controls)
+        ts.append(time.perf_counter() - t0)
+    log(f"GKOCG+Multigrid steady: {min(ts) * 1e3:.1f} ms, iters={perf.n_iterations}, "
+        f"converged={perf.converged}")
+
+    # (c) GKOGMRES + GISAI
+    gmres_controls = {"solver": "GKOGMRES", **base,
+                      "preconditioner": {"preconditioner": "GISAI",
+                                         "sparsityPower": 1, "caching": 30}}
+    t0 = time.perf_counter()
+    _, perf = foam.solve("benchGmres", m, b, gmres_controls)
+    log(f"GKOGMRES+GISAI: first solve {time.perf_counter() - t0:.1f}s, "
+        f"iters={perf.n_iterations}")
+    ts = []
+    for _ in range(2):
+        t0 = time.perf_counter()
+        _, perf = foam.solve("benchGmres", m, b, gmres_controls)
+        ts.append(time.perf_counter() - t0)
+    log(f"GKOGMRES+GISAI steady: {min(ts) * 1e3:.1f} ms, iters={perf.n_iterations}, "
+        f"converged={perf.converged}")
 
 
 def _config_sweep():
@@ -181,7 +260,14 @@ def _config_sweep():
         controls = {"tolerance": 1e-6, "relTol": 0, "maxIter": 2000, **extra}
         x, perf = foam.solve(f"sweep_{name}", m, b, controls)
         err = float(np.abs(np.asarray(x) - x_true).max())
-        log(f"sweep {name}: iters={perf.n_iterations} converged={perf.converged} "
+        # iteration parity vs the "reference executor" (BASELINE.md metric 3:
+        # same systems solved on the CPU backend must take the same number
+        # of iterations up to rounding-order effects)
+        _, perf_cpu = foam.solve(f"sweepcpu_{name}", m, b,
+                                 {**controls, "executor": "cpu"})
+        log(f"sweep {name}: iters={perf.n_iterations} "
+            f"(cpu executor: {perf_cpu.n_iterations}) "
+            f"converged={perf.converged} "
             f"final={perf.final_residual:.2e} max|err|={err:.2e}")
 
 

@@ -262,12 +262,9 @@ def _assemble_from_src(src, permute, scale):
     return scale * jnp.take(src, permute, axis=0)
 
 
-def assemble_coeffs_host_src(sp: LduSparsity, m: LduMatrix, dtype, scale=1.0):
-    """Coefficient update with ONE host→device transfer: the raw LDU blocks
-    are concatenated on the host (a memcpy — the reference's bulk copy,
-    HostMatrix.C:684-692) and gathered on device.  Fewer transfers than
-    assemble_coeffs (which uploads diag/upper/lower separately); preferred
-    when the values start host-side."""
+def _host_src(sp: LduSparsity, m: LduMatrix, dtype):
+    """Concatenate the raw LDU blocks on the host (a memcpy — the
+    reference's bulk copy, HostMatrix.C:684-692)."""
     parts = [np.asarray(m.upper, dtype)]
     if not sp.symmetric:
         parts.append(np.asarray(m.lower, dtype))
@@ -275,11 +272,30 @@ def assemble_coeffs_host_src(sp: LduSparsity, m: LduMatrix, dtype, scale=1.0):
     if sp.n_local_iface:
         parts.append(-np.concatenate(
             [np.asarray(li.coeffs, dtype) for li in m.local_interfaces]))
-    src = np.concatenate(parts)
+    return np.concatenate(parts)
+
+
+def assemble_coeffs_host_src(sp: LduSparsity, m: LduMatrix, dtype, scale=1.0):
+    """Coefficient update with ONE host→device transfer: host concat, one
+    upload, device gather.  Preferred when only the device array is needed."""
+    src = _host_src(sp, m, dtype)
     return _assemble_from_src(
         jnp.asarray(src), jnp.asarray(sp.permute),
         jnp.asarray(scale, src.dtype),
     )
+
+
+def assemble_coeffs_host(sp: LduSparsity, m: LduMatrix, dtype, scale=1.0) -> np.ndarray:
+    """Row-major coefficient array assembled entirely on the HOST (numpy
+    gather).  Used when the values are also needed host-side in the same
+    step (format conversion, preconditioner factorisation): fetching a
+    device-assembled array back is a device→host transfer that can be
+    orders of magnitude slower than the gather itself."""
+    src = _host_src(sp, m, dtype)
+    out = src[np.asarray(sp.permute)]
+    if scale != 1.0:
+        out = out * np.asarray(scale, src.dtype)
+    return out
 
 
 def assemble_coeffs(
