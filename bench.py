@@ -37,6 +37,20 @@ def _timed(f):
 
 
 def main():
+    # persistent compilation cache: repeat bench runs skip the large solver
+    # compiles (no-op if the backend bypasses it)
+    try:
+        import os as _os
+
+        import jax as _jax
+
+        _jax.config.update(
+            "jax_compilation_cache_dir",
+            _os.path.join(_os.path.dirname(_os.path.abspath(__file__)),
+                          ".jax_cache"))
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    except Exception:
+        pass
     from ogl_tpu import testing as problems
     from ogl_tpu.config import StoppingConfig
     from ogl_tpu.core import formats, ldu

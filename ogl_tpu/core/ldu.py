@@ -407,10 +407,13 @@ def decompose(m: LduMatrix, n_parts: int) -> list[LduMatrix]:
                 ))
             if r in cyc_ifaces[i]:
                 ent = sorted(cyc_ifaces[i][r], key=lambda t: t[0])
+                # LocalInterface coeffs are bouCoeffs (matrix entry =
+                # -coeff); ProcInterface uses the same NOT-yet-negated
+                # convention, so the coefficient carries over unchanged
                 proc.append(ProcInterface(
                     neighbor=r,
                     face_cells=np.array([e[1] for e in ent], np.int64),
-                    coeffs=-np.array([e[2] for e in ent]),
+                    coeffs=np.array([e[2] for e in ent]),
                 ))
         local = ()
         if "e" in local_keep[i]:

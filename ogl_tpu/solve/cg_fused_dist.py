@@ -67,7 +67,7 @@ def _halo_corr(qf, poutf, h, halo, frame_off: int):
     """Add the non-local contribution to the framed q and return the δ
     correction Σ contrib ⊙ p' (all surface-sized work; pads are 0-valued)."""
     rows, cols, vals = halo
-    contrib = vals * jnp.take(h, cols, axis=0)
+    contrib = vals.astype(qf.dtype) * jnp.take(h, cols, axis=0)
     flat_idx = frame_off + rows
     qf = qf.reshape(-1).at[flat_idx].add(contrib).reshape(qf.shape)
     d2 = jnp.sum(contrib * jnp.take(poutf.reshape(-1), flat_idx, axis=0))

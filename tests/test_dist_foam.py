@@ -123,3 +123,27 @@ def test_dist_foam_stats_and_export(tmp_path, monkeypatch, capsys):
     for i in range(8):
         assert (tmp_path / f"processor{i}" / "0" / "pexp_A_local.mtx").exists()
         assert (tmp_path / f"processor{i}" / "0" / "pexp_b.mtx").exists()
+
+
+def test_dist_foam_cyclic_interface_across_partitions():
+    """A cyclic (local) interface whose two sides land on different ranks
+    must survive decomposition as paired ProcInterfaces (reference
+    HostMatrix.C:309-331 handles all interface kinds in parallel)."""
+    from ogl_tpu.core import formats as _f
+
+    m0 = problems.poisson_ldu((32,))
+    iface = ldu.LocalInterface(
+        rows=np.array([0, 31]), cols=np.array([31, 0]), coeffs=np.array([1.0, 1.0])
+    )
+    m = dataclasses.replace(m0, local_interfaces=(iface,), diag=m0.diag + 1.0)
+    a = _f.to_dense(ldu.ldu_to_coo_host(m))
+    assert a[0, 31] == -1.0 and a[31, 0] == -1.0
+    rng = np.random.default_rng(12)
+    x_true = rng.normal(size=m.n)
+    b = a @ x_true
+    controls = {"solver": "GKOCG", "tolerance": 1e-12, "relTol": 0,
+                "maxIter": 400, "dtype": "float64"}
+    registry.global_registry.clear()
+    x, perf = foam.solve_distributed("pcyc", m, b, controls)
+    assert perf.converged
+    np.testing.assert_allclose(x, x_true, atol=1e-7)
