@@ -29,7 +29,7 @@ from typing import Any
 
 __all__ = ["StoppingConfig", "PrecondConfig", "SolverConfig", "parse_controls"]
 
-MATRIX_FORMATS = ("Coo", "Csr", "Ell", "Dia", "Sell", "Gdia")
+MATRIX_FORMATS = ("Coo", "Csr", "Ell", "Dia", "Sell", "Gdia", "Hybrid")
 
 
 @dataclasses.dataclass(frozen=True)

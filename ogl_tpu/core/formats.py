@@ -41,12 +41,14 @@ __all__ = [
     "Ell",
     "Dia",
     "Sell",
+    "Hybrid",
     "coo_from_dense",
     "to_dense",
     "coo_to_csr",
     "coo_to_ell",
     "coo_to_dia",
     "coo_to_sell",
+    "coo_to_hybrid",
     "with_values",
     "ValueMap",
     "value_map",
@@ -168,6 +170,27 @@ class Sell:
         return self.vals.dtype
 
 
+@_pytree
+@dataclasses.dataclass(frozen=True)
+class Hybrid:
+    """Ginkgo-style hybrid: an ELL part for the regular bulk plus a COO
+    tail for overflow entries.  The reference advertises `matrixFormat
+    Hybrid` but ships it disabled (CsrMatrixWrapper.H:150-153); implemented
+    here for drop-in completeness."""
+
+    ell: "Ell"
+    coo: "Coo"
+    shape: tuple[int, int] = static_field()
+
+    @property
+    def nnz(self) -> int:
+        return int(np.count_nonzero(np.asarray(jax.device_get(self.ell.vals)))) + self.coo.nnz
+
+    @property
+    def dtype(self):
+        return self.ell.vals.dtype
+
+
 # -----------------------------------------------------------------------------
 # construction / conversion (host-side, NumPy — one-time setup, like the
 # reference's init_local_sparsity_pattern; reference HostMatrix.C:469-589)
@@ -212,6 +235,8 @@ def to_dense(m) -> np.ndarray:
             j = i + off
             ok = (j >= 0) & (j < mcols)
             out[i[ok], j[ok]] += d[k, i[ok]]
+    elif isinstance(m, Hybrid):
+        out = to_dense(m.ell) + to_dense(m.coo)
     elif isinstance(m, Sell):
         c = np.asarray(jax.device_get(m.cols)).reshape(-1, m.cols.shape[-1])
         v = np.asarray(jax.device_get(m.vals)).reshape(-1, m.vals.shape[-1])
@@ -241,7 +266,11 @@ def to_dense(m) -> np.ndarray:
 
 
 def _vals_of(m):
-    return m.data if isinstance(m, Dia) else m.vals
+    if isinstance(m, Dia):
+        return m.data
+    if isinstance(m, Hybrid):
+        return m.ell.vals
+    return m.vals
 
 
 def _host(m: Coo):
@@ -293,6 +322,32 @@ def coo_to_ell(m: Coo, width: int | None = None) -> Ell:
     ecols[rows, slot] = cols
     evals[rows, slot] = vals
     return Ell(cols=jnp.asarray(ecols), vals=jnp.asarray(evals), shape=m.shape)
+
+
+def coo_to_hybrid(m: Coo, width: int | None = None) -> "Hybrid":
+    """Hybrid = ELL bulk + COO tail.  Entries up to `width` per row land in
+    the ELL planes; overflow entries go to the row-major COO tail.  Width
+    defaults to the 80th-percentile row length (bounds ELL padding waste on
+    matrices with a few long rows)."""
+    rows, cols, vals = _host(m)
+    n = m.shape[0]
+    counts = np.bincount(rows, minlength=n) if n else np.zeros(0, np.int64)
+    if width is None:
+        width = max(1, int(np.percentile(counts, 80))) if n else 1
+    _, slot = ell_layout(rows, n)
+    in_ell = slot < width
+    ecols = np.repeat(np.arange(n, dtype=np.int32)[:, None], width, axis=1)
+    evals = np.zeros((n, width), dtype=vals.dtype)
+    ecols[rows[in_ell], slot[in_ell]] = cols[in_ell]
+    evals[rows[in_ell], slot[in_ell]] = vals[in_ell]
+    tail = ~in_ell
+    return Hybrid(
+        ell=Ell(cols=jnp.asarray(ecols), vals=jnp.asarray(evals), shape=m.shape),
+        coo=Coo(rows=jnp.asarray(rows[tail].astype(np.int32)),
+                cols=jnp.asarray(cols[tail].astype(np.int32)),
+                vals=jnp.asarray(vals[tail]), shape=m.shape),
+        shape=m.shape,
+    )
 
 
 def dia_layout(rows: np.ndarray, cols: np.ndarray, n: int):
@@ -357,6 +412,14 @@ def with_values(m, vals: Array):
     same compiled sparsity)."""
     if isinstance(m, Dia):
         return dataclasses.replace(m, data=vals)
+    if isinstance(m, Hybrid):
+        # virtual flat storage: [ell.vals.flat ++ tail.vals]
+        esize = m.ell.vals.size
+        return dataclasses.replace(
+            m,
+            ell=dataclasses.replace(m.ell, vals=vals[:esize].reshape(m.ell.vals.shape)),
+            coo=dataclasses.replace(m.coo, vals=vals[esize:]),
+        )
     return dataclasses.replace(m, vals=vals)
 
 
@@ -420,6 +483,15 @@ def value_map(m, rows, cols) -> ValueMap:
         _, slot = ell_layout(rows, n)
         dest = inv[rows] * w + slot
         shape = tuple(int(s) for s in m.vals.shape)
+    elif isinstance(m, Hybrid):
+        w = m.ell.row_width
+        _, slot = ell_layout(rows, n)
+        in_ell = slot < w
+        dest = np.empty(len(rows), np.int64)
+        dest[in_ell] = rows[in_ell] * w + slot[in_ell]
+        esize = int(m.ell.vals.size)
+        dest[~in_ell] = esize + np.arange(int((~in_ell).sum()))
+        shape = (esize + m.coo.nnz,)
     elif type(m).__name__ == "Gdia":
         from ogl_tpu.kernels.gdia import gdia_layout
 

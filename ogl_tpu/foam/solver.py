@@ -53,6 +53,7 @@ _FORMAT_CONVERTERS = {
     "Dia": formats.coo_to_dia,
     "Sell": formats.coo_to_sell,
     "Gdia": _to_gdia,
+    "Hybrid": formats.coo_to_hybrid,
 }
 
 _banner_shown: set[str] = set()

@@ -25,7 +25,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from ogl_tpu.core.formats import Coo, Csr, Dia, Ell, Sell
+from ogl_tpu.core.formats import Coo, Csr, Dia, Ell, Hybrid, Sell
 
 __all__ = ["spmv", "matvec", "spmv_coo", "spmv_csr", "spmv_ell", "spmv_dia", "spmv_sell"]
 
@@ -86,7 +86,12 @@ def _gdia_type():
     return Gdia
 
 
-_DISPATCH = {Coo: spmv_coo, Csr: spmv_csr, Ell: spmv_ell, Dia: spmv_dia, Sell: spmv_sell}
+def spmv_hybrid(m, x):
+    return spmv_ell(m.ell, x) + spmv_coo(m.coo, x)
+
+
+_DISPATCH = {Coo: spmv_coo, Csr: spmv_csr, Ell: spmv_ell, Dia: spmv_dia,
+             Sell: spmv_sell, Hybrid: spmv_hybrid}
 
 
 def _lookup(m):

@@ -318,3 +318,21 @@ def test_matrix_format_auto_routing(monkeypatch):
     # on CPU ("reference" executor) the named format is used as-is
     fs3 = FoamSolver("ar3", {"solver": "GKOCG", "executor": "reference"})
     assert isinstance(fs3._convert(coo), formats.Coo)
+
+
+def test_foam_matrix_format_hybrid():
+    """matrixFormat Hybrid end-to-end (ELL bulk + COO tail; the reference
+    advertises Hybrid but ships it disabled, CsrMatrixWrapper.H:150-153)."""
+    m, b, x_true = _problem()
+    controls = {"solver": "GKOCG", "executor": "reference",
+                "matrixFormat": "Hybrid", "tolerance": 1e-10, "relTol": 0,
+                "maxIter": 600, "dtype": "float64"}
+    x, perf = foam.solve("phyb", m, b, controls)
+    assert perf.converged and perf.solver_name.endswith("Hybrid")
+    np.testing.assert_allclose(np.asarray(x), x_true, atol=1e-6)
+    # steady-state update goes through the jit'd value map
+    import dataclasses as dc
+
+    m2 = dc.replace(m, diag=2 * m.diag, upper=2 * m.upper)
+    x2, perf2 = foam.solve("phyb", m2, b, {})
+    np.testing.assert_allclose(np.asarray(x2), x_true / 2, atol=1e-6)

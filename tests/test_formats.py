@@ -78,3 +78,22 @@ def test_mtx_roundtrip(tmp_path, rng):
     v = rng.normal(size=12)
     mtx.write_dense(vp, jnp.asarray(v))
     np.testing.assert_allclose(mtx.read(vp).ravel(), v, atol=1e-14)
+
+
+def test_hybrid_preserves_matrix(rng):
+    """Hybrid (ELL bulk + COO tail) reproduces the matrix and actually
+    splits: skewed row lengths must land entries in both parts."""
+    n = 48
+    a = (rng.random((n, n)) < 0.08) * rng.normal(size=(n, n))
+    a[0, :] = rng.normal(size=n)  # one long row forces a COO tail
+    np.fill_diagonal(a, 4.0)
+    coo = formats.coo_from_dense(a)
+    h = formats.coo_to_hybrid(coo)
+    assert h.coo.nnz > 0  # tail non-empty
+    assert h.ell.row_width < int(np.count_nonzero(a, axis=1).max())
+    np.testing.assert_allclose(formats.to_dense(h), a, rtol=1e-12)
+    # spmv matches dense
+    from ogl_tpu.kernels import spmv as _s
+
+    x = rng.normal(size=n)
+    np.testing.assert_allclose(np.asarray(_s.spmv(h, jnp.asarray(x))), a @ x, rtol=1e-6)

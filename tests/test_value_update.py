@@ -28,6 +28,7 @@ CONVERTERS = {
     "Dia": formats.coo_to_dia,
     "Sell": formats.coo_to_sell,
     "Gdia": gdia_from_coo,
+    "Hybrid": formats.coo_to_hybrid,
 }
 
 
