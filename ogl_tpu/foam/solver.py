@@ -308,16 +308,23 @@ class FoamSolver:
             # StoppingCriterion.C:115-117)
             kw["history_len"] = self.cfg.stopping.max_iter + self.cfg.stopping.frequency
 
-        # merged-kernel CG fast path: Dia format + diagonal preconditioning
+        # merged-kernel CG fast path: Dia format + diagonal preconditioning,
+        # or Multigrid whose fine level shares the frame geometry (the whole
+        # AMG-preconditioned solve then runs framed)
         pcname = self.cfg.precond.name
         diag_pc = pcname == "none" or (pcname == "BJ" and self.cfg.precond.max_block_size == 1)
+        amg_framed = (
+            pcname == "Multigrid"
+            and getattr(pc_op, "fine_plan", None) is not None
+            and isinstance(self.matrix, formats.Dia)
+        )
         from ogl_tpu.kernels.gdia import Gdia as _Gdia
 
         if (
             name == "GKOCG"
             and self.cfg.fused_cg
             and isinstance(self.matrix, (formats.Dia, _Gdia))
-            and diag_pc
+            and (diag_pc or amg_framed)
             and jax.default_backend() == "tpu"
             and n >= (1 << 15)  # small tiles fault the fused kernels on hw;
             # sub-32k problems gain nothing from merging anyway
@@ -329,14 +336,23 @@ class FoamSolver:
                 kern = CgKernels(n, self.matrix.offsets)
             else:
                 kern = GdiaCgKernels(n, self.matrix.plane_offsets)
+            if amg_framed and pc_op.fine_plan != kern:
+                amg_framed = False  # geometry mismatch: general path below
+            if diag_pc or amg_framed:
+                framed_fn = pc_op.framed_fn if amg_framed else None
 
-            def run_fused(mat, pc_state, b, x0, sp):
-                data3 = kern.pack_values(mat)
-                invd = pc_state if pcname == "BJ" else None
-                return cg_fused(kern, data3, b, x0, sp, invd=invd,
-                                history_len=kw.get("history_len", 0))
+                def run_fused(mat, pc_state, b, x0, sp):
+                    data3 = kern.pack_values(mat)
+                    if framed_fn is not None:
+                        return cg_fused(
+                            kern, data3, b, x0, sp,
+                            precond_framed=lambda rf: framed_fn(pc_state, rf),
+                            history_len=kw.get("history_len", 0))
+                    invd = pc_state if pcname == "BJ" else None
+                    return cg_fused(kern, data3, b, x0, sp, invd=invd,
+                                    history_len=kw.get("history_len", 0))
 
-            return run_fused
+                return run_fused
 
         def run(mat, pc_state, b, x0, sp):
             ops = single_device_ops(

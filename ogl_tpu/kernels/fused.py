@@ -404,13 +404,16 @@ class CgKernels:
     def __eq__(self, other):
         return isinstance(other, CgKernels) and self._key() == other._key()
 
-    def pack_values(self, mat: Dia):
-        """Dia values -> the (nd, Rp, 128) coefficient blocks (traced)."""
+    def pack_values(self, mat: Dia, dtype=None):
+        """Dia values -> the (nd, Rp, 128) coefficient blocks (traced).
+        dtype overrides the storage precision (e.g. bfloat16 for
+        preconditioner operators: compute stays f32 in-kernel, A-read
+        bytes halve)."""
         assert tuple(mat.offsets) == self.offsets
         pad = self.rp * LANES - self.n
-        return jnp.pad(mat.data.astype(self.dtype), ((0, 0), (0, pad))).reshape(
-            len(self.offsets), self.rp, LANES
-        )
+        return jnp.pad(
+            mat.data.astype(dtype or self.dtype), ((0, 0), (0, pad))
+        ).reshape(len(self.offsets), self.rp, LANES)
 
     # ---- layout helpers -------------------------------------------------
     def frame(self, x):

@@ -34,10 +34,15 @@ class _Carry(NamedTuple):
     stop: stopping.StopState
 
 
-def cg_fused(kern: CgKernels, data3, b, x0, cfg, invd=None, history_len: int = 0) -> SolveResult:
+def cg_fused(kern: CgKernels, data3, b, x0, cfg, invd=None, history_len: int = 0,
+             precond_framed=None) -> SolveResult:
     """b, x0: flat (n,) arrays.  data3: kern.pack_values(mat) (traced, so
     coefficient updates reuse the compiled program).  invd: optional
-    diagonal-preconditioner inverse (flat (n,)); None = identity."""
+    diagonal-preconditioner inverse (flat (n,)); None = identity.
+    precond_framed: optional rich preconditioner applied on the FRAMED
+    residual (rf -> zf, e.g. an AMG V-cycle whose fine level shares this
+    kern's frame geometry) — the whole PCG then stays in the framed layout
+    with no per-iteration frame/unframe traffic."""
     dtype = kern.dtype
     n = kern.n
     bf = kern.frame(b)
@@ -45,8 +50,12 @@ def cg_fused(kern: CgKernels, data3, b, x0, cfg, invd=None, history_len: int = 0
     invdf = kern.frame(invd if invd is not None else jnp.ones((n,), dtype))
 
     rf = bf - kern.apply(data3, xf)
-    zf = invdf * rf
-    rho0 = jnp.sum(rf * zf)
+    if precond_framed is not None:
+        zf = precond_framed(rf)
+        rho0 = jnp.sum(rf * zf)
+    else:
+        zf = invdf * rf
+        rho0 = jnp.sum(rf * zf)
     absr0 = jnp.sum(jnp.abs(rf))
 
     # norm factor (StoppingCriterion.C:32-69) on the initial state
@@ -97,6 +106,9 @@ def cg_fused(kern: CgKernels, data3, b, x0, cfg, invd=None, history_len: int = 0
             pf, qf, delta = kern.k1(data3, c.zf, c.pf, beta)
             alpha = c.rho / delta
             xf, rf, zf, rho_new, absr = kern.k2(alpha, c.xf, c.rf, pf, qf, invdf)
+            if precond_framed is not None:
+                zf = precond_framed(rf)
+                rho_new = jnp.sum(rf * zf)
             return _Carry(
                 xf=xf, rf=rf, zf=zf, pf=pf,
                 rho=rho_new.astype(dtype), rho_old=c.rho, absr=absr.astype(dtype),

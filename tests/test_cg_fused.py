@@ -141,3 +141,46 @@ def test_fused_smoother_kernels():
     got_resid = np.asarray(kern.unframe(kern.kresid(
         data3, kern.frame(x), kern.frame(b))))
     np.testing.assert_allclose(got_resid, want_resid, rtol=2e-5, atol=2e-5)
+
+
+def test_fused_cg_with_framed_amg():
+    """Merged-kernel PCG with the AMG V-cycle applied on the framed
+    residual: same iteration count and solution as the general path."""
+    import sys
+
+    from ogl_tpu import precond as _p
+    from ogl_tpu.kernels.fused import CgKernels
+
+    amgmod = sys.modules["ogl_tpu.precond.amg"]
+    coo, mat, b, x_true = _setup((128, 8))
+    n = mat.shape[0]
+
+    def interpret_plan(m_, inv_diag):
+        from ogl_tpu.core.formats import Dia
+
+        if not isinstance(m_, Dia) or not m_.offsets:
+            return None, None, None
+        try:
+            plan = CgKernels(m_.shape[0], m_.offsets, tile=16, interpret=True)
+        except ValueError:
+            return None, None, None
+        return plan, plan.pack_values(m_), plan.frame(inv_diag)
+
+    orig = amgmod._fused_plan
+    amgmod._fused_plan = interpret_plan
+    try:
+        op = _p.amg(coo, width=4)
+    finally:
+        amgmod._fused_plan = orig
+    assert op.fine_plan is not None
+
+    kern, data3 = make_cg_kernels(mat, tile=16, interpret=True)
+    assert op.fine_plan == kern
+    res_f = cg_fused(kern, data3, b, jnp.zeros_like(b), CFG,
+                     precond_framed=lambda rf: op.framed_fn(op.state, rf))
+    ops = single_device_ops(spmv.matvec(mat), n,
+                            precond=lambda r: op.apply_fn(op.state, r))
+    res_r = cg(ops, b, jnp.zeros_like(b), CFG)
+    assert bool(res_f.converged) and bool(res_r.converged)
+    assert abs(int(res_f.iters) - int(res_r.iters)) <= 1
+    np.testing.assert_allclose(np.asarray(res_f.x), x_true, atol=5e-2)
