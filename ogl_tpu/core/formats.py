@@ -352,12 +352,13 @@ def coo_to_hybrid(m: Coo, width: int | None = None) -> "Hybrid":
 
 def dia_layout(rows: np.ndarray, cols: np.ndarray, n: int):
     """Entry→slot layout for DIA packing: returns (offsets, dest) where
-    dest[i] is the flat index of entry i into the (n_diags, n) data array."""
+    dest[i] is the flat index of entry i into the (n_diags, n) data array.
+    One unique pass (return_inverse) instead of unique + searchsorted —
+    this runs on 10M+ entry arrays at setup."""
     rows = np.asarray(rows, np.int64)
     cols = np.asarray(cols, np.int64)
-    offs = np.unique(cols - rows)
-    d_ids = np.searchsorted(offs, cols - rows)
-    return tuple(int(o) for o in offs), d_ids * n + rows
+    offs, d_ids = np.unique(cols - rows, return_inverse=True)
+    return tuple(int(o) for o in offs), d_ids.astype(np.int64) * n + rows
 
 
 def coo_to_dia(m: Coo) -> Dia:

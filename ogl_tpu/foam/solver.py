@@ -174,6 +174,7 @@ class FoamSolver:
             mat = spmv.pack_fast(
                 np.asarray(coo.rows), np.asarray(coo.cols),
                 np.asarray(coo.vals), coo.shape[0],
+                presorted=True,  # LDU sparsity emits row-major order
             )
             eff = type(mat).__name__
             if eff != fmt:
@@ -432,25 +433,23 @@ class FoamSolver:
         if self._res_eval_time is None:
             mv = spmv.matvec(self.matrix)
 
-            def chain(k):
-                def f(x, b):
-                    def body(_, c):
-                        x, s = c
-                        return x * (1.0 - 1e-30 * s), s + jnp.abs(b - mv(x)).sum()
-                    _, s = jax.lax.fori_loop(0, k, body, (x, jnp.zeros((), x.dtype)))
-                    return s
-                return jax.jit(f)
+            @jax.jit  # ONE program, trip count traced (compile once)
+            def f(x, b, k):
+                def body(_, c):
+                    x, s = c
+                    return x * (1.0 - 1e-30 * s), s + jnp.abs(b - mv(x)).sum()
+                _, s = jax.lax.fori_loop(0, k, body, (x, jnp.zeros((), x.dtype)))
+                return s
 
             k = 129  # long chain: the extra-eval time must clear RTT jitter
-            f1, fk = chain(1), chain(k)
-            jax.block_until_ready(f1(res.x, b_dev))
-            jax.block_until_ready(fk(res.x, b_dev))
+            jax.block_until_ready(f(res.x, b_dev, 1))
+            jax.block_until_ready(f(res.x, b_dev, k))
             t_short = t_long = float("inf")
             for _ in range(3):
                 t0 = time.perf_counter()
-                jax.block_until_ready(f1(res.x, b_dev))
+                jax.block_until_ready(f(res.x, b_dev, 1))
                 t1 = time.perf_counter()
-                jax.block_until_ready(fk(res.x, b_dev))
+                jax.block_until_ready(f(res.x, b_dev, k))
                 t2 = time.perf_counter()
                 t_short = min(t_short, t1 - t0)
                 t_long = min(t_long, t2 - t1)

@@ -108,12 +108,15 @@ def spmv(m, x):
     return _lookup(m)(m, x)
 
 
-def pack_fast(rows, cols, vals, n: int, max_planes: int = 48):
+def pack_fast(rows, cols, vals, n: int, max_planes: int = 48,
+              presorted: bool = False):
     """Pack host COO triplets into the fastest TPU-representable format:
     Dia (bounded distinct offsets, gather-free) → Gdia (bounded block-row
     planes, lane gathers) → Ell (XLA gather fallback).  Used for derived
     operators (ISAI inverses, ILU/IC factors, AMG levels) whose applies
-    would otherwise ride XLA's catastrophic gather lowering."""
+    would otherwise ride XLA's catastrophic gather lowering.
+    presorted=True skips the row-major sort (the LDU sparsity emits
+    row-major order already)."""
     import numpy as np
 
     from ogl_tpu.core.formats import Coo, coo_to_dia, coo_to_ell
@@ -121,10 +124,16 @@ def pack_fast(rows, cols, vals, n: int, max_planes: int = 48):
     rows = np.asarray(rows, np.int64)
     cols = np.asarray(cols, np.int64)
     vals = np.asarray(vals)
-    order = np.lexsort((cols, rows))
-    coo = Coo(rows=rows[order].astype(np.int32), cols=cols[order].astype(np.int32),
-              vals=vals[order], shape=(n, n))
-    if len(np.unique(cols - rows)) <= 64:
+    if not presorted:
+        order = np.lexsort((cols, rows))
+        rows, cols, vals = rows[order], cols[order], vals[order]
+    coo = Coo(rows=rows.astype(np.int32), cols=cols.astype(np.int32),
+              vals=vals, shape=(n, n))
+    diffs = cols - rows
+    # cheap pre-check: distinct offsets bounded without a full unique —
+    # sample first, full unique only if the sample looks bounded
+    sample = np.unique(diffs[:: max(1, len(diffs) // 65536)])
+    if len(sample) <= 64 and len(np.unique(diffs)) <= 64:
         return coo_to_dia(coo)
     try:
         from ogl_tpu.kernels.gdia import gdia_from_coo
