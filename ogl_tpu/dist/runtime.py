@@ -28,7 +28,7 @@ import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-__all__ = ["init_distributed", "global_mesh", "stage_stack"]
+__all__ = ["init_distributed", "global_mesh", "stage_stack", "stage_tree"]
 
 
 def init_distributed(coordinator_address: str | None = None,
@@ -89,3 +89,23 @@ def stage_stack(local_shards, mesh: Mesh, axis: str = "x"):
         for s, d in zip(local_shards, local_devices)
     ]
     return jax.make_array_from_single_device_arrays(global_shape, sharding, buffers)
+
+
+def stage_tree(tree, mesh: Mesh, axis: str = "x"):
+    """Stage every parts-stacked array leaf of a pytree (leading dim == the
+    mesh size, e.g. a DistMatrix's local/halo stacks or a b/x stack) into a
+    global sharded array via `stage_stack`; other leaves pass through.
+    Each process contributes the slices belonging to ITS mesh devices —
+    the bulk data never exists globally on one host."""
+    n_parts = int(np.prod(mesh.devices.shape))
+    mine = [i for i, d in enumerate(mesh.devices.ravel())
+            if d.process_index == jax.process_index()]
+
+    def stage(leaf):
+        arr = np.asarray(leaf) if not hasattr(leaf, "ndim") else leaf
+        if getattr(arr, "ndim", 0) >= 1 and arr.shape[0] == n_parts:
+            host = np.asarray(jax.device_get(arr))
+            return stage_stack([host[i] for i in mine], mesh, axis)
+        return leaf
+
+    return jax.tree_util.tree_map(stage, tree)

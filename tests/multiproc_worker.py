@@ -1,0 +1,75 @@
+"""Worker for the real multi-process distributed test (test_multiprocess.py).
+
+Each of two CPU processes (2 virtual devices each — a 4-device global mesh)
+initialises jax.distributed, stages ITS shards of a decomposed Poisson
+system, runs the shard_map'd distributed CG, and checks its addressable
+slices of the solution.  This exercises the actual multi-host code path
+(jax.distributed init + make_array_from_single_device_arrays staging +
+cross-process collectives) that a TPU pod-slice run uses
+(reference ExecutorHandler.H:115-179 / mpirun equivalent).
+"""
+
+import os
+import sys
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+os.environ["XLA_FLAGS"] = flags + " --xla_force_host_platform_device_count=2"
+
+import numpy as np  # noqa: E402
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+
+def main():
+    coordinator, n_procs, pid = sys.argv[1], int(sys.argv[2]), int(sys.argv[3])
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+    from ogl_tpu import testing as problems
+    from ogl_tpu.config import StoppingConfig
+    from ogl_tpu.core import ldu
+    from ogl_tpu.dist import runtime
+    from ogl_tpu.dist.from_ranks import DistAssembler
+    from ogl_tpu.dist.partition import split_vector
+    from ogl_tpu.dist.solve import dist_solve
+    from ogl_tpu.solve.stopping import StoppingParams
+
+    assert runtime.init_distributed(coordinator, n_procs, pid)
+    assert jax.process_count() == n_procs
+    mesh = runtime.global_mesh()
+    n_parts = int(np.prod(mesh.devices.shape))
+    assert n_parts == 4, mesh
+
+    m = problems.poisson_ldu((16, 16))
+    a = problems.poisson_dense((16, 16))
+    rng = np.random.default_rng(3)
+    x_true = rng.normal(size=m.n)
+    b = a @ x_true
+
+    parts = ldu.decompose(m, n_parts)
+    asm = DistAssembler(parts, dtype=np.float64)
+    dm = asm.dm
+
+    dm_staged = runtime.stage_tree(dm, mesh)
+    b_stack = runtime.stage_tree(
+        jnp.asarray(split_vector(dm, b), jnp.float64), mesh)
+    x0_stack = runtime.stage_tree(
+        jnp.zeros((n_parts, dm.n_local), jnp.float64), mesh)
+
+    sp = StoppingParams.of(StoppingConfig(tolerance=1e-10, rel_tol=0.0,
+                                          max_iter=600))
+    x_stack, res = dist_solve(dm_staged, b_stack, x0_stack, sp, mesh)
+    assert bool(np.asarray(jax.device_get(res.converged)).ravel()[0]), res
+
+    # each process validates the shards it can address
+    for shard in x_stack.addressable_shards:
+        i = shard.index[0].start if isinstance(shard.index[0], slice) else shard.index[0]
+        start = sum(dm.local_sizes[:i])
+        size = dm.local_sizes[i]
+        got = np.asarray(shard.data).reshape(-1)[:size]
+        np.testing.assert_allclose(got, x_true[start:start + size], atol=1e-6)
+    print(f"OK {pid}", flush=True)
+
+
+if __name__ == "__main__":
+    main()
