@@ -26,7 +26,8 @@ from ogl_tpu.dist.partition import DiaStack, pack_local_stack
 
 __all__ = ["build_schwarz", "SCHWARZ_NAMES"]
 
-SCHWARZ_NAMES = ("BJ", "ILU", "ILUT", "IRILU", "IC", "ICT", "ISAI", "GISAI")
+SCHWARZ_NAMES = ("BJ", "ILU", "ILUT", "IRILU", "IC", "ICT", "ISAI", "GISAI",
+                 "Multigrid")
 
 
 def _stacked_operator(shards, n_local: int, dtype):
@@ -219,6 +220,99 @@ def _build_bj(shards, n_local, dtype, block_size):
     return apply, state
 
 
+def _build_amg(shards, n_local, dtype, cfg):
+    """Per-shard local AMG under additive Schwarz (the reference wraps its
+    Multigrid preconditioner like any other local preconditioner,
+    Preconditioner.H:47-81).  Structure uniformity across shards — required
+    so every shard runs the same program — comes from (a) padding every
+    local block to n_local with unit diagonals, (b) natural (consecutive-
+    run) aggregation with a fixed width, giving identical level sizes, and
+    (c) union-offset Dia / common-width Ell level operators
+    (_stacked_operator).  Coarse solve = stacked dense inverses, one
+    einsum."""
+    import scipy.sparse as sp
+
+    w = max(2, cfg.coarsening_rate)
+    relax = 0.9
+    sweeps = max(1, cfg.smoother_sweeps)
+
+    mats = []
+    for shard in shards:
+        rows, cols, vals = (np.asarray(x) for x in shard)
+        a = sp.csr_matrix(
+            (vals.astype(np.float64), (rows.astype(np.int64), cols.astype(np.int64))),
+            shape=(n_local, n_local))
+        d = a.diagonal()
+        fix = np.nonzero(d == 0)[0]
+        if len(fix):
+            a = (a + sp.csr_matrix((np.ones(len(fix)), (fix, fix)),
+                                   shape=a.shape)).tocsr()
+        mats.append(a)
+
+    stop = max(cfg.min_coarse_rows, min(2048, max(1, n_local // 16)))
+    level_meta = []  # (offsets-static op template, n_l, nc) via closure lists
+    level_ops = []
+    level_invd = []
+    n_l = n_local
+    for _ in range(cfg.max_levels):
+        if n_l <= stop:
+            break
+        nc = -(-n_l // w)
+        triples = []
+        for a in mats:
+            c = a.tocoo()
+            order = np.lexsort((c.col, c.row))
+            triples.append((c.row[order], c.col[order], c.data[order]))
+        op = _stacked_operator(triples, n_l, dtype)
+        invd = np.stack([_safe_inv(a.diagonal()) for a in mats]).astype(dtype)
+        level_ops.append(op)
+        level_invd.append(jnp.asarray(invd))
+        level_meta.append((n_l, nc))
+        pm = sp.csr_matrix(
+            (np.ones(n_l), (np.arange(n_l), np.arange(n_l) // w)),
+            shape=(n_l, nc))
+        mats = [(pm.T @ a @ pm).tocsr() for a in mats]
+        n_l = nc
+
+    coarse_inv = jnp.asarray(np.stack(
+        [np.linalg.pinv(a.toarray(), rcond=1e-12) for a in mats]).astype(dtype))
+
+    state = (tuple(level_ops), tuple(level_invd), coarse_inv)
+    n_levels = len(level_meta)
+
+    def apply(s, r):
+        ops_, invds, cinv = s
+
+        def smooth(li, x, bvec, x_is_zero=False):
+            invd = invds[li].astype(bvec.dtype)
+            for it in range(sweeps):
+                if it == 0 and x_is_zero:
+                    x = relax * invd * bvec
+                else:
+                    from ogl_tpu.kernels.spmv import spmv as _spmv
+
+                    x = x + relax * invd * (bvec - _spmv(ops_[li], x))
+            return x
+
+        def cyc(li, bvec):
+            from ogl_tpu.kernels.spmv import spmv as _spmv
+
+            if li == n_levels:
+                return (cinv.astype(bvec.dtype) @ bvec).astype(bvec.dtype)
+            nl, nc = level_meta[li]
+            x = smooth(li, None, bvec, x_is_zero=True)
+            res = bvec - _spmv(ops_[li], x)
+            rc = jnp.pad(res, (0, nc * w - nl)).reshape(nc, w).sum(axis=1)
+            ec = cyc(li + 1, rc)
+            ef = jnp.broadcast_to(ec[:, None], (nc, w)).reshape(-1)[:nl]
+            x = x + ef
+            return smooth(li, x, bvec)
+
+        return cyc(0, r).astype(r.dtype)
+
+    return apply, state
+
+
 def build_schwarz(cfg, shards, n_local: int, dtype):
     """Factory for the distributed (additive-Schwarz-wrapped) preconditioner
     set — the parallel counterpart of precond.build, mirroring the
@@ -242,6 +336,8 @@ def build_schwarz(cfg, shards, n_local: int, dtype):
         return _build_isai(shards, n_local, dtype, cfg.sparsity_power, spd=True)
     if name == "GISAI":
         return _build_isai(shards, n_local, dtype, cfg.sparsity_power, spd=False)
+    if name == "Multigrid":
+        return _build_amg(shards, n_local, dtype, cfg)
     raise ValueError(
         f"unsupported distributed preconditioner: {name}; valid: "
         f"none, {', '.join(SCHWARZ_NAMES)}"

@@ -69,7 +69,7 @@ def test_dist_foam_block_jacobi():
     assert p4.n_iterations <= p0.n_iterations
 
 
-@pytest.mark.parametrize("name", ["ILU", "IRILU", "ILUT", "IC", "ICT", "ISAI", "GISAI"])
+@pytest.mark.parametrize("name", ["ILU", "IRILU", "ILUT", "IC", "ICT", "ISAI", "GISAI", "Multigrid"])
 def test_dist_foam_schwarz_preconditioners(name):
     """Every local preconditioner generates on the shard's local block under
     additive Schwarz (reference Preconditioner.H:47-81) and accelerates the
