@@ -357,7 +357,9 @@ def dia_layout(rows: np.ndarray, cols: np.ndarray, n: int):
     this runs on 10M+ entry arrays at setup."""
     rows = np.asarray(rows, np.int64)
     cols = np.asarray(cols, np.int64)
-    offs, d_ids = np.unique(cols - rows, return_inverse=True)
+    # int32 diffs: offsets fit (|off| < n < 2^31) and unique on int32 is
+    # ~2x faster at the 10M-entry scale this runs at
+    offs, d_ids = np.unique((cols - rows).astype(np.int32), return_inverse=True)
     return tuple(int(o) for o in offs), d_ids.astype(np.int64) * n + rows
 
 
