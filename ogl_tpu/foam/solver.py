@@ -148,6 +148,8 @@ class FoamSolver:
         self.matrix = None
         self._reorder = None
         self._value_map = None
+        self._coo_host_cache = None
+        self._src_host = None
         self._precond_op = None
         self._compiled = {}
         self._res_eval_time: float | None = None
@@ -219,39 +221,57 @@ class FoamSolver:
                 self._reorder = None
         if first or self.cfg.update_sys_matrix:
             with common.timed("update_local_matrix", self.cfg.verbose, self.field, self.timings):
-                # one bulk host concat + host gather (the reference's bulk
-                # copy + row_gather path, HostMatrix.C:684-704).  Host-side
-                # on purpose: the values are also needed host-side for
-                # format conversion / preconditioner factorisation, and a
-                # device→host fetch costs far more than the gather
-                vals_host = ldu.assemble_coeffs_host(
-                    self.sparsity, m, self.dtype, scale=self.cfg.scaling
-                )
-            if self._reorder is not None:
-                _, _, rp, cp, entry_order = self._reorder
-                rows_h, cols_h, vals_h = rp, cp, vals_host[entry_order]
-            else:
-                rows_h, cols_h, vals_h = (
-                    self.sparsity.rows, self.sparsity.cols, vals_host)
-            self._coo_host = formats.Coo(
-                rows=rows_h, cols=cols_h, vals=vals_h, shape=(m.n, m.n))
+                # one bulk host concat (the reference's bulk copy,
+                # HostMatrix.C:684-692); the row-major gather happens where
+                # the values are consumed (host for conversions, device for
+                # the steady-state update)
+                self._src_host = ldu._host_src(self.sparsity, m, self.dtype)
+                self._coo_host_cache = None  # invalidate lazy host values
+                self._n = m.n
             if first or self.matrix is None or self.cfg.regenerate:
                 # `regenerate` forces a full rebuild every solve (reference
                 # CsrMatrixWrapper.H:76-86)
                 with common.timed("convert_format", self.cfg.verbose, self.field, self.timings):
-                    self.matrix = self._convert(self._coo_host)
+                    self.matrix = self._convert(self.coo_host())
             else:
-                # steady state: same sparsity, swap the device value array in
-                # place via the precomputed entry→slot map — ONE upload + one
-                # jit'd scatter for ANY format (reference
-                # CsrMatrixWrapper.H:74-136)
+                # steady state: upload the RAW source blocks (smaller than
+                # the assembled array — symmetric matrices share upper/
+                # lower) and run gather + scatter on device: one upload +
+                # two jit'd ops for ANY format (the reference's in-place
+                # device value overwrite, CsrMatrixWrapper.H:74-136)
                 if self._value_map is None:
-                    self._value_map = formats.value_map(
-                        self.matrix, rows_h, cols_h)
+                    c = self.coo_host()
+                    self._value_map = formats.value_map(self.matrix, c.rows, c.cols)
+                    self._permute_dev = jnp.asarray(self.sparsity.permute)
+                    self._entry_order_dev = (
+                        jnp.asarray(self._reorder[4])
+                        if self._reorder is not None else None)
                 with common.timed("update_device_values", self.cfg.verbose,
                                   self.field, self.timings):
-                    self.matrix = self._value_map.update(
-                        self.matrix, jnp.asarray(vals_h))
+                    vals_dev = ldu._assemble_from_src(
+                        jnp.asarray(self._src_host), self._permute_dev,
+                        jnp.asarray(self.cfg.scaling, self._src_host.dtype))
+                    if self._entry_order_dev is not None:
+                        vals_dev = jnp.take(vals_dev, self._entry_order_dev, axis=0)
+                    self.matrix = self._value_map.update(self.matrix, vals_dev)
+
+    def coo_host(self) -> formats.Coo:
+        """Host-side COO of the CURRENT coefficients (lazy: the row-major
+        gather runs only when host values are actually needed — format
+        conversion, preconditioner factorisation, export)."""
+        if self._coo_host_cache is None:
+            scale = self.cfg.scaling
+            vals = self._src_host[np.asarray(self.sparsity.permute)]
+            if scale != 1.0:
+                vals = vals * np.asarray(scale, vals.dtype)
+            if self._reorder is not None:
+                _, _, rp, cp, entry_order = self._reorder
+                rows_h, cols_h, vals = rp, cp, vals[entry_order]
+            else:
+                rows_h, cols_h = self.sparsity.rows, self.sparsity.cols
+            self._coo_host_cache = formats.Coo(
+                rows=rows_h, cols=cols_h, vals=vals, shape=(self._n, self._n))
+        return self._coo_host_cache
 
     # -- preconditioner (TTL caching, Preconditioner.H:353-431) ---------
     def _update_precond(self):
@@ -267,7 +287,7 @@ class FoamSolver:
             if name == "none" and self.cfg.solver == "GKOMultigrid":
                 # AMG-as-solver: Richardson around one AMG cycle
                 op = precond.amg(
-                    self._coo_host,
+                    self.coo_host(),
                     max_levels=pc.max_levels,
                     min_coarse_rows=pc.min_coarse_rows,
                     cycle=pc.cycle,
@@ -275,7 +295,7 @@ class FoamSolver:
                     aggregation=pc.aggregation,
                 )
             else:
-                op = precond.build(pc, self._coo_host)
+                op = precond.build(pc, self.coo_host())
         old = getattr(self, "_precond_op", None)
         if old is None or old.fingerprint() != op.fingerprint():
             # structure changed (e.g. new AMG hierarchy): stale programs
@@ -477,7 +497,7 @@ class FoamSolver:
 
         if cfg.export or cfg.debug:
             t = time_value if time_value is not None else "0"
-            mtx.write_coo(f"processor0/{t}/{self.field}_A_local.mtx", self._coo_host)
+            mtx.write_coo(f"processor0/{t}/{self.field}_A_local.mtx", self.coo_host())
             mtx.write_dense(f"processor0/{t}/{self.field}_b.mtx", b_dev)
             if res.history is not None:
                 hist = np.asarray(jax.device_get(res.history))[: max(iters, 1)]

@@ -92,7 +92,7 @@ def test_export_unique_across_time_steps(tmp_path):
             os.makedirs(path, exist_ok=True)
             solver_obj = registry.global_registry.get("p_solver")
             # re-export under the step's time label
-            mtx.write_coo(f"{path}/p_A_local.mtx", solver_obj._coo_host)
+            mtx.write_coo(f"{path}/p_A_local.mtx", solver_obj.coo_host())
             with open(f"{path}/p_A_local.mtx", "rb") as f:
                 md5s.add(hashlib.md5(f.read()).hexdigest())
         assert len(md5s) == 3  # unique per step
