@@ -33,6 +33,8 @@ CASE_MATRIX = [
     ("GKOCG", "ILU", "Dia"),
     ("GKOBiCGStab", "BJ", "Csr"),
     ("GKOGMRES", "ISAI", "Sell"),
+    ("GKOCG", "Multigrid", "Hybrid"),
+    ("GKOGMRES", "GISAI", "Gdia"),
 ]
 
 
