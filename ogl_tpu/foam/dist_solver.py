@@ -8,8 +8,9 @@ hold) become a DistMatrix once (DistAssembler); steady-state solves only
 re-assemble coefficients on device and re-split b.  The mesh takes the
 place of the MPI communicator; the solve itself is dist.dist_solve
 (shard_map + ppermute halo rounds + psum reductions) with per-shard fast
-local formats.  Preconditioning wraps the full local set in additive
-Schwarz (dist.precond.build_schwarz — reference Preconditioner.H:47-81),
+local formats.  Preconditioning wraps the full local set — BJ, ILU/ILUT/IRILU, IC/ICT,
+ISAI/GISAI, Multigrid — in additive Schwarz (dist.precond.build_schwarz —
+reference Preconditioner.H:47-81),
 with the same TTL caching as the single-device path
 (Preconditioner.H:353-431).
 
