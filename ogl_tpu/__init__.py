@@ -27,7 +27,15 @@ def _tune_malloc():
     On virtualised hosts those faults can cost tens of µs per 4K page —
     measured here: a 9M-element `astype` at 3.8 s cold vs 14 ms from a
     reused arena.  Raising the mmap/trim thresholds makes the heap arena
-    grow once and be reused for the life of the process."""
+    grow once and be reused for the life of the process.
+
+    Disable with OGL_TPU_MALLOC_TUNE=0 when embedding in a process whose
+    resident-memory high-water mark matters more than setup latency (the
+    arena is never trimmed back to the OS)."""
+    import os
+
+    if os.environ.get("OGL_TPU_MALLOC_TUNE", "1") == "0":
+        return
     try:
         import ctypes
 

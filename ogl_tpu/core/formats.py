@@ -63,8 +63,8 @@ def _pytree(cls):
     return jax.tree_util.register_dataclass(cls, data_fields, meta_fields)
 
 
-def static_field():
-    return dataclasses.field(metadata={"leaf": False})
+def static_field(**kw):
+    return dataclasses.field(metadata={"leaf": False}, **kw)
 
 
 @_pytree

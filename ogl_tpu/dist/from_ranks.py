@@ -176,6 +176,7 @@ class DistAssembler:
             n_local=n_local,
             local_sizes=local_sizes,
             global_n=global_n,
+            halo_sizes=tuple(len(h[0]) for h in halo_shards),
         )
 
         # ---- update machinery (device gathers; pads read the zero slot S)

@@ -109,6 +109,9 @@ class DistMatrix:
     n_local: int = static_field()
     local_sizes: tuple[int, ...] = static_field()  # true rows per shard
     global_n: int = static_field()
+    # true non-local entry count per shard (halo stacks are padded; pads
+    # carry value 0 but a 0-VALUED live entry is still a live entry)
+    halo_sizes: tuple[int, ...] = static_field(default=())
 
     @property
     def n_parts(self) -> int:
@@ -191,13 +194,22 @@ def pack_local_stack(shards, n_local: int, dtype, fmt: str = "auto",
         if not len(rows):
             continue
         rows = np.asarray(rows, np.int64)
-        counts = np.bincount(rows, minlength=n_local)
+        cols = np.asarray(cols, np.int64)
+        vals = np.asarray(vals)
+        # slot computation needs row-major order; callers pass factor /
+        # inverse triples in arbitrary order (e.g. transposed or
+        # column-major), so sort here and map dest back to ENTRY order
+        order = np.lexsort((cols, rows))
+        rows_s, cols_s, vals_s = rows[order], cols[order], vals[order]
+        counts = np.bincount(rows_s, minlength=n_local)
         starts = np.zeros(n_local + 1, np.int64)
         np.cumsum(counts, out=starts[1:])
-        slot = np.arange(len(rows)) - starts[rows]
-        ecols[i, rows, slot] = np.asarray(cols, np.int32)
-        evals[i, rows, slot] = vals
-        dest[i, : len(rows)] = (rows * k + slot).astype(np.int32)
+        slot = np.arange(len(rows_s)) - starts[rows_s]
+        ecols[i, rows_s, slot] = cols_s.astype(np.int32)
+        evals[i, rows_s, slot] = vals_s
+        dst = np.empty(len(rows), np.int32)
+        dst[order] = (rows_s * k + slot).astype(np.int32)
+        dest[i, : len(rows)] = dst
     return EllStack(cols=jnp.asarray(ecols), vals=jnp.asarray(evals)), jnp.asarray(dest)
 
 
@@ -320,6 +332,7 @@ def partition_coo(coo: Coo, n_parts: int, local_format: str = "auto") -> DistMat
         n_local=n_local,
         local_sizes=local_sizes,
         global_n=n,
+        halo_sizes=tuple(len(h[0]) for h in halo_shards),
     )
 
 

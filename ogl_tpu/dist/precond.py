@@ -19,6 +19,7 @@ solves, the structure of the reference's IRILU, Preconditioner.H:146-178).
 from __future__ import annotations
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from ogl_tpu.core.formats import Coo, Dia, Ell
@@ -87,34 +88,12 @@ def _build_lu(shards, n_local, dtype, sweeps, variant):
 
 
 def _ilut_factors(coo: Coo):
-    """Per-shard threshold ILU (SuperLU ILUTP, natural ordering); falls back
-    to ILU(0) like ogl_tpu.precond.ilu.ilut."""
-    from ogl_tpu.precond.ilu import ilu0_factors
+    """Per-shard threshold ILU — the SAME factorisation the single-device
+    path uses (native C++ ILUT when available, SuperLU fallback, ILU(0) as
+    last resort), so distributed and serial ILUT agree for one config."""
+    from ogl_tpu.precond.ilu import ilut_factors
 
-    import scipy.sparse as sp
-    from scipy.sparse.linalg import spilu
-
-    n = coo.shape[0]
-    a = sp.csr_matrix((np.asarray(coo.vals, np.float64),
-                       (np.asarray(coo.rows), np.asarray(coo.cols))),
-                      shape=coo.shape).tocsc()
-    try:
-        f = spilu(a, drop_tol=1e-4, fill_factor=10.0, permc_spec="NATURAL",
-                  diag_pivot_thresh=0.0, options={"ILU_MILU": "SILU"})
-        if not (np.array_equal(f.perm_r, np.arange(n))
-                and np.array_equal(f.perm_c, np.arange(n))):
-            raise RuntimeError("spilu produced a nontrivial permutation")
-        L, U = f.L.tocoo(), f.U.tocoo()
-    except Exception:
-        return ilu0_factors(coo)
-    lm = L.row > L.col
-    um = U.row < U.col
-    dm = U.row == U.col
-    ud = np.zeros(n)
-    ud[U.row[dm]] = U.data[dm]
-    return ((L.row[lm].astype(np.int64), L.col[lm].astype(np.int64), L.data[lm]),
-            (U.row[um].astype(np.int64), U.col[um].astype(np.int64), U.data[um]),
-            ud)
+    return ilut_factors(coo)
 
 
 def _build_ic(shards, n_local, dtype, sweeps, variant):
@@ -274,11 +253,48 @@ def _build_amg(shards, n_local, dtype, cfg):
         mats = [(pm.T @ a @ pm).tocsr() for a in mats]
         n_l = nc
 
-    coarse_inv = jnp.asarray(np.stack(
-        [np.linalg.pinv(a.toarray(), rcond=1e-12) for a in mats]).astype(dtype))
+    # dense inverse only when the coarsest level is small enough (same cap
+    # as the single-device build_hierarchy); otherwise fall back to a
+    # fixed-iteration coarse CG on the stacked operator
+    dense_coarse_max = 4096
+    n_coarse = mats[0].shape[0]
+    if n_coarse <= dense_coarse_max:
+        coarse_state = jnp.asarray(np.stack(
+            [np.linalg.pinv(a.toarray(), rcond=1e-12) for a in mats]).astype(dtype))
+        coarse_is_dense = True
+    else:
+        triples = []
+        for a in mats:
+            c = a.tocoo()
+            order = np.lexsort((c.col, c.row))
+            triples.append((c.row[order], c.col[order], c.data[order]))
+        coarse_state = _stacked_operator(triples, n_coarse, dtype)
+        coarse_is_dense = False
+    coarse_iters = max(4, cfg.coarse_solver_iters)
 
-    state = (tuple(level_ops), tuple(level_invd), coarse_inv)
+    state = (tuple(level_ops), tuple(level_invd), coarse_state)
     n_levels = len(level_meta)
+
+    def _coarse_cg(op, bvec):
+        from ogl_tpu.kernels.spmv import spmv as _spmv
+
+        tiny = 1e-30
+
+        def body(_, carry):
+            x, res, pvec, rho = carry
+            q = _spmv(op, pvec)
+            pq = jnp.sum(pvec * q)
+            alpha = jnp.where(jnp.abs(pq) > tiny, rho / jnp.where(pq == 0, 1.0, pq), 0.0)
+            x = x + alpha * pvec
+            res = res - alpha * q
+            rho_new = jnp.sum(res * res)
+            beta = jnp.where(rho > tiny, rho_new / jnp.where(rho == 0, 1.0, rho), 0.0)
+            return x, res, res + beta * pvec, rho_new
+
+        x0 = jnp.zeros_like(bvec)
+        x, _, _, _ = jax.lax.fori_loop(
+            0, coarse_iters, body, (x0, bvec, bvec, jnp.sum(bvec * bvec)))
+        return x
 
     def apply(s, r):
         ops_, invds, cinv = s
@@ -298,7 +314,9 @@ def _build_amg(shards, n_local, dtype, cfg):
             from ogl_tpu.kernels.spmv import spmv as _spmv
 
             if li == n_levels:
-                return (cinv.astype(bvec.dtype) @ bvec).astype(bvec.dtype)
+                if coarse_is_dense:
+                    return (cinv.astype(bvec.dtype) @ bvec).astype(bvec.dtype)
+                return _coarse_cg(cinv, bvec)
             nl, nc = level_meta[li]
             x = smooth(li, None, bvec, x_is_zero=True)
             res = bvec - _spmv(ops_[li], x)

@@ -144,9 +144,10 @@ class DistFoamSolver:
             mtx.write_coo(f"{pre}_A_local.mtx", Coo(
                 rows=rows.astype(np.int32), cols=cols.astype(np.int32),
                 vals=vals, shape=(n_i, n_i)))
-            live = hvals[i] != 0
+            nh = dm.halo_sizes[i] if dm.halo_sizes else int(
+                np.count_nonzero(hvals[i]))
             mtx.write_coo(f"{pre}_A_non_local.mtx", Coo(
-                rows=hrows[i][live], cols=hcols[i][live], vals=hvals[i][live],
+                rows=hrows[i][:nh], cols=hcols[i][:nh], vals=hvals[i][:nh],
                 shape=(n_i, dm.plan.halo_size)))
             mtx.write_dense(f"{pre}_b.mtx", bs[i, :n_i])
 
@@ -164,7 +165,14 @@ class DistFoamSolver:
             with common.timed("update_dist_values", cfg.verbose, self.field):
                 self.assembler.update(ranks)
         dm = self.assembler.dm
-        self._update_precond(ranks)
+        fused = self._fused_eligible(dm)
+        if not fused:
+            self._update_precond(ranks)
+        else:
+            # the merged-kernel path derives the Jacobi inverse directly
+            # from the local operator's diagonal — building (and TTL-
+            # tracking) a Schwarz state every step would be pure waste
+            self._precond = None
 
         bs = jnp.asarray(split_vector(dm, np.asarray(b)), self.dtype)
         if psi is not None and cfg.update_init_guess:
@@ -178,7 +186,7 @@ class DistFoamSolver:
         sp = stopping.StoppingParams.of(stopping_cfg)
 
         t0 = time.perf_counter()
-        if self._fused_eligible(dm):
+        if fused:
             from ogl_tpu.solve.cg_fused_dist import dist_cg_fused
 
             invd = None

@@ -126,7 +126,11 @@ def dist_cg_fused(
 
         # OpenFOAM norm factor on the initial state (StoppingCriterion.C:32-69)
         xavg = psum(jnp.sum(xf)) / global_n
-        ones_local = jnp.where(jnp.arange(n_local) < n_local, 1.0, 0.0).astype(dtype)
+        # reference vector is 1 on the shard's TRUE rows, 0 on pad rows
+        # (pad columns of the local operator are structurally zero today,
+        # but identity-padded operators would silently shift the norm)
+        true_n = jnp.asarray(dm.local_sizes)[jax.lax.axis_index(axis)]
+        ones_local = jnp.where(jnp.arange(n_local) < true_n, 1.0, 0.0).astype(dtype)
         axref = dist_apply(kern.frame(ones_local * xavg))
         b_sub = bf - axref
         nf = psum(jnp.sum(jnp.abs(rf - b_sub) + jnp.abs(b_sub))) + stopping.small_of(dtype)

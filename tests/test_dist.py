@@ -170,3 +170,33 @@ def test_runtime_stage_stack():
     x, res = dist.dist_solve(dm, bs, jnp.zeros((8, dm.n_local)), sp, mesh)
     assert bool(np.asarray(res.converged).all())
     np.testing.assert_allclose(gather_global(dm, x), x_true, atol=1e-6)
+
+
+def test_pack_local_stack_unsorted_triples():
+    """The ELL fallback must accept triples in ANY order (factor/inverse
+    patterns arrive transposed or column-major from the preconditioner
+    builders) — regression: unsorted rows made the slot computation go
+    negative, crashing or silently corrupting the stacked operator."""
+    from ogl_tpu.core.formats import Ell
+    from ogl_tpu.dist.partition import EllStack, pack_local_stack
+    from ogl_tpu.kernels.spmv import spmv
+
+    rng = np.random.default_rng(5)
+    n = 24
+    dense = (rng.random((n, n)) < 0.2) * rng.normal(size=(n, n))
+    np.fill_diagonal(dense, 3.0)
+    r, c = np.nonzero(dense)
+    v = dense[r, c]
+    perm = rng.permutation(len(r))  # scramble entry order
+    shards = [(r[perm], c[perm], v[perm])]
+    stack, dest = pack_local_stack(shards, n, np.float64, fmt="Ell")
+    assert isinstance(stack, EllStack)
+    ell = Ell(cols=stack.cols[0], vals=stack.vals[0], shape=(n, n))
+    x = rng.normal(size=n)
+    np.testing.assert_allclose(np.asarray(spmv(ell, jnp.asarray(x))),
+                               dense @ x, rtol=1e-12)
+    # dest maps ORIGINAL entry order to slots
+    flat = np.zeros(n * stack.vals.shape[-1] + 1)
+    np.add.at(flat, np.asarray(dest[0]), v[perm])
+    np.testing.assert_allclose(
+        flat[:-1].reshape(n, -1).sum(axis=1), dense.sum(axis=1), rtol=1e-12)
