@@ -32,6 +32,7 @@ _tried = False
 def _compile() -> bool:
     os.makedirs(_BUILD, exist_ok=True)
     cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17",
+           "-Wall", "-Wextra", "-Werror",
            _SRC, "-o", _SO]
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=120)
