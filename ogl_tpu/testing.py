@@ -108,3 +108,49 @@ def to_dense_ldu(m: ldu.LduMatrix) -> np.ndarray:
 
 def poisson_dense(dims, dirichlet_boundary: bool = True) -> np.ndarray:
     return to_dense_ldu(poisson_ldu(dims, dirichlet_boundary))
+
+
+def channel_ldu(dims, aniso: float = 4.0) -> ldu.LduMatrix:
+    """Periodic-channel pressure system (the reference's second integration
+    case family: periodicPlaneChannel/channel395, a cyclic-BC LES channel,
+    test_matrix.json + integration.yaml): FV Poisson on a structured grid,
+    PERIODIC in x via a cyclic LocalInterface pairing the first and last
+    x-planes, wall-normal anisotropy `aniso` on the y-direction couplings
+    (stretched-grid transmissibility).  Diagonal gets a small fixed-value
+    pin so the periodic system stays SPD."""
+    nx, ny, nz = grid_shape(dims)
+    base = poisson_ldu(dims, dirichlet_boundary=False)
+    n = base.n
+    cid = np.arange(n).reshape(nz, ny, nx)
+
+    # anisotropy: faces in the y direction carry coefficient -aniso
+    upper = np.asarray(base.upper).copy()
+    diag = np.asarray(base.diag).copy()
+    if ny > 1:
+        lo, up = base.lower_addr, base.upper_addr
+        y_face = (up - lo) == nx  # neighbour one y-row away
+        upper[y_face] = -aniso
+        extra = (aniso - 1.0)
+        np.add.at(diag, lo[y_face], extra)
+        np.add.at(diag, up[y_face], extra)
+
+    ifaces = ()
+    if nx > 2:
+        left = cid[:, :, 0].ravel()
+        right = cid[:, :, -1].ravel()
+        rows = np.concatenate([left, right])
+        cols = np.concatenate([right, left])
+        coeffs = np.ones(rows.shape[0])
+        ifaces = (ldu.LocalInterface(rows=rows, cols=cols, coeffs=coeffs),)
+        np.add.at(diag, left, 1.0)
+        np.add.at(diag, right, 1.0)
+    # pin the nullspace (pure-Neumann + periodic would be singular)
+    diag[0] += 1.0
+    return ldu.LduMatrix(
+        n=n,
+        lower_addr=base.lower_addr,
+        upper_addr=base.upper_addr,
+        diag=diag,
+        upper=upper,
+        local_interfaces=ifaces,
+    )

@@ -173,3 +173,25 @@ def test_global_index():
     back = gi.scatter(full)
     for c, b2 in zip(chunks, back):
         np.testing.assert_array_equal(c, b2)
+
+
+def test_channel_case_matrix():
+    """Periodic-channel analogue of the reference's second integration case
+    (cyclic BCs + wall-normal anisotropy, test_matrix.json): GKOCG converges
+    on the periodic SPD system single-device AND distributed, with matching
+    solutions."""
+    m = problems.channel_ldu((12, 8, 4))
+    a = problems.to_dense_ldu(m)
+    np.testing.assert_allclose(a, a.T)  # cyclic pairs keep symmetry
+    rng = np.random.default_rng(2)
+    x_true = rng.normal(size=m.n)
+    b = a @ x_true
+    controls = {"solver": "GKOCG", "executor": "reference", "tolerance": 1e-11,
+                "relTol": 0, "maxIter": 1200, "dtype": "float64"}
+    x, perf = foam.solve("chan", m, b, controls)
+    assert perf.converged
+    np.testing.assert_allclose(np.asarray(x), x_true, atol=1e-6)
+    registry.global_registry.clear()
+    xd, perfd = foam.solve_distributed("chand", m, b, {k: v for k, v in controls.items() if k != "executor"})
+    assert perfd.converged
+    np.testing.assert_allclose(xd, x_true, atol=1e-6)
