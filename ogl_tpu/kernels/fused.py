@@ -344,6 +344,20 @@ def _kb_update_kernel(coef_ref, x_ref, p_ref, s_ref, t_ref, rhat_ref,
     )
 
 
+def _k2n_kernel(alpha_ref, x_ref, r_ref, p_ref, q_ref,
+                xout_ref, rout_ref, absr_ref):
+    """K2 without the z/ρ outputs — for rich (framed) preconditioners whose
+    z is produced by a separate cycle; avoids a dead full-vector z write
+    and ρ reduction per iteration."""
+    alpha = alpha_ref[0, 0]
+    xout_ref[:] = x_ref[:] + alpha * p_ref[:]
+    ro = r_ref[:] - alpha * q_ref[:]
+    rout_ref[:] = ro
+    absr_ref[:] = jnp.pad(
+        jnp.sum(jnp.abs(ro.astype(jnp.float32)), axis=0, keepdims=True),
+        ((0, 7), (0, 0)))
+
+
 def _k2_kernel(alpha_ref, x_ref, r_ref, p_ref, q_ref, invd_ref,
                xout_ref, rout_ref, zout_ref, rho_ref, absr_ref):
     """Pure streaming over the whole frame (halo rows are zero in, zero out)."""
@@ -489,6 +503,31 @@ class CgKernels:
             interpret=self.interpret,
         )(jnp.asarray(alpha, self.dtype).reshape(1, 1), xf, rf, pf, qf, invdf)
         return xo, ro, zo, jnp.sum(rho), jnp.sum(absr)
+
+    # ---- K2 without z/rho (rich preconditioner variant) -----------------
+    @functools.partial(jax.jit, static_argnums=0)
+    def k2n(self, alpha, xf, rf, pf, qf):
+        T = self.tile
+
+        def blk():
+            return pl.BlockSpec((T, LANES), lambda t: (t, 0), memory_space=pltpu.VMEM)
+
+        xo, ro, absr = pl.pallas_call(
+            _k2n_kernel,
+            grid=(self.grid,),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                      blk(), blk(), blk(), blk()],
+            out_specs=(blk(), blk(),
+                       pl.BlockSpec((8, LANES), lambda t: (t, 0),
+                                    memory_space=pltpu.VMEM)),
+            out_shape=(
+                jax.ShapeDtypeStruct((self.frame_rows, LANES), self.dtype),
+                jax.ShapeDtypeStruct((self.frame_rows, LANES), self.dtype),
+                jax.ShapeDtypeStruct((self.grid * 8, LANES), jnp.float32),
+            ),
+            interpret=self.interpret,
+        )(jnp.asarray(alpha, self.dtype).reshape(1, 1), xf, rf, pf, qf)
+        return xo, ro, jnp.sum(absr)
 
     def apply(self, data3, xf):
         """Plain y = A x on a framed vector (K1 with z=x, beta=0)."""

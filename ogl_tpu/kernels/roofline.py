@@ -27,6 +27,7 @@ _HBM_PEAK = {
     "v5 lite": 819.0,
     "v5p": 2765.0,
     "v6e": 1640.0,
+    "v6 lite": 1640.0,  # device_kind spells v6e as "TPU v6 lite"
     "cpu": 50.0,  # nominal, for relative numbers in CI
 }
 
@@ -103,6 +104,7 @@ def measure(fn, *args, warmup: int = 3, iters: int = 20, bytes_moved=0, flops=0)
     roofline numbers."""
     import time
 
+    out = fn(*args)  # ensure compiled even when warmup=0
     for _ in range(warmup):
         out = fn(*args)
     jax.block_until_ready(out)

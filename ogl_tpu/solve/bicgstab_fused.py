@@ -23,6 +23,7 @@ import jax.numpy as jnp
 
 from ogl_tpu.kernels.fused import CgKernels
 from ogl_tpu.solve import stopping
+from ogl_tpu.solve.bicgstab import _safe_div
 from ogl_tpu.solve.cg import SolveResult
 
 __all__ = ["bicgstab_fused"]
@@ -44,11 +45,6 @@ class _Carry(NamedTuple):
 def bicgstab_fused(kern: CgKernels, data3, b, x0, cfg, history_len: int = 0) -> SolveResult:
     dtype = kern.dtype
     n = kern.n
-    tiny = jnp.asarray(stopping.small_of(dtype) ** 2, dtype)
-
-    def safe_div(num, den):
-        return jnp.where(jnp.abs(den) > tiny, num / jnp.where(den == 0, 1, den), 0.0)
-
     bf = kern.frame(b)
     xf = kern.frame(x0)
     rf = bf - kern.apply(data3, xf)
@@ -66,26 +62,7 @@ def bicgstab_fused(kern: CgKernels, data3, b, x0, cfg, history_len: int = 0) -> 
     one = jnp.asarray(1.0, dtype)
 
     def check(st, absr):
-        it = st.iter
-
-        def do_check(st):
-            rn = (absr / st.norm_factor).astype(dtype)
-            st = jax.lax.cond(
-                it == 0,
-                lambda s: s.replace(init_res_norm=rn, res_norm=rn),
-                lambda s: s.replace(res_norm=rn),
-                st,
-            )
-            if st.history is not None:
-                idx = jnp.minimum(it, st.history.shape[0] - 1)
-                st = st.replace(history=st.history.at[idx].set(st.res_norm))
-            rn = st.res_norm
-            hit = (rn < cfg.tolerance) | (
-                jnp.logical_and(cfg.rel_tol > 0, rn < cfg.rel_tol * st.init_res_norm)
-            ) | (it >= cfg.max_iter)
-            return st.replace(converged=hit)
-
-        return jax.lax.cond(stopping.would_check(cfg, it), do_check, lambda s: s, st)
+        return stopping.check_from_norm(cfg, st, absr)
 
     init = _Carry(
         xf=xf, rf=rf, pf=jnp.zeros_like(bf), vf=jnp.zeros_like(bf),
@@ -99,13 +76,13 @@ def bicgstab_fused(kern: CgKernels, data3, b, x0, cfg, history_len: int = 0) -> 
         st = check(c.stop, c.absr)
 
         def update(c: _Carry):
-            beta = safe_div(c.rho, c.rho_old) * safe_div(c.alpha, c.omega)
+            beta = _safe_div(c.rho, c.rho_old) * _safe_div(c.alpha, c.omega)
             w, v, d_rv, _, _ = kern.k1b(data3, c.rf, c.pf, c.vf, rhatf,
                                         beta, -beta * c.omega)
-            alpha = safe_div(c.rho, d_rv.astype(dtype))
+            alpha = _safe_div(c.rho, d_rv.astype(dtype))
             s, t, _, d_ts, d_tt = kern.k1b(data3, c.rf, v, v, rhatf,
                                            -alpha, jnp.asarray(0.0, dtype))
-            omega = safe_div(d_ts.astype(dtype), d_tt.astype(dtype))
+            omega = _safe_div(d_ts.astype(dtype), d_tt.astype(dtype))
             xo, ro, d_rr, absr = kern.kb_update(c.xf, w, s, t, rhatf, alpha, omega)
             return _Carry(
                 xf=xo, rf=ro, pf=w, vf=v,
@@ -122,6 +99,6 @@ def bicgstab_fused(kern: CgKernels, data3, b, x0, cfg, history_len: int = 0) -> 
         iters=out.stop.iter,
         init_res_norm=out.stop.init_res_norm,
         final_res_norm=out.stop.res_norm,
-        converged=out.stop.converged,
+        converged=stopping.satisfied(cfg, out.stop),
         history=out.stop.history,
     )

@@ -83,6 +83,6 @@ def cg(ops: Ops, b, x0, cfg: StoppingConfig, history_len: int = 0) -> SolveResul
         iters=out.stop.iter,
         init_res_norm=out.stop.init_res_norm,
         final_res_norm=out.stop.res_norm,
-        converged=out.stop.converged,
+        converged=stopping.satisfied(cfg, out.stop),
         history=out.stop.history,
     )

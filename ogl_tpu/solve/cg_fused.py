@@ -50,12 +50,8 @@ def cg_fused(kern: CgKernels, data3, b, x0, cfg, invd=None, history_len: int = 0
     invdf = kern.frame(invd if invd is not None else jnp.ones((n,), dtype))
 
     rf = bf - kern.apply(data3, xf)
-    if precond_framed is not None:
-        zf = precond_framed(rf)
-        rho0 = jnp.sum(rf * zf)
-    else:
-        zf = invdf * rf
-        rho0 = jnp.sum(rf * zf)
+    zf = precond_framed(rf) if precond_framed is not None else invdf * rf
+    rho0 = jnp.sum(rf * zf)
     absr0 = jnp.sum(jnp.abs(rf))
 
     # norm factor (StoppingCriterion.C:32-69) on the initial state
@@ -68,26 +64,7 @@ def cg_fused(kern: CgKernels, data3, b, x0, cfg, invd=None, history_len: int = 0
     hard_cap = cfg.max_iter + cfg.frequency
 
     def check(st, absr):
-        it = st.iter
-
-        def do_check(st):
-            rn = (absr / st.norm_factor).astype(dtype)
-            st = jax.lax.cond(
-                it == 0,
-                lambda s: s.replace(init_res_norm=rn, res_norm=rn),
-                lambda s: s.replace(res_norm=rn),
-                st,
-            )
-            if st.history is not None:
-                idx = jnp.minimum(it, st.history.shape[0] - 1)
-                st = st.replace(history=st.history.at[idx].set(st.res_norm))
-            rn = st.res_norm
-            hit = (rn < cfg.tolerance) | (
-                jnp.logical_and(cfg.rel_tol > 0, rn < cfg.rel_tol * st.init_res_norm)
-            ) | (it >= cfg.max_iter)
-            return st.replace(converged=hit)
-
-        return jax.lax.cond(stopping.would_check(cfg, it), do_check, lambda s: s, st)
+        return stopping.check_from_norm(cfg, st, absr)
 
     init = _Carry(
         xf=xf, rf=rf, zf=zf, pf=jnp.zeros_like(bf),
@@ -105,10 +82,14 @@ def cg_fused(kern: CgKernels, data3, b, x0, cfg, invd=None, history_len: int = 0
             beta = jnp.where(st.iter == 0, jnp.asarray(0.0, dtype), c.rho / c.rho_old)
             pf, qf, delta = kern.k1(data3, c.zf, c.pf, beta)
             alpha = c.rho / delta
-            xf, rf, zf, rho_new, absr = kern.k2(alpha, c.xf, c.rf, pf, qf, invdf)
             if precond_framed is not None:
+                # K2 variant without the z/ρ outputs (z comes from the
+                # preconditioner cycle; the diagonal z would be dead writes)
+                xf, rf, absr = kern.k2n(alpha, c.xf, c.rf, pf, qf)
                 zf = precond_framed(rf)
                 rho_new = jnp.sum(rf * zf)
+            else:
+                xf, rf, zf, rho_new, absr = kern.k2(alpha, c.xf, c.rf, pf, qf, invdf)
             return _Carry(
                 xf=xf, rf=rf, zf=zf, pf=pf,
                 rho=rho_new.astype(dtype), rho_old=c.rho, absr=absr.astype(dtype),
@@ -123,6 +104,6 @@ def cg_fused(kern: CgKernels, data3, b, x0, cfg, invd=None, history_len: int = 0
         iters=out.stop.iter,
         init_res_norm=out.stop.init_res_norm,
         final_res_norm=out.stop.res_norm,
-        converged=out.stop.converged,
+        converged=stopping.satisfied(cfg, out.stop),
         history=out.stop.history,
     )

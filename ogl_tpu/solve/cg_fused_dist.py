@@ -138,24 +138,9 @@ def dist_cg_fused(
         st0 = stopping.init_state(dtype, 0).replace(norm_factor=nf)
 
         def check(st, absr):
-            it = st.iter
-
-            def do_check(st):
-                rn = (absr / st.norm_factor).astype(dtype)
-                st = jax.lax.cond(
-                    it == 0,
-                    lambda s: s.replace(init_res_norm=rn, res_norm=rn),
-                    lambda s: s.replace(res_norm=rn),
-                    st,
-                )
-                rn = st.res_norm
-                hit = (rn < cfg.tolerance) | (
-                    jnp.logical_and(cfg.rel_tol > 0, rn < cfg.rel_tol * st.init_res_norm)
-                ) | (it >= cfg.max_iter)
-                return st.replace(converged=hit)
-
-            return jax.lax.cond(stopping.would_check(cfg, it), do_check,
-                                lambda s: s, st)
+            # `sp` is the stopping-params pytree threaded through shard_map
+            # (keeps adaptMinIter changes traced, no retrace)
+            return stopping.check_from_norm(sp, st, absr)
 
         init = _Carry(
             xf=xf, rf=rf, zf=zf, pf=jnp.zeros_like(bf),
@@ -202,7 +187,7 @@ def dist_cg_fused(
             out.stop.iter,
             out.stop.init_res_norm,
             out.stop.res_norm,
-            out.stop.converged,
+            stopping.satisfied(sp, out.stop),
         )
 
     spec = P(axis)

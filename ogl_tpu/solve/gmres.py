@@ -182,6 +182,6 @@ def gmres(ops: Ops, b, x0, cfg: StoppingConfig, krylov_dim: int = 100, history_l
         iters=out.stop.iter,
         init_res_norm=out.stop.init_res_norm,
         final_res_norm=out.stop.res_norm,
-        converged=out.stop.converged,
+        converged=stopping.satisfied(cfg, out.stop),
         history=out.stop.history,
     )

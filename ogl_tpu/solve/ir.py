@@ -55,6 +55,6 @@ def ir(ops: Ops, b, x0, cfg: StoppingConfig, relaxation: float = 1.0, history_le
         iters=out.stop.iter,
         init_res_norm=out.stop.init_res_norm,
         final_res_norm=out.stop.res_norm,
-        converged=out.stop.converged,
+        converged=stopping.satisfied(cfg, out.stop),
         history=out.stop.history,
     )

@@ -33,7 +33,8 @@ import numpy as np
 from ogl_tpu.config import StoppingConfig
 from ogl_tpu.solve.krylov import Ops
 
-__all__ = ["StopState", "init_state", "check", "small_of"]
+__all__ = ["StopState", "init_state", "check", "check_from_norm",
+           "satisfied", "small_of"]
 
 
 def small_of(dtype) -> float:
@@ -149,6 +150,46 @@ def check(ops: Ops, cfg: StoppingConfig, state: StopState, r, x, b) -> StopState
     skip_min = jnp.logical_and(it > 0, it < cfg.min_iter)
     skip_freq = (it % cfg.frequency) != 0
     return jax.lax.cond(skip_min | skip_freq, lambda s: s, do_check, state)
+
+
+def check_from_norm(cfg: StoppingConfig, state: StopState, absr) -> StopState:
+    """Criterion evaluation for solvers whose ‖r‖₁ is a free by-product of
+    the iteration (the merged-kernel paths): same gating, tolerance, and
+    history semantics as check(), from the raw 1-norm directly."""
+    it = state.iter
+    dtype = state.res_norm.dtype
+
+    def do_check(st):
+        rn = (absr / st.norm_factor).astype(dtype)
+        st = jax.lax.cond(
+            it == 0,
+            lambda s: s.replace(init_res_norm=rn, res_norm=rn),
+            lambda s: s.replace(res_norm=rn),
+            st,
+        )
+        if st.history is not None:
+            idx = jnp.minimum(it, st.history.shape[0] - 1)
+            st = st.replace(history=st.history.at[idx].set(st.res_norm))
+        rn = st.res_norm
+        hit = (rn < cfg.tolerance) | (
+            jnp.logical_and(cfg.rel_tol > 0, rn < cfg.rel_tol * st.init_res_norm)
+        ) | (it >= cfg.max_iter)
+        return st.replace(converged=hit)
+
+    return jax.lax.cond(would_check(cfg, it), do_check, lambda s: s, state)
+
+
+def satisfied(cfg: StoppingConfig, state: StopState):
+    """TRUE convergence (tolerance criteria met) for solverPerformance.
+
+    StopState.converged is the LOOP-EXIT flag — it is also raised on
+    maxIter exhaustion so the while_loop terminates.  OpenFOAM's
+    solverPerformance reports converged=false when a solve merely ran out
+    of iterations (lduMatrixSolver checkConvergence semantics); this
+    derives that truth from the last checked residual."""
+    rn = state.res_norm
+    return (rn < cfg.tolerance) | jnp.logical_and(
+        cfg.rel_tol > 0, rn < cfg.rel_tol * state.init_res_norm)
 
 
 def final_residual(ops: Ops, state: StopState, x, b):

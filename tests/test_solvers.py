@@ -97,8 +97,10 @@ def test_max_iter_cap():
     ops = single_device_ops(spmv.matvec(mat), b.shape[0])
     cfg = StoppingConfig(tolerance=1e-30, rel_tol=0.0, max_iter=5)
     res = cg(ops, b, jnp.zeros_like(b), cfg)
-    assert int(res.iters) == 5
-    assert bool(res.converged)  # maxIter sets the stop flag (reference :124)
+    assert int(res.iters) == 5  # maxIter stops the loop (reference :124)
+    # ... but a solve that merely ran out of iterations is NOT converged
+    # (OpenFOAM solverPerformance checkConvergence semantics)
+    assert not bool(res.converged)
 
 
 def test_rel_tol():
