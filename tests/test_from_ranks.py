@@ -121,3 +121,41 @@ def test_multiple_interfaces_same_pair():
     xs = jnp.asarray(split_vector(dm, x))
     y = dist_matvec(dm, _mesh(2), xs)
     np.testing.assert_allclose(gather_global(dm, y), a @ x, atol=1e-12)
+
+
+@pytest.mark.parametrize("kind", ["sym", "asym", "cyclic"])
+def test_decompose_reassembles_exact_values(kind):
+    """Reassembling local blocks + ProcInterface couplings (A[row, remote]
+    = -bouCoeff, the LocalInterface/ProcInterface sign convention) must
+    reproduce the global matrix VALUE-exactly — counting crossing entries
+    alone would have missed the cyclic-coupling sign regression."""
+    import dataclasses as dc
+
+    if kind == "sym":
+        m = problems.poisson_ldu((10, 6))
+    elif kind == "asym":
+        m = problems.convection_diffusion_ldu((10, 6))
+    else:
+        m0 = problems.poisson_ldu((24,))
+        iface = ldu.LocalInterface(rows=np.array([0, 23]), cols=np.array([23, 0]),
+                                   coeffs=np.array([1.5, 1.5]))
+        m = dc.replace(m0, local_interfaces=(iface,), diag=m0.diag + 1.5)
+    a = problems.to_dense_ldu(m)
+    parts = ldu.decompose(m, 4)
+    bounds = np.cumsum([0] + [p.n for p in parts])
+    recon = np.zeros_like(a)
+    for i, part in enumerate(parts):
+        lo = bounds[i]
+        recon[lo:lo + part.n, lo:lo + part.n] += problems.to_dense_ldu(part)
+        for pi in part.proc_interfaces:
+            # pair with the matching interface on the neighbor: OpenFOAM
+            # pairwise contract = same position in each other's lists
+            nbr = parts[pi.neighbor]
+            mine_on_nbr = [q for q in nbr.proc_interfaces if q.neighbor == i]
+            mine = [q for q in part.proc_interfaces if q.neighbor == pi.neighbor]
+            k = mine.index(pi)
+            twin = mine_on_nbr[k]
+            rows = lo + np.asarray(pi.face_cells)
+            cols = bounds[pi.neighbor] + np.asarray(twin.face_cells)
+            np.add.at(recon, (rows, cols), -np.asarray(pi.coeffs))
+    np.testing.assert_allclose(recon, a, rtol=1e-12, atol=1e-12)
