@@ -96,12 +96,10 @@ class DistAssembler:
         self._sp = []     # per-rank LduSparsity
         self._halo_perm = []  # per-rank halo permute into proc-iface concat
         src_lens = []
-        srcs = []
         for m in ranks:
             sp = ldu_mod.build_local_sparsity(m)
             self._sp.append(sp)
             src = _rank_sources(m, self.dtype)
-            srcs.append(src)
             src_lens.append(len(src))
             vals = src[sp.permute]
             loc_shards.append((sp.rows.astype(np.int64), sp.cols.astype(np.int64), vals))

@@ -71,20 +71,9 @@ def _build_lu(shards, n_local, dtype, sweeps, variant):
     Ls = _stacked_operator(ls_shards, n_local, dtype)
     Us = _stacked_operator(us_shards, n_local, dtype)
     state = (Ls, Us, jnp.asarray(inv_ud, dtype))
+    from ogl_tpu.precond.ilu import make_lu_apply
 
-    def apply(s, r):
-        from ogl_tpu.kernels.spmv import apply_fast
-
-        ls, us, inv = s
-        z = r
-        for _ in range(sweeps):
-            z = r - apply_fast(ls, z)
-        x = z * inv
-        for _ in range(sweeps):
-            x = (z - apply_fast(us, x)) * inv
-        return x
-
-    return apply, state
+    return make_lu_apply(sweeps), state
 
 
 def _ilut_factors(coo: Coo):
@@ -114,20 +103,9 @@ def _build_ic(shards, n_local, dtype, sweeps, variant):
     Ls = _stacked_operator(ls_shards, n_local, dtype)
     Lst = _stacked_operator(lst_shards, n_local, dtype)
     state = (Ls, Lst, jnp.asarray(inv_d, dtype))
+    from ogl_tpu.precond.ilu import make_ic_apply
 
-    def apply(s, r):
-        from ogl_tpu.kernels.spmv import apply_fast
-
-        ls, lst, inv = s
-        z = r * inv
-        for _ in range(sweeps):
-            z = (r - apply_fast(ls, z)) * inv
-        x = z * inv
-        for _ in range(sweeps):
-            x = (z - apply_fast(lst, x)) * inv
-        return x
-
-    return apply, state
+    return make_ic_apply(sweeps), state
 
 
 def _ict_factor(coo: Coo):
@@ -277,24 +255,9 @@ def _build_amg(shards, n_local, dtype, cfg):
 
     def _coarse_cg(op, bvec):
         from ogl_tpu.kernels.spmv import spmv as _spmv
+        from ogl_tpu.precond.amg import cg_fixed_iters
 
-        tiny = 1e-30
-
-        def body(_, carry):
-            x, res, pvec, rho = carry
-            q = _spmv(op, pvec)
-            pq = jnp.sum(pvec * q)
-            alpha = jnp.where(jnp.abs(pq) > tiny, rho / jnp.where(pq == 0, 1.0, pq), 0.0)
-            x = x + alpha * pvec
-            res = res - alpha * q
-            rho_new = jnp.sum(res * res)
-            beta = jnp.where(rho > tiny, rho_new / jnp.where(rho == 0, 1.0, rho), 0.0)
-            return x, res, res + beta * pvec, rho_new
-
-        x0 = jnp.zeros_like(bvec)
-        x, _, _, _ = jax.lax.fori_loop(
-            0, coarse_iters, body, (x0, bvec, bvec, jnp.sum(bvec * bvec)))
-        return x
+        return cg_fixed_iters(lambda v: _spmv(op, v), bvec, coarse_iters)
 
     def apply(s, r):
         ops_, invds, cinv = s

@@ -97,15 +97,23 @@ def stage_tree(tree, mesh: Mesh, axis: str = "x"):
     global sharded array via `stage_stack`; other leaves pass through.
     Each process contributes the slices belonging to ITS mesh devices —
     the bulk data never exists globally on one host."""
+    from ogl_tpu.dist.partition import HaloPlan
+
     n_parts = int(np.prod(mesh.devices.shape))
     mine = [i for i, d in enumerate(mesh.devices.ravel())
             if d.process_index == jax.process_index()]
 
     def stage(leaf):
+        if isinstance(leaf, HaloPlan):
+            # the halo plan must stay a REPLICATED constant: shard bodies
+            # index its (P, S) tables by axis_index, so sharding them
+            # would break halo exchange
+            return leaf
         arr = np.asarray(leaf) if not hasattr(leaf, "ndim") else leaf
         if getattr(arr, "ndim", 0) >= 1 and arr.shape[0] == n_parts:
             host = np.asarray(jax.device_get(arr))
             return stage_stack([host[i] for i in mine], mesh, axis)
         return leaf
 
-    return jax.tree_util.tree_map(stage, tree)
+    return jax.tree_util.tree_map(
+        stage, tree, is_leaf=lambda x: isinstance(x, HaloPlan))

@@ -75,7 +75,15 @@ class DistFoamSolver:
 
     # -- preconditioner (Schwarz wrap + TTL, Preconditioner.H:47-81,353-431)
     def _update_precond(self, ranks):
-        name = self.cfg.precond.name
+        import dataclasses as _dc
+
+        pc_cfg = self.cfg.precond
+        name = pc_cfg.name
+        if name == "none" and self.cfg.solver == "GKOMultigrid":
+            # AMG-as-solver: Richardson around the Schwarz-AMG cycle (the
+            # single-device GKOMultigrid mapping, foam/solver.py)
+            pc_cfg = _dc.replace(pc_cfg, name="Multigrid")
+            name = "Multigrid"
         if name == "none":
             self._precond = None
             return
@@ -84,10 +92,10 @@ class DistFoamSolver:
             return
         shards = self.assembler.shard_triples(ranks)
         self._precond = build_schwarz(
-            self.cfg.precond, shards, self.assembler.dm.n_local,
+            pc_cfg, shards, self.assembler.dm.n_local,
             np.dtype(self.dtype),
         )
-        self.props.precond_caching_left = self.cfg.precond.caching
+        self.props.precond_caching_left = pc_cfg.caching
 
     def _fused_eligible(self, dm) -> bool:
         """Merged-kernel dist-CG path: GKOCG + DiaStack local + diagonal
@@ -98,7 +106,7 @@ class DistFoamSolver:
         cfg = self.cfg
         pc = cfg.precond
         diag_pc = pc.name == "none" or (pc.name == "BJ" and pc.max_block_size == 1)
-        return (
+        ok = (
             cfg.solver == "GKOCG"
             and cfg.fused_cg
             and isinstance(dm.local, DiaStack)
@@ -108,6 +116,15 @@ class DistFoamSolver:
             and dm.n_local >= (1 << 15)
             and not cfg.export
         )
+        if not ok:
+            return False
+        try:  # frame geometry must exist (bandwidth vs tile constraint)
+            from ogl_tpu.kernels.fused import CgKernels
+
+            CgKernels(dm.n_local, dm.local.offsets)
+        except ValueError:
+            return False
+        return True
 
     def _measure_res_eval(self, dm, x_stack, b_stack):
         """Time one distributed residual-norm evaluation (the criterion's
@@ -199,10 +216,17 @@ class DistFoamSolver:
                                 self.mesh, invd_stack=invd)
             x_stack = res.x
         else:
+            known = ("GKOCG", "GKOBiCGStab", "GKOGMRES", "GKOIR",
+                     "GKOMultigrid")
+            if cfg.solver not in known:
+                raise ValueError(
+                    f"unknown solver {cfg.solver!r}; valid: {known}")
+            # GKOMultigrid = Richardson around the (Schwarz) AMG cycle,
+            # exactly the single-device mapping
+            solver_name = "GKOIR" if cfg.solver == "GKOMultigrid" else cfg.solver
             x_stack, res = dist_solve(
                 dm, bs, x0, sp, self.mesh,
-                solver=cfg.solver if cfg.solver in
-                ("GKOCG", "GKOBiCGStab", "GKOGMRES", "GKOIR") else "GKOCG",
+                solver=solver_name,
                 precond=self._precond,
                 krylov_dim=cfg.krylov_dim,
             )

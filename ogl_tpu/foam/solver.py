@@ -293,6 +293,9 @@ class FoamSolver:
                     cycle=pc.cycle,
                     coarse_solver_iters=pc.coarse_solver_iters,
                     aggregation=pc.aggregation,
+                    width=pc.coarsening_rate,
+                    coarse_solver=pc.coarse_solver,
+                    smooth_iters=pc.smoother_sweeps,
                 )
             else:
                 op = precond.build(pc, self.coo_host())
@@ -353,13 +356,16 @@ class FoamSolver:
             from ogl_tpu.kernels.fused import CgKernels, GdiaCgKernels
             from ogl_tpu.solve.cg_fused import cg_fused
 
-            if isinstance(self.matrix, formats.Dia):
-                kern = CgKernels(n, self.matrix.offsets)
-            else:
-                kern = GdiaCgKernels(n, self.matrix.plane_offsets)
-            if amg_framed and pc_op.fine_plan != kern:
+            try:
+                if isinstance(self.matrix, formats.Dia):
+                    kern = CgKernels(n, self.matrix.offsets)
+                else:
+                    kern = GdiaCgKernels(n, self.matrix.plane_offsets)
+            except ValueError:
+                kern = None  # bandwidth too wide for the frame: general path
+            if kern is not None and amg_framed and pc_op.fine_plan != kern:
                 amg_framed = False  # geometry mismatch: general path below
-            if diag_pc or amg_framed:
+            if kern is not None and (diag_pc or amg_framed):
                 framed_fn = pc_op.framed_fn if amg_framed else None
 
                 def run_fused(mat, pc_state, b, x0, sp):

@@ -321,13 +321,15 @@ def _coarse_solve(level: _Level, b, iters: int):
     return _coarse_cg(level, b, iters)
 
 
-def _coarse_cg(level: _Level, b, iters: int):
-    """Fixed-iteration CG — static fori_loop, breakdown-guarded."""
+def cg_fixed_iters(apply_fn, b, iters: int):
+    """Fixed-iteration CG from a zero guess — static fori_loop,
+    breakdown-guarded.  Shared by the single-device and distributed
+    (Schwarz) coarse solves."""
     tiny = 1e-30
 
     def body(_, carry):
         x, r, p, rho = carry
-        q = _apply_mat(level, p)
+        q = apply_fn(p)
         pq = jnp.sum(p * q)
         alpha = rho / jnp.where(jnp.abs(pq) > tiny, pq, 1.0)
         alpha = jnp.where(jnp.abs(pq) > tiny, alpha, 0.0)
@@ -341,6 +343,10 @@ def _coarse_cg(level: _Level, b, iters: int):
     x0 = jnp.zeros_like(b)
     x, _, _, _ = jax.lax.fori_loop(0, iters, body, (x0, b, b, jnp.sum(b * b)))
     return x
+
+
+def _coarse_cg(level: _Level, b, iters: int):
+    return cg_fixed_iters(lambda v: _apply_mat(level, v), b, iters)
 
 
 def amg(

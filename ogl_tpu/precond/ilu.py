@@ -29,6 +29,41 @@ from ogl_tpu.core.formats import Coo
 __all__ = ["ilu0", "ilut", "ic0", "ict", "ilu0_factors", "ic0_factor", "ict_factor"]
 
 
+def make_lu_apply(sweeps: int):
+    """Jacobi-sweep triangular-solve apply for (L_strict, U_strict, 1/diagU)
+    states — shared by the single-device and distributed (Schwarz) paths."""
+    def apply(s, r):
+        from ogl_tpu.kernels.spmv import apply_fast
+
+        ls, us, inv = s
+        z = r
+        for _ in range(sweeps):
+            z = r - apply_fast(ls, z)
+        x = z * inv
+        for _ in range(sweeps):
+            x = (z - apply_fast(us, x)) * inv
+        return x
+
+    return apply
+
+
+def make_ic_apply(sweeps: int):
+    """Sweep apply for (L_strict, L_strict^T, 1/diagL) states."""
+    def apply(s, r):
+        from ogl_tpu.kernels.spmv import apply_fast
+
+        ls, lst, inv = s
+        z = r * inv
+        for _ in range(sweeps):
+            z = (r - apply_fast(ls, z)) * inv
+        x = z * inv
+        for _ in range(sweeps):
+            x = (z - apply_fast(lst, x)) * inv
+        return x
+
+    return apply
+
+
 def _host_csr(coo: Coo):
     rows = np.asarray(jax.device_get(coo.rows)).astype(np.int64)
     cols = np.asarray(jax.device_get(coo.cols)).astype(np.int64)
@@ -151,19 +186,7 @@ def _lu_apply(n, Ls, Us, udiag, sweeps, dtype):
 
     inv_ud = jnp.asarray((1.0 / udiag), dtype)
 
-    def apply(s, r):
-        from ogl_tpu.kernels.spmv import apply_fast
-
-        ls, us, inv = s
-        z = r
-        for _ in range(sweeps):
-            z = r - apply_fast(ls, z)
-        x = z * inv
-        for _ in range(sweeps):
-            x = (z - apply_fast(us, x)) * inv
-        return x
-
-    return PrecondOp(apply, (Ls, Us, inv_ud))
+    return PrecondOp(make_lu_apply(sweeps), (Ls, Us, inv_ud))
 
 
 def ilu0(coo: Coo, sweeps: int = 8):
@@ -235,19 +258,7 @@ def _ic_apply(n, Ls, Lst, ldiag, sweeps, dtype):
 
     inv_d = jnp.asarray(1.0 / ldiag, dtype)
 
-    def apply(s, r):
-        from ogl_tpu.kernels.spmv import apply_fast
-
-        ls, lst, inv = s
-        z = r * inv
-        for _ in range(sweeps):
-            z = (r - apply_fast(ls, z)) * inv
-        x = z * inv
-        for _ in range(sweeps):
-            x = (z - apply_fast(lst, x)) * inv
-        return x
-
-    return PrecondOp(apply, (Ls, Lst, inv_d))
+    return PrecondOp(make_ic_apply(sweeps), (Ls, Lst, inv_d))
 
 
 def ic0(coo: Coo, sweeps: int = 8):

@@ -75,11 +75,14 @@ def isai_triples(coo: Coo, sparsity_power: int = 1):
         valid = np.zeros((n, k), bool)
         valid[row_of, slot] = True
 
-        # G[i] = A[J_i, J_i] via a sorted (row*n+col) -> val lookup
+        # G[i] = A[J_i, J_i] via a sorted (row*n+col) -> val lookup;
+        # duplicate (row, col) entries (e.g. a face plus a cyclic-interface
+        # coupling of the same cell pair) must SUM like every other
+        # consumer of the COO, so reduce to unique keys first
         keys = rows * n + cols
         order_k = np.argsort(keys)
-        keys_sorted = keys[order_k]
-        vals_sorted = vals[order_k]
+        keys_sorted, starts = np.unique(keys[order_k], return_index=True)
+        vals_sorted = np.add.reduceat(vals[order_k], starts)
         q = (J[:, :, None].astype(np.int64) * n + J[:, None, :]).reshape(-1)
         idx = np.searchsorted(keys_sorted, q)
         idx = np.clip(idx, 0, len(keys_sorted) - 1)
@@ -93,7 +96,24 @@ def isai_triples(coo: Coo, sparsity_power: int = 1):
         pos = np.argmax(J == np.arange(n)[:, None], axis=1)
         e[np.arange(n), pos] = 1.0
 
-    m_rows = np.linalg.solve(G.transpose(0, 2, 1), e[..., None]).squeeze(-1)
+    # rows whose own diagonal is zero (empty rows of padded Schwarz shards,
+    # structurally-zero diagonals) would make G singular: solve those rows
+    # to the identity action instead (M[i] = e_i)
+    pos = np.argmax(J == np.arange(n)[:, None], axis=1)
+    bad = G[np.arange(n), pos, pos] == 0.0
+    if bad.any():
+        G[bad] = np.eye(k)
+        e[bad] = 0.0
+        e[bad, pos[bad]] = 1.0
+        valid = valid.copy()
+        valid[bad] = False
+        valid[bad, pos[bad]] = True
+    try:
+        m_rows = np.linalg.solve(G.transpose(0, 2, 1), e[..., None]).squeeze(-1)
+    except np.linalg.LinAlgError:
+        # singular local blocks beyond the diagonal guard: least-squares
+        m_rows = np.einsum(
+            "nij,nj->ni", np.linalg.pinv(G.transpose(0, 2, 1)), e)
     m_rows = np.where(valid, m_rows, 0.0).astype(vals.dtype)
 
     mrows_all = np.repeat(np.arange(n)[:, None], k, axis=1)

@@ -147,3 +147,24 @@ def test_dist_foam_cyclic_interface_across_partitions():
     x, perf = foam.solve_distributed("pcyc", m, b, controls)
     assert perf.converged
     np.testing.assert_allclose(x, x_true, atol=1e-7)
+
+
+def test_dist_foam_multigrid_as_solver():
+    """GKOMultigrid distributed = Richardson around the Schwarz-AMG cycle
+    (the single-device mapping); previously it silently ran plain CG."""
+    m, a, b, x_true = _problem((16, 16))
+    controls = {"solver": "GKOMultigrid", "tolerance": 1e-10, "relTol": 0,
+                "maxIter": 600, "dtype": "float64"}
+    registry.global_registry.clear()
+    x, perf = foam.solve_distributed("pmg", m, b, controls)
+    assert perf.converged
+    np.testing.assert_allclose(x, x_true, atol=1e-6)
+
+
+def test_dist_foam_unknown_solver_raises():
+    m, a, b, x_true = _problem((8, 8))
+    registry.global_registry.clear()
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="unknown solver"):
+        foam.solve_distributed("pbad", m, b, {"solver": "GKOFancy"})
