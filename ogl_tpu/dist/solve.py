@@ -180,12 +180,32 @@ def dist_solve(
 
     Returns (x_stack, SolveResult-of-replicated-scalars).
     """
+    pc_apply, pc_stack = precond if precond is not None else (None, ())
+    fn = make_dist_solve_fn(dm, mesh, axis=axis, solver=solver,
+                            precond_builder=precond_builder,
+                            pc_apply=pc_apply, krylov_dim=krylov_dim)
+    return fn(dm.local, dm.halo, b_stack, x0_stack, stopping_params, pc_stack)
+
+
+def make_dist_solve_fn(dm: DistMatrix, mesh: Mesh, axis: str = "x",
+                       solver: str = "GKOCG", precond_builder=None,
+                       pc_apply=None, krylov_dim: int = 100):
+    """Build ONCE the jitted shard_map program for distributed solves.
+
+    The returned fn(local_stack, halo_stack, b_stack, x0_stack,
+    stopping_params, pc_state_stack) -> (x_stack, SolveResult) treats
+    matrix values, vectors, stopping controls, and preconditioner state as
+    TRACED arguments, so steady-state coefficient updates, adaptMinIter
+    changes, and TTL preconditioner regeneration all reuse the compiled
+    program (the FoamSolver._compiled design; rebuilding the closure per
+    solve would recompile every call).  Only the dm's STATIC parts (plan,
+    sizes, format structure) are baked in."""
     solve_fn = _SOLVERS[solver]
     kw = {"krylov_dim": krylov_dim} if solver == "GKOGMRES" else {}
-    pc_apply, pc_stack = precond if precond is not None else (None, ())
+    n_local, global_n, plan = dm.n_local, dm.global_n, dm.plan
 
     def shard_body(local, halo, b, x0, sp, pc_state):
-        local_m = shard_local_matrix(local, dm.n_local)
+        local_m = shard_local_matrix(local, n_local)
         halo_t = (halo.rows[0], halo.cols[0], halo.vals[0])
         b, x0 = b[0], x0[0]
         if pc_apply is not None:
@@ -195,7 +215,7 @@ def dist_solve(
             pc = precond_builder(local_m)
         else:
             pc = None
-        ops = dist_ops(local_m, halo_t, dm.plan, dm.global_n, axis, precond=pc)
+        ops = dist_ops(local_m, halo_t, plan, global_n, axis, precond=pc)
         res = solve_fn(ops, b, x0, sp, **kw)
         return (
             res.x[None],
@@ -206,16 +226,21 @@ def dist_solve(
         )
 
     spec_stack = P(axis)
-    out = jax.shard_map(
+    mapped = jax.jit(jax.shard_map(
         shard_body,
         mesh=mesh,
         in_specs=(spec_stack, spec_stack, spec_stack, spec_stack, P(),
                   spec_stack),
         out_specs=(spec_stack, P(), P(), P(), P()),
         check_vma=False,
-    )(dm.local, dm.halo, b_stack, x0_stack, stopping_params, pc_stack)
-    x, iters, init_rn, final_rn, conv = out
-    from ogl_tpu.solve.cg import SolveResult
+    ))
 
-    return x, SolveResult(x=x, iters=iters, init_res_norm=init_rn,
-                          final_res_norm=final_rn, converged=conv)
+    def run(local, halo, b_stack, x0_stack, stopping_params, pc_stack=()):
+        x, iters, init_rn, final_rn, conv = mapped(
+            local, halo, b_stack, x0_stack, stopping_params, pc_stack)
+        from ogl_tpu.solve.cg import SolveResult
+
+        return x, SolveResult(x=x, iters=iters, init_res_norm=init_rn,
+                              final_res_norm=final_rn, converged=conv)
+
+    return run

@@ -66,6 +66,8 @@ class DistFoamSolver:
         self.props = registry.global_registry.properties(field_name)
         self.dtype = jnp.dtype(self.cfg.dtype)
         self._precond = None
+        self._compiled = {}  # cached jitted dist programs (per solver/path)
+        self._pc_struct = None
         self._res_eval_time: float | None = None
 
     def _ranks_of(self, m):
@@ -202,18 +204,32 @@ class DistFoamSolver:
         )
         sp = stopping.StoppingParams.of(stopping_cfg)
 
+        # preconditioner structure change invalidates cached programs (the
+        # compiled closure captures the apply fn; fresh state of the SAME
+        # structure reuses it — the FoamSolver._compiled design)
+        pc_struct = None
+        if self._precond is not None:
+            pc_struct = str(jax.tree_util.tree_structure(self._precond[1]))
+        if pc_struct != self._pc_struct:
+            self._compiled.clear()
+            self._pc_struct = pc_struct
+
         t0 = time.perf_counter()
         if fused:
-            from ogl_tpu.solve.cg_fused_dist import dist_cg_fused
-
             invd = None
             if cfg.precond.name == "BJ":
                 didx = dm.local.offsets.index(0)
                 d = dm.local.data[:, didx]
                 invd = (1.0 / jnp.where(d == 0, 1.0, d)).astype(jnp.float32)
-            res = dist_cg_fused(dm, bs.astype(jnp.float32),
-                                x0.astype(jnp.float32), sp,
-                                self.mesh, invd_stack=invd)
+            key = ("fused", invd is not None)
+            if key not in self._compiled:
+                from ogl_tpu.solve.cg_fused_dist import make_dist_cg_fused_fn
+
+                self._compiled[key] = make_dist_cg_fused_fn(
+                    dm, self.mesh, use_invd=invd is not None)
+            res = self._compiled[key](
+                dm.local, dm.halo, bs.astype(jnp.float32),
+                x0.astype(jnp.float32), invd, sp)
             x_stack = res.x
         else:
             known = ("GKOCG", "GKOBiCGStab", "GKOGMRES", "GKOIR",
@@ -224,12 +240,17 @@ class DistFoamSolver:
             # GKOMultigrid = Richardson around the (Schwarz) AMG cycle,
             # exactly the single-device mapping
             solver_name = "GKOIR" if cfg.solver == "GKOMultigrid" else cfg.solver
-            x_stack, res = dist_solve(
-                dm, bs, x0, sp, self.mesh,
-                solver=solver_name,
-                precond=self._precond,
-                krylov_dim=cfg.krylov_dim,
-            )
+            key = ("general", solver_name)
+            if key not in self._compiled:
+                from ogl_tpu.dist.solve import make_dist_solve_fn
+
+                self._compiled[key] = make_dist_solve_fn(
+                    dm, self.mesh, solver=solver_name,
+                    pc_apply=self._precond[0] if self._precond else None,
+                    krylov_dim=cfg.krylov_dim)
+            x_stack, res = self._compiled[key](
+                dm.local, dm.halo, bs, x0, sp,
+                self._precond[1] if self._precond else ())
         jax.block_until_ready(x_stack)
         solve_t = time.perf_counter() - t0
 

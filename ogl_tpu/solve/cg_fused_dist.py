@@ -85,10 +85,29 @@ def dist_cg_fused(
     tile: int = 512,
     interpret: bool = False,
 ) -> SolveResult:
-    """Distributed merged-kernel PCG over `mesh`.  Requires a DiaStack local
-    operator (the fast stencil path); diagonal (Schwarz-Jacobi) or identity
-    preconditioning.  invd_stack: optional (P, n_local) per-shard inverse
-    diagonals.  Semantics match solve/cg.py + the OpenFOAM criterion."""
+    """Distributed merged-kernel PCG over `mesh` (one-shot wrapper around
+    make_dist_cg_fused_fn; persistent callers should cache the built fn)."""
+    fn = make_dist_cg_fused_fn(dm, mesh, axis=axis,
+                               use_invd=invd_stack is not None,
+                               tile=tile, interpret=interpret)
+    return fn(dm.local, dm.halo, b_stack, x0_stack, invd_stack, cfg)
+
+
+def make_dist_cg_fused_fn(
+    dm: DistMatrix,
+    mesh: Mesh,
+    axis: str = "x",
+    use_invd: bool = False,
+    tile: int = 512,
+    interpret: bool = False,
+):
+    """Build ONCE the jitted distributed merged-kernel PCG program.
+    Requires a DiaStack local operator (the fast stencil path); diagonal
+    (Schwarz-Jacobi) or identity preconditioning.  The returned
+    fn(local, halo, b_stack, x0_stack, invd_stack, stopping_params)
+    treats all values and stopping controls as traced arguments so
+    steady-state solves reuse the compiled program.  Semantics match
+    solve/cg.py + the OpenFOAM criterion."""
     if not isinstance(dm.local, DiaStack):
         raise TypeError("dist_cg_fused needs a DiaStack local operator")
     n_local = dm.n_local
@@ -97,7 +116,8 @@ def dist_cg_fused(
     global_n = dm.global_n
     dtype = kern.dtype
     plan = dm.plan
-    hard_cap = cfg.max_iter + cfg.frequency
+    local_sizes = dm.local_sizes
+    n_parts = dm.n_parts
 
     def psum(v):
         return jax.lax.psum(v, axis)
@@ -109,7 +129,7 @@ def dist_cg_fused(
         halo = (halo_s.rows[0], halo_s.cols[0], halo_s.vals[0])
         bf = kern.frame(b[0].astype(dtype))
         xf = kern.frame(x0[0].astype(dtype))
-        invdf = kern.frame(invd[0].astype(dtype)) if invd_stack is not None \
+        invdf = kern.frame(invd[0].astype(dtype)) if use_invd \
             else kern.frame(jnp.ones((n_local,), dtype))
 
         def dist_apply(vf):
@@ -129,7 +149,7 @@ def dist_cg_fused(
         # reference vector is 1 on the shard's TRUE rows, 0 on pad rows
         # (pad columns of the local operator are structurally zero today,
         # but identity-padded operators would silently shift the norm)
-        true_n = jnp.asarray(dm.local_sizes)[jax.lax.axis_index(axis)]
+        true_n = jnp.asarray(local_sizes)[jax.lax.axis_index(axis)]
         ones_local = jnp.where(jnp.arange(n_local) < true_n, 1.0, 0.0).astype(dtype)
         axref = dist_apply(kern.frame(ones_local * xavg))
         b_sub = bf - axref
@@ -148,6 +168,8 @@ def dist_cg_fused(
             rho=rho0.astype(dtype), rho_old=jnp.asarray(1.0, dtype),
             absr=absr0.astype(dtype), stop=st0,
         )
+
+        hard_cap = sp.max_iter + sp.frequency  # traced: adaptMinIter-safe
 
         def cond(c: _Carry):
             return jnp.logical_and(~c.stop.converged, c.stop.iter < hard_cap)
@@ -191,13 +213,19 @@ def dist_cg_fused(
         )
 
     spec = P(axis)
-    invd_arg = invd_stack if invd_stack is not None else jnp.ones(
-        (dm.n_parts, n_local), dtype)
-    x, iters, init_rn, final_rn, conv = jax.shard_map(
+    mapped = jax.jit(jax.shard_map(
         shard_body, mesh=mesh,
         in_specs=(spec, spec, spec, spec, spec, P()),
         out_specs=(spec, P(), P(), P(), P()),
         check_vma=False,
-    )(dm.local, dm.halo, b_stack, x0_stack, invd_arg, cfg)
-    return SolveResult(x=x, iters=iters, init_res_norm=init_rn,
-                       final_res_norm=final_rn, converged=conv)
+    ))
+
+    def run(local, halo, b_stack, x0_stack, invd_stack, sp):
+        invd_arg = invd_stack if invd_stack is not None else jnp.ones(
+            (n_parts, n_local), dtype)
+        x, iters, init_rn, final_rn, conv = mapped(
+            local, halo, b_stack, x0_stack, invd_arg, sp)
+        return SolveResult(x=x, iters=iters, init_res_norm=init_rn,
+                           final_res_norm=final_rn, converged=conv)
+
+    return run
