@@ -254,7 +254,10 @@ class DistFoamSolver:
         jax.block_until_ready(x_stack)
         solve_t = time.perf_counter() - t0
 
-        iters = int(np.asarray(jax.device_get(res.iters)).ravel()[0])
+        # one batched scalar fetch (separate fetches each pay a round trip)
+        _it, _irn, _frn, _cv = jax.device_get(
+            (res.iters, res.init_res_norm, res.final_res_norm, res.converged))
+        iters = int(np.asarray(_it).ravel()[0])
         time_per_iter = solve_t / max(iters, 1)
         if self._res_eval_time is None:
             self._res_eval_time = self._measure_res_eval(dm, x_stack, bs)
@@ -281,10 +284,10 @@ class DistFoamSolver:
         perf = SolverPerformance(
             solver_name=f"{cfg.solver}_dist{self.n_parts}",
             field_name=self.field,
-            initial_residual=float(np.asarray(jax.device_get(res.init_res_norm)).ravel()[0]),
-            final_residual=float(np.asarray(jax.device_get(res.final_res_norm)).ravel()[0]),
+            initial_residual=float(np.asarray(_irn).ravel()[0]),
+            final_residual=float(np.asarray(_frn).ravel()[0]),
             n_iterations=iters,
-            converged=bool(np.asarray(jax.device_get(res.converged)).ravel()[0]),
+            converged=bool(np.asarray(_cv).ravel()[0]),
         )
         return x, perf
 

@@ -450,7 +450,11 @@ class FoamSolver:
         solve_t = self.timings["solve"]
         self.timings.clear()
 
-        iters = int(res.iters)
+        # ONE batched scalar fetch (each separate float()/int() costs a full
+        # host round trip — ~30 ms on tunneled devices, 4x per solve adds up)
+        iters, init_rn, final_rn, conv = jax.device_get(
+            (res.iters, res.init_res_norm, res.final_res_norm, res.converged))
+        iters = int(iters)
         n = m.n
 
         # residual-eval relative cost (reference lduLduBase.H:287-293):
@@ -483,8 +487,8 @@ class FoamSolver:
         time_per_iter = solve_t / max(iters, 1)
         self.props.prev_rel_res_cost = time_per_iter / self._res_eval_time
         self.props.prev_solve_iters = iters
-        self.props.init_residual = float(res.init_res_norm)
-        self.props.final_residual = float(res.final_res_norm)
+        self.props.init_residual = float(init_rn)
+        self.props.final_residual = float(final_rn)
 
         if cfg.verbose > 0:
             # copy-back bandwidth (reference times dist_x.copy_back(),
@@ -512,10 +516,10 @@ class FoamSolver:
         perf = SolverPerformance(
             solver_name=f"{cfg.solver}_{self._fmt_used}",
             field_name=self.field,
-            initial_residual=float(res.init_res_norm),
-            final_residual=float(res.final_res_norm),
+            initial_residual=float(init_rn),
+            final_residual=float(final_rn),
             n_iterations=iters,
-            converged=bool(res.converged),
+            converged=bool(conv),
         )
         if self._reorder is not None:
             # back-permute on host (x_orig = x_permuted[inv])
