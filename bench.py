@@ -217,7 +217,25 @@ def _foam_large_benches(dims):
     log(f"GKOCG+Multigrid steady: {min(ts) * 1e3:.1f} ms, iters={perf.n_iterations}, "
         f"converged={perf.converged}")
 
-    # (c) GKOGMRES + GISAI
+    # (c) distributed solve over the available mesh (shard_map; on one real
+    # chip this still exercises the fused dist-CG halo/psum program)
+    try:
+        t0 = time.perf_counter()
+        _, perf = foam.solve_distributed("benchDist", m, b,
+                                         {"solver": "GKOCG", **base})
+        log(f"dist GKOCG ({len(jax.devices())} device(s)): first solve "
+            f"{time.perf_counter() - t0:.1f}s, iters={perf.n_iterations}")
+        ts = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            _, perf = foam.solve_distributed("benchDist", m, b, {})
+            ts.append(time.perf_counter() - t0)
+        log(f"dist GKOCG steady: {min(ts) * 1e3:.1f} ms, "
+            f"iters={perf.n_iterations}, converged={perf.converged}")
+    except Exception as e:
+        log(f"dist bench failed: {type(e).__name__}: {e}")
+
+    # (d) GKOGMRES + GISAI
     gmres_controls = {"solver": "GKOGMRES", **base,
                       "preconditioner": {"preconditioner": "GISAI",
                                          "sparsityPower": 1, "caching": 30}}

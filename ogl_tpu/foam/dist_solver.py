@@ -35,7 +35,6 @@ from ogl_tpu.config import SolverConfig, parse_controls
 from ogl_tpu.core import ldu as ldu_mod
 from ogl_tpu.core import mtx
 from ogl_tpu.core.formats import Coo
-from ogl_tpu.dist import dist_solve
 from ogl_tpu.dist.from_ranks import DistAssembler
 from ogl_tpu.dist.partition import gather_global, split_vector
 from ogl_tpu.dist.precond import build_schwarz
