@@ -53,9 +53,12 @@ class StoppingConfig:
         evaluation relative to an iteration."""
         min_iter, frequency = self.min_iter, self.frequency
         if not export_res and prev_solve_iters > 0 and self.adapt_min_iter and prev_rel_cost > 0:
-            min_iter = int(prev_solve_iters * self.relaxation_factor)
+            # clamp: relaxationFactor >= 1 would divide by zero (or yield a
+            # complex alpha) below; the policy is only meaningful in [0, 1)
+            rf = min(max(self.relaxation_factor, 0.0), 0.99)
+            min_iter = int(prev_solve_iters * rf)
             alpha = (
-                1.0 / (prev_solve_iters * (1.0 - self.relaxation_factor)) * prev_rel_cost
+                1.0 / (prev_solve_iters * (1.0 - rf)) * prev_rel_cost
             ) ** 0.5
             frequency = min(self.norm_eval_limit, max(1, int(1.0 / alpha)))
         return dataclasses.replace(self, min_iter=min_iter, frequency=frequency)

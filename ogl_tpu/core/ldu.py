@@ -182,8 +182,16 @@ def build_local_sparsity(ldu: LduMatrix) -> LduSparsity:
         rows = np.concatenate([rows, irows])
         cols = np.concatenate([cols, icols])
         permute = np.concatenate([permute, isrc])
-        order = np.lexsort((cols, rows))
-        rows, cols, permute = rows[order], cols[order], permute[order]
+        from ogl_tpu import native
+
+        nat = native.sort_coo(ldu.n, rows, cols)
+        if nat is not None:  # native counting sort (HostMatrix.C:506-586 role)
+            r32, c32, order = nat
+            rows, cols = r32.astype(np.int64), c32.astype(np.int64)
+            permute = permute[order]
+        else:
+            order = np.lexsort((cols, rows))
+            rows, cols, permute = rows[order], cols[order], permute[order]
     return LduSparsity(
         n=ldu.n,
         n_faces=ldu.n_faces,

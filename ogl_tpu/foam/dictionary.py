@@ -156,7 +156,10 @@ def solver_controls(fv_solution: dict, field: str) -> dict:
     solvers = fv_solution.get("solvers", fv_solution)
     if field in solvers:
         return solvers[field]
-    for key, sub in solvers.items():
+    # OpenFOAM searches pattern keys in REVERSE insertion order (the last
+    # matching entry wins), so a later `"p.*"` overrides an earlier
+    # `"(p|pFinal)"` — mirror that here
+    for key, sub in reversed(list(solvers.items())):
         if isinstance(sub, dict):
             try:
                 if re.fullmatch(key, field):

@@ -48,7 +48,14 @@ def lib():
         if _lib is not None or _tried:
             return _lib
         _tried = True
-        if not os.path.exists(_SO) or os.path.getmtime(_SO) < os.path.getmtime(_SRC):
+        try:
+            stale = (not os.path.exists(_SO)
+                     or os.path.getmtime(_SO) < os.path.getmtime(_SRC))
+        except OSError:
+            # source file absent (installed/stripped tree): use a prebuilt
+            # .so if present, else fall back to the NumPy paths
+            stale = not os.path.exists(_SO)
+        if stale:
             if not _compile():
                 return None
         try:

@@ -376,7 +376,10 @@ int64_t ogl_ilut(int64_t n, const int64_t* indptr, const int32_t* cols,
         }
       }
     }
-    if (di == 0.0) di = 1e-300;
+    // a genuinely zero pivot is an error (the elimination loop checks
+    // out_udiag[kk] == 0.0, so clamping here would make that check dead
+    // and produce silent ~1e300 factors on singular matrices)
+    if (di == 0.0) return -1;
     out_udiag[i] = di;
   }
   return out;

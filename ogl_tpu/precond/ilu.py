@@ -65,10 +65,22 @@ def make_ic_apply(sweeps: int):
 
 
 def _host_csr(coo: Coo):
+    """Host CSR with duplicate (row, col) entries SUMMED — like every other
+    COO consumer (SpMV, to_dense, the converters).  Duplicates occur e.g.
+    when a cyclic interface couples the same cell pair as a regular face;
+    the factorisation kernels' scatter would otherwise silently factor a
+    matrix with only one of the duplicate coefficients."""
     rows = np.asarray(jax.device_get(coo.rows)).astype(np.int64)
     cols = np.asarray(jax.device_get(coo.cols)).astype(np.int64)
     vals = np.asarray(jax.device_get(coo.vals)).astype(np.float64)
     n = coo.shape[0]
+    keys = rows * n + cols
+    order = np.argsort(keys, kind="stable")
+    uk, starts = np.unique(keys[order], return_index=True)
+    if len(uk) != len(keys):
+        vals = np.add.reduceat(vals[order], starts)
+        rows = (uk // n).astype(np.int64)
+        cols = (uk % n).astype(np.int64)
     indptr = np.zeros(n + 1, np.int64)
     np.add.at(indptr, rows + 1, 1)
     indptr = np.cumsum(indptr)

@@ -97,10 +97,12 @@ def isai_triples(coo: Coo, sparsity_power: int = 1):
         e[np.arange(n), pos] = 1.0
 
     # rows whose own diagonal is zero (empty rows of padded Schwarz shards,
-    # structurally-zero diagonals) would make G singular: solve those rows
-    # to the identity action instead (M[i] = e_i)
+    # structurally-zero diagonals) would make G singular — and the native
+    # path pads G with identity entries, hiding them behind a unit pivot
+    # while leaving e all-zero (an all-zero M row).  Either signature gets
+    # the identity action instead (M[i] = e_i).
     pos = np.argmax(J == np.arange(n)[:, None], axis=1)
-    bad = G[np.arange(n), pos, pos] == 0.0
+    bad = (G[np.arange(n), pos, pos] == 0.0) | ~np.any(e != 0.0, axis=1)
     if bad.any():
         G[bad] = np.eye(k)
         e[bad] = 0.0

@@ -336,3 +336,39 @@ def test_foam_matrix_format_hybrid():
     m2 = dc.replace(m, diag=2 * m.diag, upper=2 * m.upper)
     x2, perf2 = foam.solve("phyb", m2, b, {})
     np.testing.assert_allclose(np.asarray(x2), x_true / 2, atol=1e-6)
+
+
+def test_dictionary_regex_last_match_wins():
+    """OpenFOAM searches pattern keys in reverse insertion order — a later
+    overlapping regex entry overrides an earlier one."""
+    from ogl_tpu.foam import dictionary
+
+    fv = dictionary.parse("""
+solvers
+{
+    "(p|pFinal)" { solver GKOCG; }
+    "p.*"        { solver GKOBiCGStab; }
+}
+""")
+    c = dictionary.solver_controls(fv, "pFinal")
+    assert c["solver"] == "GKOBiCGStab"
+    # exact key still beats patterns
+    fv2 = dictionary.parse("""
+solvers
+{
+    "p.*" { solver GKOBiCGStab; }
+    pFinal { solver GKOCG; }
+}
+""")
+    assert dictionary.solver_controls(fv2, "pFinal")["solver"] == "GKOCG"
+
+
+def test_adapt_min_iter_relaxation_factor_one():
+    """relaxationFactor 1 must not divide by zero in the adaptMinIter
+    policy (clamped into [0, 0.99))."""
+    from ogl_tpu.config import StoppingConfig
+
+    cfg = StoppingConfig(relaxation_factor=1.0, adapt_min_iter=True)
+    adapted = cfg.adapted(prev_solve_iters=50, prev_rel_cost=0.5, export_res=False)
+    assert adapted.min_iter == 49  # 50 * 0.99 -> 49
+    assert adapted.frequency >= 1

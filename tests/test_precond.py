@@ -215,3 +215,22 @@ def test_amg_coarsening_widths(poisson, width):
     np.testing.assert_allclose(np.asarray(res.x), x_true, atol=1e-6)
     base, _ = _iters(coo, b)
     assert it < base
+
+
+def test_ilu_sums_duplicate_entries():
+    """Duplicate (row,col) COO entries (a face plus a cyclic coupling of
+    the same cell pair) must be SUMMED before factorisation — the kernels'
+    scatter would otherwise silently factor the wrong matrix."""
+    import jax.numpy as jnp
+
+    from ogl_tpu.core.formats import Coo
+    from ogl_tpu.precond.ilu import ilu0_factors
+
+    # A = [[4,-2],[-2,4]] expressed with the off-diagonals duplicated
+    rows = np.array([0, 0, 0, 1, 1, 1], np.int32)
+    cols = np.array([0, 1, 1, 0, 0, 1], np.int32)
+    vals = np.array([4.0, -1.0, -1.0, -1.0, -1.0, 4.0])
+    coo = Coo(rows=rows, cols=cols, vals=vals, shape=(2, 2))
+    (lr, lc, lv), (ur, uc, uv), ud = ilu0_factors(coo)
+    np.testing.assert_allclose(ud, [4.0, 4.0 - (-2.0) * (-2.0 / 4.0)])
+    np.testing.assert_allclose(lv, [-0.5])  # -2/4, not -1/4
