@@ -189,7 +189,8 @@ def dist_solve(
 
 def make_dist_solve_fn(dm: DistMatrix, mesh: Mesh, axis: str = "x",
                        solver: str = "GKOCG", precond_builder=None,
-                       pc_apply=None, krylov_dim: int = 100):
+                       pc_apply=None, krylov_dim: int = 100,
+                       history_len: int = 0):
     """Build ONCE the jitted shard_map program for distributed solves.
 
     The returned fn(local_stack, halo_stack, b_stack, x0_stack,
@@ -202,6 +203,10 @@ def make_dist_solve_fn(dm: DistMatrix, mesh: Mesh, axis: str = "x",
     sizes, format structure) are baked in."""
     solve_fn = _SOLVERS[solver]
     kw = {"krylov_dim": krylov_dim} if solver == "GKOGMRES" else {}
+    if history_len > 0:
+        # per-iteration residual history (reference export_res,
+        # StoppingCriterion.C:115-117) — replicated, so P() out spec
+        kw["history_len"] = history_len
     n_local, global_n, plan = dm.n_local, dm.global_n, dm.plan
 
     def shard_body(local, halo, b, x0, sp, pc_state):
@@ -217,12 +222,14 @@ def make_dist_solve_fn(dm: DistMatrix, mesh: Mesh, axis: str = "x",
             pc = None
         ops = dist_ops(local_m, halo_t, plan, global_n, axis, precond=pc)
         res = solve_fn(ops, b, x0, sp, **kw)
+        hist = res.history if res.history is not None else jnp.zeros((1,), b.dtype)
         return (
             res.x[None],
             res.iters,
             res.init_res_norm,
             res.final_res_norm,
             res.converged,
+            hist,
         )
 
     spec_stack = P(axis)
@@ -231,16 +238,17 @@ def make_dist_solve_fn(dm: DistMatrix, mesh: Mesh, axis: str = "x",
         mesh=mesh,
         in_specs=(spec_stack, spec_stack, spec_stack, spec_stack, P(),
                   spec_stack),
-        out_specs=(spec_stack, P(), P(), P(), P()),
+        out_specs=(spec_stack, P(), P(), P(), P(), P()),
         check_vma=False,
     ))
 
     def run(local, halo, b_stack, x0_stack, stopping_params, pc_stack=()):
-        x, iters, init_rn, final_rn, conv = mapped(
+        x, iters, init_rn, final_rn, conv, hist = mapped(
             local, halo, b_stack, x0_stack, stopping_params, pc_stack)
         from ogl_tpu.solve.cg import SolveResult
 
         return x, SolveResult(x=x, iters=iters, init_res_norm=init_rn,
-                              final_res_norm=final_rn, converged=conv)
+                              final_res_norm=final_rn, converged=conv,
+                              history=hist if history_len > 0 else None)
 
     return run

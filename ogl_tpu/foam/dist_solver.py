@@ -239,14 +239,16 @@ class DistFoamSolver:
             # GKOMultigrid = Richardson around the (Schwarz) AMG cycle,
             # exactly the single-device mapping
             solver_name = "GKOIR" if cfg.solver == "GKOMultigrid" else cfg.solver
-            key = ("general", solver_name)
+            hist_len = (cfg.stopping.max_iter + cfg.stopping.frequency
+                        if cfg.export else 0)
+            key = ("general", solver_name, hist_len > 0)
             if key not in self._compiled:
                 from ogl_tpu.dist.solve import make_dist_solve_fn
 
                 self._compiled[key] = make_dist_solve_fn(
                     dm, self.mesh, solver=solver_name,
                     pc_apply=self._precond[0] if self._precond else None,
-                    krylov_dim=cfg.krylov_dim)
+                    krylov_dim=cfg.krylov_dim, history_len=hist_len)
             x_stack, res = self._compiled[key](
                 dm.local, dm.halo, bs, x0, sp,
                 self._precond[1] if self._precond else ())
@@ -279,6 +281,12 @@ class DistFoamSolver:
             )
         if cfg.export or cfg.debug:
             self._export(ranks, bs, time_value)
+            if getattr(res, "history", None) is not None:
+                hist = np.asarray(jax.device_get(res.history))[: max(iters, 1)]
+                t = time_value if time_value is not None else "0"
+                for i in range(self.n_parts):
+                    mtx.write_dense(
+                        f"processor{i}/{t}/{self.field}_residuals.mtx", hist)
 
         perf = SolverPerformance(
             solver_name=f"{cfg.solver}_dist{self.n_parts}",

@@ -168,3 +168,18 @@ def test_dist_foam_unknown_solver_raises():
 
     with _pt.raises(ValueError, match="unknown solver"):
         foam.solve_distributed("pbad", m, b, {"solver": "GKOFancy"})
+
+
+def test_dist_foam_residual_history_export(tmp_path, monkeypatch):
+    """export=true writes per-rank residual histories (reference
+    StoppingCriterion.C:115-117 in the multi-GPU path)."""
+    monkeypatch.chdir(tmp_path)
+    m, a, b, x_true = _problem((12, 8))
+    registry.global_registry.clear()
+    controls = {"solver": "GKOCG", "tolerance": 1e-10, "relTol": 0,
+                "maxIter": 600, "dtype": "float64", "export": True}
+    x, perf = foam.solve_distributed("ph", m, b, controls)
+    assert perf.converged
+    for i in range(8):
+        path = tmp_path / f"processor{i}" / "0" / "ph_residuals.mtx"
+        assert path.exists(), path
