@@ -44,18 +44,19 @@ __all__ = ["DistAssembler", "dist_from_ldu_ranks"]
 def _rank_sources(m: ldu_mod.LduMatrix, dtype):
     """The rank's source-value vector [upper | (lower) | diag |
     -local_iface | -proc_iface] (signs applied; reference HostMatrix.C:204
-    negates interface bouCoeffs)."""
-    parts = [np.asarray(m.upper, dtype)]
-    if not m.symmetric:
-        parts.append(np.asarray(m.lower, dtype))
-    parts.append(np.asarray(m.diag, dtype))
-    if m.local_interfaces:
-        parts.append(-np.concatenate([np.asarray(li.coeffs, dtype)
-                                      for li in m.local_interfaces]))
+    negates interface bouCoeffs).  The local prefix is the shared
+    single-device layout (ldu._host_src) so the two paths cannot drift."""
+    sp_stub = ldu_mod.LduSparsity(
+        n=m.n, n_faces=m.n_faces, symmetric=m.symmetric,
+        rows=np.zeros(0, np.int32), cols=np.zeros(0, np.int32),
+        permute=np.zeros(0, np.int32),
+        n_local_iface=sum(len(li.rows) for li in m.local_interfaces),
+    )
+    parts = [ldu_mod._host_src(sp_stub, m, dtype)]
     if m.proc_interfaces:
         parts.append(-np.concatenate([np.asarray(pi.coeffs, dtype)
                                       for pi in m.proc_interfaces]))
-    return np.concatenate(parts) if parts else np.zeros(0, dtype)
+    return np.concatenate(parts) if len(parts) > 1 else parts[0]
 
 
 @partial(jax.jit, static_argnames=("local_shape",))
@@ -145,11 +146,15 @@ class DistAssembler:
             for owner, v in owners.items():
                 req = (owner + d) % p
                 sidx[owner, : len(v)] = v
-                slots = recv_slots[req][owner]
-                assert len(slots) == len(v), (
-                    f"pairwise interface mismatch: rank {owner} sends {len(v)} "
-                    f"faces to {req}, which expects {len(slots)}"
-                )
+                slots = recv_slots[req].get(owner)
+                if slots is None:
+                    raise ValueError(
+                        f"pairwise interface mismatch: rank {owner} sends to "
+                        f"{req}, but {req} has no interface back to {owner}")
+                if len(slots) != len(v):
+                    raise ValueError(
+                        f"pairwise interface mismatch: rank {owner} sends "
+                        f"{len(v)} faces to {req}, which expects {len(slots)}")
                 rpos[req, : len(slots)] = slots
             send_idx_list.append(jnp.asarray(sidx))
             recv_pos_list.append(jnp.asarray(rpos))
@@ -179,6 +184,7 @@ class DistAssembler:
 
         # ---- update machinery (device gathers; pads read the zero slot S)
         self._src_size = max(src_lens) if src_lens else 1
+        self._src_lens = src_lens
         s_pad = self._src_size  # parking index (src stack padded by one)
         e_l = dest_local.shape[1]
         perm_local = np.full((p, e_l), s_pad, np.int32)
@@ -203,21 +209,36 @@ class DistAssembler:
     def shard_triples(self, ranks):
         """Per-shard local-block COO triples with CURRENT values (host) —
         what the Schwarz preconditioner setup factorises, the reference's
-        dist_A->get_local_matrix() (Preconditioner.H:62-66)."""
+        dist_A->get_local_matrix() (Preconditioner.H:62-66).  Reuses the
+        source vectors computed by the most recent update/_src_stack of the
+        same step instead of re-concatenating every block."""
+        srcs = getattr(self, "_srcs_cache", None)
+        if srcs is None or len(srcs) != len(self._sp):
+            srcs = [_rank_sources(m, self.dtype) for m in ranks]
         out = []
-        for sp, m in zip(self._sp, ranks):
-            src = _rank_sources(m, self.dtype)
+        for sp, src in zip(self._sp, srcs):
             out.append((sp.rows.astype(np.int64), sp.cols.astype(np.int64),
                         src[sp.permute]))
         return out
 
     def _src_stack(self, ranks) -> np.ndarray:
         """Bulk-pack the raw per-rank LDU blocks into the padded (P, S+1)
-        source stack (host memcpy only; the trailing slot stays 0)."""
+        source stack (host memcpy only; the trailing slot stays 0).
+        Validates that each rank's source length matches construction —
+        a changed face count means the sparsity changed and the cached
+        permute tables would silently gather stale positions."""
         out = np.zeros((len(ranks), self._src_size + 1), self.dtype)
+        srcs = []
         for i, m in enumerate(ranks):
             src = _rank_sources(m, self.dtype)
+            if len(src) != self._src_lens[i]:
+                raise ValueError(
+                    f"rank {i}: source length {len(src)} != "
+                    f"{self._src_lens[i]} at construction — the sparsity "
+                    "changed; rebuild the DistAssembler")
             out[i, : len(src)] = src
+            srcs.append(src)
+        self._srcs_cache = srcs  # reused by shard_triples in the same step
         return out
 
     def update(self, ranks, scale=1.0) -> DistMatrix:

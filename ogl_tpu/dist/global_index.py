@@ -39,8 +39,13 @@ class GlobalIndex:
         return np.asarray(global_idx) - self.offsets[rank]
 
     def which_rank(self, global_idx):
-        """owning rank per global index (gkoGlobalIndex::whichProcID)."""
-        return (np.searchsorted(self.offsets, np.asarray(global_idx), side="right") - 1)
+        """owning rank per global index (gkoGlobalIndex::whichProcID).
+        Out-of-range indices are an error (the reference asserts validity)."""
+        g = np.asarray(global_idx)
+        if np.any(g < 0) or np.any(g >= self.total_size):
+            raise IndexError(
+                f"global index out of range [0, {self.total_size})")
+        return (np.searchsorted(self.offsets, g, side="right") - 1)
 
     def is_local(self, rank: int, global_idx):
         g = np.asarray(global_idx)

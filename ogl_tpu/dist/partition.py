@@ -90,7 +90,9 @@ class EllStack:
 @dataclasses.dataclass(frozen=True)
 class CooStack:
     """Per-shard COO triplets (the halo matrix: surface-sized).  Pad
-    entries: row = n_local (dropped), col = parking slot, val = 0."""
+    entries carry row = 0, col = 0, val = 0 — numerically inert ONLY
+    because the value is zero (consumers scatter-add val*x, so pads
+    contribute 0 to row 0); dm.halo_sizes records the true counts."""
 
     rows: jnp.ndarray  # (P, E) int32
     cols: jnp.ndarray  # (P, E) int32 — halo-buffer slots
@@ -152,6 +154,8 @@ def pack_local_stack(shards, n_local: int, dtype, fmt: str = "auto",
     fmt: "auto" (Dia if the union of offsets is narrow, else Ell),
     "Dia", or "Ell".
     """
+    if fmt not in ("auto", "Dia", "Ell"):
+        raise ValueError(f"unknown local format {fmt!r}; use auto|Dia|Ell")
     p = len(shards)
     e = max((len(r) for r, _, _ in shards), default=0)
     e = max(e, 1)
@@ -162,6 +166,7 @@ def pack_local_stack(shards, n_local: int, dtype, fmt: str = "auto",
     if offs is not None:
         nd = len(offs)
         size = nd * n_local
+        assert size < 2**31, "value storage too large for int32 slot indices"
         data = np.zeros((p, size + 1), dtype)
         dest = np.full((p, e), size, np.int32)  # parking slot
         offs_arr = np.asarray(offs, np.int64)
@@ -186,6 +191,7 @@ def pack_local_stack(shards, n_local: int, dtype, fmt: str = "auto",
         if len(rows):
             k = max(k, int(np.bincount(np.asarray(rows, np.int64)).max()))
     size = n_local * k
+    assert size < 2**31, "value storage too large for int32 slot indices"
     ecols = np.zeros((p, n_local, k), np.int32)
     ecols[:] = np.arange(n_local, dtype=np.int32)[None, :, None]  # pad col = own row
     evals = np.zeros((p, n_local, k), dtype)
@@ -224,7 +230,6 @@ def pack_halo_stack(shards, dtype):
     cols = np.zeros((p, e), np.int32)
     vals = np.zeros((p, e), dtype)
     for i, (r, s, v) in enumerate(shards):
-        rows[i, len(r):] = 0
         rows[i, : len(r)] = np.asarray(r, np.int32)
         cols[i, : len(s)] = np.asarray(s, np.int32)
         vals[i, : len(v)] = v
@@ -279,6 +284,19 @@ def partition_coo(coo: Coo, n_parts: int, local_format: str = "auto") -> DistMat
     halo_size = max((len(h) for h in halo_cols_of), default=0)
     halo_size = max(halo_size, 1)
 
+    # vectorized position lookup into each part's (owner-major) halo list:
+    # sort once per part, map queries through searchsorted + the sort
+    # permutation (per-element Python dicts were O(halo) interpreter work
+    # repeated per neighbor pair AND per part)
+    _halo_sorted = []
+    for hc in halo_cols_of:
+        order_ = np.argsort(hc, kind="stable")
+        _halo_sorted.append((hc[order_], order_.astype(np.int64)))
+
+    def _slots_of(part: int, q: np.ndarray) -> np.ndarray:
+        hs, order_ = _halo_sorted[part]
+        return order_[np.searchsorted(hs, q)]
+
     # ---- ppermute schedule: offset classes d = (requester - owner) mod p
     per_offset: dict[int, list[tuple[int, np.ndarray]]] = {}
     for i in range(p):
@@ -299,8 +317,7 @@ def partition_coo(coo: Coo, n_parts: int, local_format: str = "auto") -> DistMat
             sidx[own, : len(gcols)] = (gcols - bounds[own]).astype(np.int32)
             # halo slots: positions of gcols within the requester's
             # (owner-major sorted) halo list
-            lookup = {int(c): k for k, c in enumerate(halo_cols_of[req])}
-            rpos[req, : len(gcols)] = np.array([lookup[int(c)] for c in gcols], np.int32)
+            rpos[req, : len(gcols)] = _slots_of(req, gcols).astype(np.int32)
         send_idx_list.append(jnp.asarray(sidx))
         recv_pos_list.append(jnp.asarray(rpos))
 
@@ -317,8 +334,8 @@ def partition_coo(coo: Coo, n_parts: int, local_format: str = "auto") -> DistMat
     for i in range(p):
         sel_l = (part_of_entry == i) & is_local
         sel_h = (part_of_entry == i) & ~is_local
-        lookup = {int(c): k for k, c in enumerate(halo_cols_of[i])}
-        hslots = np.array([lookup[int(c)] for c in cols[sel_h]], np.int64)
+        hslots = (_slots_of(i, cols[sel_h]) if np.any(sel_h)
+                  else np.zeros(0, np.int64))
         loc_shards.append((rows[sel_l] - bounds[i], cols[sel_l] - bounds[i], vals[sel_l]))
         halo_shards.append((rows[sel_h] - bounds[i], hslots, vals[sel_h]))
 
