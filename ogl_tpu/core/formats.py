@@ -498,7 +498,8 @@ def value_map(m, rows, cols) -> ValueMap:
     elif type(m).__name__ == "Gdia":
         from ogl_tpu.kernels.gdia import gdia_layout
 
-        plane_offsets, _, dest, _ = gdia_layout(rows, cols, n)
+        plane_offsets, _, dest, _ = gdia_layout(
+            rows, cols, n, max_planes=max(64, len(m.plane_offsets)))
         if plane_offsets != m.plane_offsets:
             raise ValueError("sparsity changed: Gdia planes do not match container")
         shape = tuple(int(s) for s in m.vals.shape)

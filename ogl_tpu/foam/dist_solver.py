@@ -110,6 +110,7 @@ class DistFoamSolver:
         ok = (
             cfg.solver == "GKOCG"
             and cfg.fused_cg
+            and self.dtype == jnp.float32  # merged kernels are f32-framed
             and isinstance(dm.local, DiaStack)
             and 0 in dm.local.offsets
             and diag_pc

@@ -349,6 +349,7 @@ class FoamSolver:
             and self.cfg.fused_cg
             and isinstance(self.matrix, (formats.Dia, _Gdia))
             and (diag_pc or amg_framed)
+            and self.dtype == jnp.float32  # merged kernels are f32-framed
             and jax.default_backend() == "tpu"
             and n >= (1 << 15)  # small tiles fault the fused kernels on hw;
             # sub-32k problems gain nothing from merging anyway

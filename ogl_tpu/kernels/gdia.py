@@ -56,10 +56,6 @@ class Gdia:
     shape: tuple[int, int] = static_field()
 
     @property
-    def n_rows_padded(self) -> int:
-        return self.vals.shape[1] * LANES
-
-    @property
     def dtype(self):
         return self.vals.dtype
 
@@ -206,8 +202,6 @@ def _gdia_padded(vals, lidx, xpad, *, plane_offsets, tile, interpret=False):
 
 def gdia_matvec(m: Gdia, tile: int = 256, interpret: bool | None = None):
     """x -> A@x via the lane-gather kernel (TPU; XLA fallback elsewhere)."""
-    if interpret is None:
-        interpret = False
     if jax.default_backend() != "tpu" and not interpret:
         return lambda x: spmv_gdia(m, x)
     n = m.shape[0]

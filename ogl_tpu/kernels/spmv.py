@@ -148,12 +148,22 @@ def pack_fast(rows, cols, vals, n: int, max_planes: int = 48,
     return coo_to_ell(coo)
 
 
+def _pallas_dtype_ok(m):
+    """The Pallas kernels accumulate in f32; routing f64 containers through
+    them would silently degrade precision vs the XLA paths."""
+    import jax.numpy as jnp
+
+    return jnp.dtype(m.dtype) in (jnp.float32, jnp.bfloat16)
+
+
 def apply_fast(m, x):
     """SpMV dispatch for derived operators INSIDE jit: Pallas kernels on TPU
-    for large Dia/Gdia, XLA otherwise (small Pallas tiles fault on hw)."""
+    for large f32 Dia/Gdia, XLA otherwise (small Pallas tiles fault on hw;
+    f64 needs the XLA paths' native-precision accumulate)."""
     import jax
 
-    big = m.shape[0] >= (1 << 15) and jax.default_backend() == "tpu"
+    big = (m.shape[0] >= (1 << 15) and jax.default_backend() == "tpu"
+           and _pallas_dtype_ok(m))
     if isinstance(m, Dia) and big and m.offsets:
         from ogl_tpu.kernels.pallas_spmv import dia_matvec
 
@@ -172,7 +182,7 @@ def matvec(m):
     see ARCHITECTURE.md)."""
     import jax
 
-    if jax.default_backend() == "tpu":
+    if jax.default_backend() == "tpu" and _pallas_dtype_ok(m):
         if isinstance(m, Dia) and m.offsets:
             from ogl_tpu.kernels.pallas_spmv import dia_matvec
 

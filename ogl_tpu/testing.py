@@ -14,7 +14,7 @@ import numpy as np
 from ogl_tpu.core import ldu
 
 __all__ = ["poisson_ldu", "poisson_dense", "convection_diffusion_ldu",
-           "to_dense_ldu", "grid_shape"]
+           "channel_ldu", "to_dense_ldu", "grid_shape"]
 
 
 def grid_shape(dims):
@@ -97,9 +97,10 @@ def to_dense_ldu(m: ldu.LduMatrix) -> np.ndarray:
     a = np.zeros((m.n, m.n))
     np.fill_diagonal(a, m.diag)
     lower = m.upper if m.symmetric else m.lower
-    for f in range(m.n_faces):
-        a[m.lower_addr[f], m.upper_addr[f]] += m.upper[f]
-        a[m.upper_addr[f], m.lower_addr[f]] += lower[f]
+    np.add.at(a, (np.asarray(m.lower_addr), np.asarray(m.upper_addr)),
+              np.asarray(m.upper))
+    np.add.at(a, (np.asarray(m.upper_addr), np.asarray(m.lower_addr)),
+              np.asarray(lower))
     for li in m.local_interfaces:
         np.add.at(a, (np.asarray(li.rows), np.asarray(li.cols)),
                   -np.asarray(li.coeffs))
