@@ -83,8 +83,13 @@ class DistAssembler:
     re-assembles coefficients on device every later step (the
     PersistentSparsityPattern + update split of the reference)."""
 
-    def __init__(self, ranks: list, dtype=np.float64, local_format: str = "auto"):
+    def __init__(self, ranks: list, dtype=np.float64, local_format: str = "auto",
+                 scale: float = 1.0):
         self.dtype = np.dtype(dtype)
+        # `scaling` applies to the MATRIX (reference HostMatrix.C:33); the
+        # caller must scale b by the same factor (lduLduBase.H:244-252) so
+        # the solution stays invariant
+        self.scale = float(scale)
         p = len(ranks)
         local_sizes = tuple(m.n for m in ranks)
         n_local = max(local_sizes)
@@ -100,7 +105,7 @@ class DistAssembler:
         for m in ranks:
             sp = ldu_mod.build_local_sparsity(m)
             self._sp.append(sp)
-            src = _rank_sources(m, self.dtype)
+            src = self._sources(m)
             src_lens.append(len(src))
             vals = src[sp.permute]
             loc_shards.append((sp.rows.astype(np.int64), sp.cols.astype(np.int64), vals))
@@ -206,6 +211,15 @@ class DistAssembler:
             self._local_kind = "Ell"
             self._local_shape = tuple(int(s) for s in local.vals.shape[1:])
 
+    def _sources(self, m) -> np.ndarray:
+        """Per-rank source vector with `scaling` applied (the scaled matrix
+        is what every consumer — local/halo storage, Schwarz factorisation,
+        export — must see, matching the reference's scaled HostMatrix)."""
+        src = _rank_sources(m, self.dtype)
+        if self.scale != 1.0:
+            src = src * np.asarray(self.scale, self.dtype)
+        return src
+
     def shard_triples(self, ranks):
         """Per-shard local-block COO triples with CURRENT values (host) —
         what the Schwarz preconditioner setup factorises, the reference's
@@ -214,7 +228,7 @@ class DistAssembler:
         same step instead of re-concatenating every block."""
         srcs = getattr(self, "_srcs_cache", None)
         if srcs is None or len(srcs) != len(self._sp):
-            srcs = [_rank_sources(m, self.dtype) for m in ranks]
+            srcs = [self._sources(m) for m in ranks]
         out = []
         for sp, src in zip(self._sp, srcs):
             out.append((sp.rows.astype(np.int64), sp.cols.astype(np.int64),
@@ -230,7 +244,7 @@ class DistAssembler:
         out = np.zeros((len(ranks), self._src_size + 1), self.dtype)
         srcs = []
         for i, m in enumerate(ranks):
-            src = _rank_sources(m, self.dtype)
+            src = self._sources(m)
             if len(src) != self._src_lens[i]:
                 raise ValueError(
                     f"rank {i}: source length {len(src)} != "

@@ -179,6 +179,7 @@ class DistFoamSolver:
                 self.assembler = DistAssembler(
                     ranks, dtype=np.dtype(self.dtype),
                     local_format=cfg.dist_local_format,
+                    scale=cfg.scaling,
                 )
         elif cfg.update_sys_matrix:
             with common.timed("update_dist_values", cfg.verbose, self.field):
@@ -193,7 +194,12 @@ class DistFoamSolver:
             # tracking) a Schwarz state every step would be pure waste
             self._precond = None
 
-        bs = jnp.asarray(split_vector(dm, np.asarray(b)), self.dtype)
+        b_host = np.asarray(b)
+        if cfg.scaling != 1.0:
+            # scale b alongside the matrix (reference lduLduBase.H:244-252)
+            # so the solution is invariant under `scaling`
+            b_host = b_host * np.asarray(cfg.scaling, self.dtype)
+        bs = jnp.asarray(split_vector(dm, b_host), self.dtype)
         if psi is not None and cfg.update_init_guess:
             x0 = jnp.asarray(split_vector(dm, np.asarray(psi)), self.dtype)
         else:

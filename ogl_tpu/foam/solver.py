@@ -421,6 +421,11 @@ class FoamSolver:
                 b_host = b_host[perm]
                 if psi_host is not None:
                     psi_host = psi_host[perm]
+            if cfg.scaling != 1.0:
+                # the reference scales the RHS by the same factor as the
+                # matrix (lduLduBase.H:244-252 dist_b->scale), so the
+                # solution is invariant under `scaling`
+                b_host = b_host * np.asarray(cfg.scaling, self.dtype)
             b_dev = jnp.asarray(b_host, self.dtype)
             self._b_dev = b_dev
         if psi_host is not None and cfg.update_init_guess:

@@ -187,13 +187,36 @@ def test_export_writes_mtx(tmp_path):
 
 
 def test_scaling_config():
+    """`scaling` multiplies BOTH the matrix (reference HostMatrix.C:33) and
+    the RHS (lduLduBase.H:244-252 dist_b->scale) — the solution must be
+    invariant.  A drop-in user with `scaling` set gets identical fields."""
     m, b, x_true = _problem()
     controls = {
         "solver": "GKOCG", "executor": "reference", "tolerance": 1e-10,
         "relTol": 0, "dtype": "float64", "scaling": 2.0, "maxIter": 500,
     }
     x, perf = foam.solve("p", m, b, controls)
-    np.testing.assert_allclose(np.asarray(x), x_true / 2.0, atol=1e-6)
+    assert perf.converged
+    np.testing.assert_allclose(np.asarray(x), x_true, atol=1e-6)
+    # steady-state path (device value update) keeps the same semantics
+    x2, perf2 = foam.solve("p", m, b, {})
+    np.testing.assert_allclose(np.asarray(x2), x_true, atol=1e-6)
+
+
+def test_scaling_config_distributed():
+    """Distributed solves honor `scaling` identically: matrix AND RHS scaled,
+    solution invariant — on the construction path and the steady-state
+    coefficient-update path."""
+    m, b, x_true = _problem()
+    controls = {
+        "solver": "GKOCG", "executor": "reference", "tolerance": 1e-10,
+        "relTol": 0, "dtype": "float64", "scaling": 2.0, "maxIter": 500,
+    }
+    x, perf = foam.solve_distributed("pscal", m, b, controls)
+    assert perf.converged
+    np.testing.assert_allclose(np.asarray(x), x_true, atol=1e-6)
+    x2, _ = foam.solve_distributed("pscal", m, b, {})
+    np.testing.assert_allclose(np.asarray(x2), x_true, atol=1e-6)
 
 
 def test_gdia_format_and_rcm_reorder():
