@@ -28,7 +28,26 @@ import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-__all__ = ["init_distributed", "global_mesh", "stage_stack", "stage_tree"]
+__all__ = ["init_distributed", "global_mesh", "stage_stack", "stage_tree",
+           "broadcast_scalars"]
+
+
+def broadcast_scalars(*values: float) -> tuple[float, ...]:
+    """Process-0's values on every process (the reference's MPI broadcast of
+    the measured residual-eval cost ratio, lduLduBase.H:291-293).
+
+    Host wall-clock measurements differ per process; anything derived from
+    them that feeds a REPLICATED traced argument (StoppingParams under
+    adaptMinIter) must be agreed on first — otherwise each process jits a
+    different minIter/frequency for a value jax assumes identical.
+    No-op single-process."""
+    if jax.process_count() <= 1:
+        return values
+    from jax.experimental import multihost_utils
+
+    out = multihost_utils.broadcast_one_to_all(
+        np.asarray(values, np.float64))
+    return tuple(float(v) for v in np.asarray(out))
 
 
 def init_distributed(coordinator_address: str | None = None,

@@ -31,6 +31,7 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
 from ogl_tpu import common, registry
+from ogl_tpu.dist import runtime
 from ogl_tpu.config import SolverConfig, parse_controls
 from ogl_tpu.core import ldu as ldu_mod
 from ogl_tpu.core import mtx
@@ -130,22 +131,51 @@ class DistFoamSolver:
 
     def _measure_res_eval(self, dm, x_stack, b_stack):
         """Time one distributed residual-norm evaluation (the criterion's
-        per-check cost; reference lduLduBase.H:287-293)."""
+        per-check cost; reference lduLduBase.H:287-293).
 
-        def body(local, halo, x, b):
+        Chained inside ONE compiled program and measured as the difference
+        of a 1-eval and a k-eval run, so the per-call dispatch latency
+        (tens of ms on tunneled devices) cancels.  A single unchained call
+        would measure the round trip, not the evaluation — overstating the
+        check cost ~100x and stretching the adaptMinIter frequency until
+        solves overshoot their convergence point (the 282-vs-324 iteration
+        drift of BENCH_r02)."""
+
+        def body(local, halo, x, b, k):
             local_m = shard_local_matrix(local, dm.n_local)
             ops = dist_ops(local_m, (halo.rows[0], halo.cols[0], halo.vals[0]),
                            dm.plan, dm.global_n, "x")
-            return ops.allreduce(jnp.sum(jnp.abs(b[0] - ops.matvec(x[0]))))
+
+            def step(_, c):
+                xv, s = c
+                s = s + ops.allreduce(jnp.sum(jnp.abs(b[0] - ops.matvec(xv))))
+                return xv * (1.0 - 1e-30 * s), s  # data-dependence: no DCE
+
+            _, s = jax.lax.fori_loop(
+                0, k, step, (x[0], jnp.zeros((), x_stack.dtype)))
+            return s
 
         spec = P("x")
         fn = jax.jit(jax.shard_map(body, mesh=self.mesh,
-                                   in_specs=(spec, spec, spec, spec),
+                                   in_specs=(spec, spec, spec, spec, P()),
                                    out_specs=P(), check_vma=False))
-        jax.block_until_ready(fn(dm.local, dm.halo, x_stack, b_stack))
-        t0 = time.perf_counter()
-        jax.block_until_ready(fn(dm.local, dm.halo, x_stack, b_stack))
-        return max(time.perf_counter() - t0, 1e-9)
+        k = 129  # long chain: the extra-eval time must clear RTT jitter
+
+        def run(kk):
+            jax.block_until_ready(fn(dm.local, dm.halo, x_stack, b_stack, kk))
+
+        run(1)
+        run(k)  # both trip counts warm (k is traced: one compile)
+        t_short = t_long = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            run(1)
+            t1 = time.perf_counter()
+            run(k)
+            t2 = time.perf_counter()
+            t_short = min(t_short, t1 - t0)
+            t_long = min(t_long, t2 - t1)
+        return max(t_long - t_short, 1e-9) / (k - 1)
 
     def _export(self, ranks, b_stack, time_value):
         """Per-rank matrix/vector export (reference CsrMatrixWrapper.H:271-290,
@@ -269,7 +299,12 @@ class DistFoamSolver:
         time_per_iter = solve_t / max(iters, 1)
         if self._res_eval_time is None:
             self._res_eval_time = self._measure_res_eval(dm, x_stack, bs)
-        self.props.prev_rel_res_cost = time_per_iter / self._res_eval_time
+        # every process must feed the SAME adaptMinIter inputs into the
+        # (replicated) StoppingParams next solve — agree on process-0's
+        # measured cost ratio (reference broadcast, lduLduBase.H:291-293)
+        (rel_cost,) = runtime.broadcast_scalars(
+            time_per_iter / self._res_eval_time)
+        self.props.prev_rel_res_cost = rel_cost
         self.props.prev_solve_iters = iters
 
         t1 = time.perf_counter()

@@ -68,6 +68,18 @@ def main():
         size = dm.local_sizes[i]
         got = np.asarray(shard.data).reshape(-1)[:size]
         np.testing.assert_allclose(got, x_true[start:start + size], atol=1e-6)
+
+    # adaptMinIter agreement (reference lduLduBase.H:291-293): per-process
+    # wall-clock cost measurements differ — broadcast_scalars must make
+    # every process derive IDENTICAL StoppingParams.  Feed wildly different
+    # local measurements; the parent asserts the PARAMS lines match.
+    local_cost = 0.5 + 10.0 * pid
+    (rel_cost,) = runtime.broadcast_scalars(local_cost)
+    assert rel_cost == 0.5, f"expected process-0's value, got {rel_cost}"
+    adapted = StoppingConfig(adapt_min_iter=True).adapted(
+        prev_solve_iters=282, prev_rel_cost=rel_cost, export_res=False)
+    print(f"PARAMS {pid} minIter={adapted.min_iter} "
+          f"frequency={adapted.frequency}", flush=True)
     print(f"OK {pid}", flush=True)
 
 

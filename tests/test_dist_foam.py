@@ -183,3 +183,29 @@ def test_dist_foam_residual_history_export(tmp_path, monkeypatch):
     for i in range(8):
         path = tmp_path / f"processor{i}" / "0" / "ph_residuals.mtx"
         assert path.exists(), path
+
+
+def test_dist_single_device_iteration_parity():
+    """BASELINE.md target 3 / VERDICT r2 item 3: a distributed solve on ONE
+    shard has no halo and must take (within rounding) the same iteration
+    count as the single-device path — across steady-state solves too (the
+    r2 drift came from adaptMinIter fed by an RTT-inflated residual-eval
+    cost measurement, stretching the check frequency)."""
+    import jax
+    from jax.sharding import Mesh
+
+    m, a, b, x_true = _problem((24, 24))
+    controls = {"solver": "GKOCG", "tolerance": 1e-8, "relTol": 0,
+                "maxIter": 900, "dtype": "float64", "adaptMinIter": True}
+    iters_single, iters_dist = [], []
+    for step in range(3):
+        _, p1 = foam.solve("pparity", m, b, controls if step == 0 else {})
+        iters_single.append(p1.n_iterations)
+    mesh1 = Mesh(np.array(jax.devices()[:1]), ("x",))
+    for step in range(3):
+        _, p2 = foam.solve_distributed("pparity_d", m, b,
+                                       controls if step == 0 else {},
+                                       mesh=mesh1 if step == 0 else None)
+        iters_dist.append(p2.n_iterations)
+    for s, d in zip(iters_single, iters_dist):
+        assert abs(s - d) <= 2, (iters_single, iters_dist)

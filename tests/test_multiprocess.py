@@ -51,3 +51,10 @@ def test_two_process_distributed_cg():
     for pid, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"process {pid} failed:\n{out[-4000:]}"
         assert f"OK {pid}" in out, out[-2000:]
+    # identical adaptMinIter stopping params on every process (the
+    # broadcast of the measured cost ratio, reference lduLduBase.H:291-293)
+    params = sorted(
+        line.split(" ", 2)[2]
+        for out in outs for line in out.splitlines()
+        if line.startswith("PARAMS "))
+    assert len(params) == 2 and params[0] == params[1], params
