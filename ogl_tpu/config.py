@@ -42,6 +42,10 @@ class StoppingConfig:
     max_iter: int = 1000
     adapt_min_iter: bool = True
     relaxation_factor: float = 0.6
+    # parsed for drop-in compatibility but UNUSED — exactly like the
+    # reference, which stores res_norm_eval_ and never reads it
+    # (StoppingCriterion.H:143,169-170; the adaptMinIter formula at
+    # :199-209 uses only the measured prev_rel_cost)
     res_norm_eval: float = 0.1
     norm_eval_limit: int = 100
     frequency: int = 1

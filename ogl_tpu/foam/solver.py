@@ -298,7 +298,7 @@ class FoamSolver:
                     smooth_iters=pc.smoother_sweeps,
                 )
             else:
-                op = precond.build(pc, self.coo_host())
+                op = precond.build(pc, self.coo_host(), verbose=self.cfg.verbose)
         old = getattr(self, "_precond_op", None)
         if old is None or old.fingerprint() != op.fingerprint():
             # structure changed (e.g. new AMG hierarchy): stale programs

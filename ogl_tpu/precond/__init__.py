@@ -67,9 +67,38 @@ from ogl_tpu.precond.ilu import ic0, ict, ilu0, ilut  # noqa: E402
 from ogl_tpu.precond.amg import amg  # noqa: E402
 
 
-def build(cfg: PrecondConfig, coo: Coo) -> "PrecondOp":
-    """Factory mirroring init_preconditioner_impl (Preconditioner.H:83-351)."""
+def build(cfg: PrecondConfig, coo: Coo, verbose: int = 0) -> "PrecondOp":
+    """Factory mirroring init_preconditioner_impl (Preconditioner.H:83-351).
+
+    Knob status, matching the reference exactly:
+      * skipSorting (default true) — the input is trusted to be row-major
+        sorted (our LDU path always is); `skipSorting false` sorts here,
+        like Ginkgo factories do under with_skip_sorting(false)
+        (Preconditioner.H:88-112).
+      * approximateSelect (ICT) and zeroGuess (Multigrid) — the reference
+        PARSES AND LOGS these but never passes them to any factory
+        (Preconditioner.H:201-214, 317-322: no with_approximate_select /
+        zero-guess call); we reproduce the log-only behavior.
+    """
     name = cfg.name
+    if not cfg.skip_sorting and name != "none":
+        import numpy as np
+
+        rows = np.asarray(jax.device_get(coo.rows))
+        cols = np.asarray(jax.device_get(coo.cols))
+        vals = np.asarray(jax.device_get(coo.vals))
+        order = np.lexsort((cols, rows))
+        coo = Coo(rows=rows[order], cols=cols[order], vals=vals[order],
+                  shape=coo.shape)
+    if verbose > 0 and name == "ICT":
+        # reference logs the knob and drops it (Preconditioner.H:201-204)
+        print(f"Generate preconditioner ICT with approximate select "
+              f"{int(cfg.approximate_select)} (log-only, as in the reference)")
+    if verbose > 0 and name == "Multigrid":
+        print(f"Generate preconditioner Multigrid MaxLevels {cfg.max_levels} "
+              f"MinCoarseRows {cfg.min_coarse_rows} ZeroGuess "
+              f"{int(cfg.zero_guess)} Cycle {cfg.cycle} "
+              "(zeroGuess log-only, as in the reference)")
     if name == "none":
         return PrecondOp(lambda s, r: r, ())
     if name == "BJ":

@@ -234,3 +234,33 @@ def test_ilu_sums_duplicate_entries():
     (lr, lc, lv), (ur, uc, uv), ud = ilu0_factors(coo)
     np.testing.assert_allclose(ud, [4.0, 4.0 - (-2.0) * (-2.0 / 4.0)])
     np.testing.assert_allclose(lv, [-0.5])  # -2/4, not -1/4
+
+
+def test_skip_sorting_false_sorts_input():
+    """skipSorting false defensively sorts the factorisation input (the
+    Ginkgo with_skip_sorting(false) semantic, Preconditioner.H:88-112);
+    a shuffled COO must then produce bit-identical factors to sorted
+    input."""
+    import dataclasses
+
+    import jax
+
+    from ogl_tpu import testing as problems
+    from ogl_tpu.config import PrecondConfig
+    from ogl_tpu.core import ldu
+    from ogl_tpu.core.formats import Coo
+    from ogl_tpu import precond as precond_mod
+
+    coo = ldu.ldu_to_coo_host(problems.poisson_ldu((8, 8)))
+    rng = np.random.default_rng(0)
+    perm = rng.permutation(len(np.asarray(coo.rows)))
+    shuffled = Coo(rows=np.asarray(coo.rows)[perm],
+                   cols=np.asarray(coo.cols)[perm],
+                   vals=np.asarray(coo.vals)[perm], shape=coo.shape)
+    for name in ("ILU", "IC", "GISAI"):
+        ref = precond_mod.build(PrecondConfig(name=name), coo)
+        got = precond_mod.build(
+            PrecondConfig(name=name, skip_sorting=False), shuffled)
+        for a, b in zip(jax.tree_util.tree_leaves(ref.state),
+                        jax.tree_util.tree_leaves(got.state)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
