@@ -104,14 +104,72 @@ def main():
     rtt = min(_timed(lambda: float(tiny(b))) for _ in range(5))
     log(f"host-fetch RTT: {rtt * 1e3:.1f} ms")
 
-    # --- SpMV roofline (chained on device, fetch-forced difference) ------
-    bytes_moved = roofline.spmv_bytes(mat)
+    # --- SpMV roofline -------------------------------------------------
+    # Measured on a problem whose operand set exceeds VMEM (~128 MB on
+    # v5e/v5p): at 1M DOF the 36 MB of DIA data + vectors can stay
+    # VMEM-resident across chained iterations and read >HBM peak (the
+    # BENCH_r02 133% artifact).  8.4M DOF → ~300 MB working set: every
+    # iteration must stream from HBM, so the number is an honest HBM
+    # fraction (and a lower bound — see roofline.measure_chained).
+    if on_tpu:
+        rdims = (256, 256, 128)
+        rcache = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)),
+            f".bench_cache_{'x'.join(map(str, rdims))}.npz")
+        if os.path.exists(rcache):
+            z = np.load(rcache)
+            rmat = formats.Dia(data=jnp.asarray(z["data"]),
+                               offsets=tuple(int(o) for o in z["offsets"]),
+                               shape=(int(z["n"]), int(z["n"])))
+        else:
+            t0 = time.perf_counter()
+            rm = problems.poisson_ldu(rdims)
+            rmat = formats.coo_to_dia(ldu.ldu_to_coo_host(rm, dtype=np.float32))
+            np.savez(rcache, data=np.asarray(jax.device_get(rmat.data)),
+                     offsets=np.array(rmat.offsets), n=rm.n)
+            log(f"roofline setup: {time.perf_counter() - t0:.1f}s (cached)")
+    else:
+        rmat = mat
+    rx = jnp.ones((rmat.shape[0],), jnp.float32)
+    rmv = dia_matvec(rmat)
     r = roofline.measure_chained(
-        mv_kernel, b, iters=256, warmup=3,
-        bytes_moved=bytes_moved, flops=roofline.spmv_flops(mat),
+        rmv, rx, warmup=3, target_seconds=1.5,
+        bytes_moved=roofline.spmv_bytes(rmat),
+        flops=roofline.spmv_flops(rmat),
     )
-    log(f"SpMV: {r.seconds * 1e6:.1f} µs, {r.gbps:.1f} GB/s "
-        f"({100 * r.fraction_of_peak:.1f}% of {r.peak_gbps:.0f} GB/s peak)")
+    # Denominator: the spec-table peak can misdescribe the device actually
+    # behind a tunneled backend (the "TPU v5 lite" here sustains dense
+    # STREAM-triad ABOVE the v5e table number).  A roofline fraction is
+    # only defensible against a peak this same harness can demonstrate:
+    # use max(spec, measured dense-streaming), calibrated once and cached.
+    eff_peak = r.peak_gbps
+    if on_tpu:
+        speak_cache = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)),
+            ".bench_cache_streampeak.json")
+        mpeak = None
+        if os.path.exists(speak_cache):
+            with open(speak_cache) as f:
+                d = json.load(f)
+            if d.get("device_kind") == dev.device_kind:
+                mpeak = float(d["stream_gbps"])
+        if mpeak is None:
+            t0 = time.perf_counter()
+            mpeak = roofline.measure_stream_peak()
+            log(f"stream-peak calibration: {mpeak:.0f} GB/s "
+                f"({time.perf_counter() - t0:.0f}s, cached)")
+            with open(speak_cache, "w") as f:
+                json.dump({"device_kind": dev.device_kind,
+                           "stream_gbps": mpeak}, f)
+        eff_peak = max(eff_peak, mpeak)
+        log(f"peak: spec {r.peak_gbps:.0f} GB/s, measured stream "
+            f"{mpeak:.0f} GB/s -> denominator {eff_peak:.0f} GB/s")
+    frac = r.gbps / eff_peak
+    log(f"SpMV (n={rmat.shape[0]:,}): {r.seconds * 1e6:.1f} µs, "
+        f"{r.gbps:.1f} GB/s ({100 * frac:.1f}% of {eff_peak:.0f} GB/s)")
+    if frac > 1.0:
+        log("WARNING: fraction-of-peak >100% — measurement-harness bug, "
+            "treat the roofline number as invalid")
 
     # --- CG solve (merged-kernel path on TPU) ---------------------------
     cfg = StoppingConfig(tolerance=1e-6, rel_tol=0.0, max_iter=1000, frequency=1)
@@ -138,6 +196,15 @@ def main():
     log(f"CG: {iters} iters, converged={bool(res.converged)}, "
         f"final={float(res.final_res_norm):.2e}, solve {solve_t * 1e3:.1f} ms, "
         f"time/iter {tpi * 1e6:.1f} µs, time/iter/DOF {tpi_dof_ns:.3f} ns")
+    if on_tpu:
+        # solve-level consistency cross-check for the SpMV roofline: one
+        # fused-CG iteration streams the DIA planes once (K1) plus ~12
+        # vector streams (K1: z,p in / p',q out; K2: x,r,p',q,invd in /
+        # x,r,z out) — implied bandwidth must be the same order as the
+        # SpMV measurement (it shares the HBM bottleneck)
+        cg_bytes = (len(mat.offsets) + 12) * n * 4
+        log(f"CG implied bandwidth: {cg_bytes / tpi / 1e9:.0f} GB/s "
+            f"({100 * cg_bytes / tpi / 1e9 / eff_peak:.0f}% of denominator)")
 
     # --- BASELINE.json config sweep (iteration counts; stderr only) ------
     if os.environ.get("OGL_BENCH_SWEEP", "1") != "0":
@@ -154,7 +221,7 @@ def main():
         except Exception as e:
             log(f"large foam benches failed: {type(e).__name__}: {e}")
 
-    vs_baseline = r.fraction_of_peak / 0.80
+    vs_baseline = frac / 0.80
     print(json.dumps({
         "metric": "cg_time_per_iter_per_dof",
         "value": round(tpi_dof_ns, 4),

@@ -53,6 +53,7 @@ __all__ = [
     "assemble_coeffs",
     "ldu_to_coo",
     "ldu_to_coo_host",
+    "ldu_from_coo",
 ]
 
 
@@ -490,4 +491,51 @@ def ldu_to_coo(ldu: LduMatrix, scale=1.0, dtype=None) -> formats.Coo:
         cols=jnp.asarray(sp.cols),
         vals=vals,
         shape=(ldu.n, ldu.n),
+    )
+
+
+def ldu_from_coo(coo: formats.Coo,
+                 proc_interfaces: tuple = ()) -> LduMatrix:
+    """Inverse of ldu_to_coo for an assembled LOCAL matrix: split a square
+    host COO back into LDU form (diag/upper/lower + face addressing).
+
+    This is the ingestion half of the reference's export format
+    (CsrMatrixWrapper.H:271-290 writes `<field>_A_local.mtx`; nothing in
+    the reference reads it back) — it closes the export->replay loop for
+    drop-in case validation.  Duplicate (r, c) entries are summed (the
+    assembly semantics); structurally one-sided couplings get a
+    zero-valued counterpart so the face addressing stays two-sided.
+    """
+    rows = np.asarray(jax.device_get(coo.rows)).astype(np.int64)
+    cols = np.asarray(jax.device_get(coo.cols)).astype(np.int64)
+    vals = np.asarray(jax.device_get(coo.vals)).astype(np.float64)
+    n = int(coo.shape[0])
+    assert coo.shape[0] == coo.shape[1], "LDU needs a square matrix"
+
+    diag = np.zeros(n)
+    on_d = rows == cols
+    np.add.at(diag, rows[on_d], vals[on_d])
+
+    r_off, c_off, v_off = rows[~on_d], cols[~on_d], vals[~on_d]
+    lo = np.minimum(r_off, c_off)
+    hi = np.maximum(r_off, c_off)
+    pair = lo * n + hi
+    pairs_u, inv = np.unique(pair, return_inverse=True)
+    f = len(pairs_u)
+    lower_addr = (pairs_u // n).astype(np.int32)
+    upper_addr = (pairs_u % n).astype(np.int32)
+    upper = np.zeros(f)
+    lower = np.zeros(f)
+    is_up = r_off < c_off  # entry in the strict upper triangle
+    np.add.at(upper, inv[is_up], v_off[is_up])
+    np.add.at(lower, inv[~is_up], v_off[~is_up])
+    symmetric = np.array_equal(upper, lower)
+    return LduMatrix(
+        n=n,
+        lower_addr=lower_addr,
+        upper_addr=upper_addr,
+        diag=diag,
+        upper=upper,
+        lower=None if symmetric else lower,
+        proc_interfaces=tuple(proc_interfaces),
     )

@@ -1,3 +1,4 @@
+from ogl_tpu.foam import case as case
 from ogl_tpu.foam import dictionary as dictionary
 from ogl_tpu.foam.solver import (
     FoamSolver as FoamSolver,

@@ -199,6 +199,17 @@ class DistFoamSolver:
                 rows=hrows[i][:nh], cols=hcols[i][:nh], vals=hvals[i][:nh],
                 shape=(n_i, dm.plan.halo_size)))
             mtx.write_dense(f"{pre}_b.mtx", bs[i, :n_i])
+            # minimal sidecar beyond the reference format: the non-local
+            # halo columns are recv-buffer slots that only resolve through
+            # the communication pattern, which the reference never
+            # serialises — without this the export cannot be replayed
+            # (foam.case.read_exported_case)
+            import json as _json
+
+            with open(f"{pre}_comm.json", "w") as f:
+                _json.dump([{"neighbor": int(pi.neighbor),
+                             "n_faces": int(len(pi.face_cells))}
+                            for pi in ranks[i].proc_interfaces], f)
 
     def solve(self, m, b, psi=None, time_value: str | None = None):
         cfg = self.cfg
@@ -341,10 +352,11 @@ class DistFoamSolver:
         return x, perf
 
 
-def solve_distributed(field_name: str, m, b, controls, mesh=None, psi=None):
+def solve_distributed(field_name: str, m, b, controls, mesh=None, psi=None,
+                      time_value: str | None = None):
     """Registry-cached distributed solve (cf. foam.solve)."""
     solver = registry.global_registry.get_or_init(
         f"{field_name}_dist_solver",
         lambda: DistFoamSolver(field_name, controls, mesh),
     )
-    return solver.solve(m, b, psi=psi)
+    return solver.solve(m, b, psi=psi, time_value=time_value)
