@@ -149,25 +149,33 @@ class Dia:
 @_pytree
 @dataclasses.dataclass(frozen=True)
 class Sell:
-    """Sliced ELL (SELL-C).  Rows grouped in slices of `slice_height`; each
-    slice padded to the bucket width recorded in `slice_width` (static).
+    """SELL-C-σ with per-slice width BUCKETS.  Rows are σ-sorted by length
+    in windows of `sigma`, grouped into slices of C = `slice_height` rows,
+    and each slice is padded only to ITS OWN width; slices sharing a width
+    form a bucket stored as one dense (ns_b, C, w_b) block.  Storage and
+    SpMV traffic equal the true SELL-C-σ footprint (Σ C·max_nnz(slice)),
+    NOT the global-max ELL footprint, while every shape stays static for
+    XLA (bucket count is bounded; see sell_layout).
 
-    cols/vals are stored as a single (n_slices, slice_height, max_width)
-    block per bucket group; for simplicity v1 stores one padded 3-D block —
-    the win over Ell is that bucketed construction (sorting rows by nnz
-    before slicing) is handled by `coo_to_sell(sigma=...)` via a row
-    permutation that is applied to x/y on the fly.
+    cols index x directly (padding: col 0 with val 0 — inert);
+    slot_rows[b][s] is the original row of packed slot s (n = dead pad row).
     """
 
-    cols: Array  # (n_slices, C, W)
-    vals: Array  # (n_slices, C, W)
-    row_perm: Array  # (n_rows_padded,) original row index per packed slot
+    cols: tuple  # per bucket: (ns_b, C, w_b) int32
+    vals: tuple  # per bucket: (ns_b, C, w_b)
+    slot_rows: tuple  # per bucket: (ns_b * C,) int32, pad slots -> n
     shape: tuple[int, int] = static_field()
     slice_height: int = static_field()
+    sigma: int = static_field(default=64)
 
     @property
     def dtype(self):
-        return self.vals.dtype
+        return self.vals[0].dtype
+
+    @property
+    def stored(self) -> int:
+        """Stored (padded) entry count — the SELL footprint."""
+        return int(sum(int(np.prod(v.shape)) for v in self.vals))
 
 
 @_pytree
@@ -238,14 +246,13 @@ def to_dense(m) -> np.ndarray:
     elif isinstance(m, Hybrid):
         out = to_dense(m.ell) + to_dense(m.coo)
     elif isinstance(m, Sell):
-        c = np.asarray(jax.device_get(m.cols)).reshape(-1, m.cols.shape[-1])
-        v = np.asarray(jax.device_get(m.vals)).reshape(-1, m.vals.shape[-1])
-        perm = np.asarray(jax.device_get(m.row_perm))
-        for slot in range(c.shape[0]):
-            row = perm[slot]
-            if row < 0 or row >= n:
-                continue
-            np.add.at(out, (np.full(c.shape[1], row), c[slot]), v[slot])
+        for cb, vb, sr in zip(m.cols, m.vals, m.slot_rows):
+            w = int(cb.shape[-1])
+            c = np.asarray(jax.device_get(cb)).reshape(-1, w)
+            v = np.asarray(jax.device_get(vb)).reshape(-1, w)
+            rr = np.repeat(np.asarray(jax.device_get(sr)).astype(np.int64), w)
+            live = rr < n  # pad slots park at row n; pad entries add 0
+            np.add.at(out, (rr[live], c.reshape(-1)[live]), v.reshape(-1)[live])
     elif type(m).__name__ == "Gdia":
         v = np.asarray(jax.device_get(m.vals))  # (P, R, 128)
         l = np.asarray(jax.device_get(m.lidx)).astype(np.int64)
@@ -270,6 +277,8 @@ def _vals_of(m):
         return m.data
     if isinstance(m, Hybrid):
         return m.ell.vals
+    if isinstance(m, Sell):
+        return m.vals[0]
     return m.vals
 
 
@@ -372,39 +381,91 @@ def coo_to_dia(m: Coo) -> Dia:
     return Dia(data=jnp.asarray(data.reshape(len(offs), n)), offsets=offs, shape=m.shape)
 
 
-def coo_to_sell(m: Coo, slice_height: int = 8, sigma: int = 64) -> Sell:
-    """SELL-C-σ: sort rows by nnz within windows of `sigma`, slice into groups
-    of `slice_height`, pad each slice to its own max width, then pad all
-    slices to the global max (static shapes for XLA) — σ-sorting still wins
-    because short rows cluster, shrinking *most* slices' live width.
-    """
-    rows, cols, vals = _host(m)
-    n = m.shape[0]
+def sell_layout(rows: np.ndarray, n: int, slice_height: int = 8,
+                sigma: int = 64, max_buckets: int = 8):
+    """Deterministic SELL-C-σ layout from the row-major COO structure
+    (shared by coo_to_sell and value_map so the steady-state update cannot
+    drift from construction).
+
+    σ-window descending-stable length sort → slices of C rows → per-slice
+    width = its longest row → slices grouped into buckets by width.  If
+    more than `max_buckets` distinct widths occur, widths round up to
+    powers of two (bounding the bucket count at log2(max width), ≤2x
+    padding overhead).
+
+    Returns (widths, ns_of, dest, slot_rows, total): per-bucket widths and
+    slice counts, the per-entry flat destination into the concatenated
+    bucket storage, per-bucket original-row tables (pad slots -> n), and
+    the total stored entry count."""
+    C = slice_height
     counts = np.bincount(rows, minlength=n)
     order = np.arange(n)
     for s in range(0, n, sigma):
-        w = order[s : s + sigma]
-        order[s : s + sigma] = w[np.argsort(counts[w], kind="stable")[::-1]]
-    n_slices = -(-n // slice_height)
-    n_pad = n_slices * slice_height
-    perm = np.full(n_pad, -1, np.int32)
+        w = order[s:s + sigma]
+        order[s:s + sigma] = w[np.argsort(counts[w], kind="stable")[::-1]]
+    n_slices = max(-(-n // C), 1)
+    n_pad = n_slices * C
+    perm = np.full(n_pad, -1, np.int64)
     perm[:n] = order
-    w = int(counts.max()) if n else 0
-    c = np.zeros((n_pad, w), np.int32)
-    v = np.zeros((n_pad, w), dtype=vals.dtype)
+    counts_pad = np.zeros(n_pad, np.int64)
+    counts_pad[:n] = counts[order]
+    slice_w = np.maximum(counts_pad.reshape(n_slices, C).max(axis=1), 1)
+    if len(np.unique(slice_w)) > max_buckets:
+        slice_w = 2 ** np.ceil(np.log2(slice_w)).astype(np.int64)
+    widths = [int(w) for w in np.unique(slice_w)]
+    bucket_of = {w: b for b, w in enumerate(widths)}
+    slice_bucket = np.array([bucket_of[int(w)] for w in slice_w], np.int64)
+    pos_in_bucket = np.zeros(n_slices, np.int64)
+    ns_of = []
+    for b in range(len(widths)):
+        sel = slice_bucket == b
+        pos_in_bucket[sel] = np.arange(int(sel.sum()))
+        ns_of.append(int(sel.sum()))
+    base = np.zeros(len(widths) + 1, np.int64)
+    base[1:] = np.cumsum([ns * C * w for ns, w in zip(ns_of, widths)])
+
     inv = np.zeros(n, np.int64)
     inv[order] = np.arange(n)
     _, slot = ell_layout(rows, n)
-    # pad col = the packed row's own original index (safe gather)
-    c[:] = np.where(perm >= 0, perm, 0)[:, None]
-    c[inv[rows], slot] = cols
-    v[inv[rows], slot] = vals
+    p = inv[rows]
+    s_of = p // C
+    dest = (base[slice_bucket[s_of]]
+            + (pos_in_bucket[s_of] * C + p % C) * slice_w[s_of] + slot)
+
+    slot_rows = []
+    for b in range(len(widths)):
+        sl = np.nonzero(slice_bucket == b)[0]
+        pr = perm[(sl[:, None] * C + np.arange(C)[None, :])].reshape(-1)
+        slot_rows.append(np.where(pr >= 0, pr, n).astype(np.int32))
+    return widths, ns_of, dest, slot_rows, int(base[-1])
+
+
+def coo_to_sell(m: Coo, slice_height: int = 8, sigma: int = 64) -> Sell:
+    """SELL-C-σ (see Sell/sell_layout): per-slice padding buckets, true
+    sliced storage — SURVEY §7.2 'sliced-CSR sized for 8×128 lanes'."""
+    rows, cols, vals = _host(m)
+    n = m.shape[0]
+    widths, ns_of, dest, slot_rows, total = sell_layout(
+        rows, n, slice_height, sigma)
+    flat_c = np.zeros(total, np.int64)  # pad col 0 (val 0 -> inert)
+    flat_v = np.zeros(total, dtype=vals.dtype)
+    flat_c[dest] = cols
+    flat_v[dest] = vals
+    cols_b, vals_b = [], []
+    off = 0
+    for w, ns in zip(widths, ns_of):
+        k = ns * slice_height * w
+        shape = (ns, slice_height, w)
+        cols_b.append(jnp.asarray(flat_c[off:off + k].reshape(shape), jnp.int32))
+        vals_b.append(jnp.asarray(flat_v[off:off + k].reshape(shape)))
+        off += k
     return Sell(
-        cols=jnp.asarray(c.reshape(n_slices, slice_height, w)),
-        vals=jnp.asarray(v.reshape(n_slices, slice_height, w)),
-        row_perm=jnp.asarray(perm),
+        cols=tuple(cols_b),
+        vals=tuple(vals_b),
+        slot_rows=tuple(jnp.asarray(sr) for sr in slot_rows),
         shape=m.shape,
         slice_height=slice_height,
+        sigma=sigma,
     )
 
 
@@ -415,6 +476,14 @@ def with_values(m, vals: Array):
     same compiled sparsity)."""
     if isinstance(m, Dia):
         return dataclasses.replace(m, data=vals)
+    if isinstance(m, Sell):
+        # virtual flat storage = concatenated bucket blocks
+        parts, off = [], 0
+        for v in m.vals:
+            k = int(np.prod(v.shape))
+            parts.append(vals[off:off + k].reshape(v.shape))
+            off += k
+        return dataclasses.replace(m, vals=tuple(parts))
     if isinstance(m, Hybrid):
         # virtual flat storage: [ell.vals.flat ++ tail.vals]
         esize = m.ell.vals.size
@@ -478,14 +547,15 @@ def value_map(m, rows, cols) -> ValueMap:
             raise ValueError("sparsity changed: DIA offsets do not match container")
         shape = (len(offs), n)
     elif isinstance(m, Sell):
-        perm = np.asarray(jax.device_get(m.row_perm)).astype(np.int64)
-        valid = perm >= 0
-        inv = np.zeros(n, np.int64)
-        inv[perm[valid]] = np.nonzero(valid)[0]
-        w = int(m.vals.shape[-1])
-        _, slot = ell_layout(rows, n)
-        dest = inv[rows] * w + slot
-        shape = tuple(int(s) for s in m.vals.shape)
+        widths, ns_of, dest, _, total = sell_layout(
+            rows, n, m.slice_height, m.sigma)
+        got = [tuple(int(s) for s in v.shape) for v in m.vals]
+        want = [(ns, m.slice_height, w) for ns, w in zip(ns_of, widths)]
+        if got != want:
+            raise ValueError(
+                f"sparsity changed: SELL buckets {want} do not match "
+                f"container {got}")
+        shape = (total,)
     elif isinstance(m, Hybrid):
         w = m.ell.row_width
         _, slot = ell_layout(rows, n)

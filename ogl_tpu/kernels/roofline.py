@@ -59,8 +59,7 @@ def spmv_bytes(m) -> int:
         k = m.row_width
         return n * k * (vs + _isize(m)) + nc * vs + n * vs
     if isinstance(m, Sell):
-        s, c, w = m.vals.shape
-        return s * c * w * (vs + _isize(m)) + nc * vs + n * vs
+        return m.stored * (vs + _isize(m)) + nc * vs + n * vs
     if isinstance(m, Dia):
         nd = len(m.offsets)
         # values + x streamed once per diagonal band (worst case) vs once
@@ -76,8 +75,7 @@ def spmv_flops(m) -> int:
     if isinstance(m, Ell):
         return 2 * m.shape[0] * m.row_width
     if isinstance(m, Sell):
-        s, c, w = m.vals.shape
-        return 2 * s * c * w
+        return 2 * m.stored
     return 2 * m.nnz
 
 

@@ -11,7 +11,7 @@ loops, gathers only where the format requires them:
             everywhere, not bandwidth-optimal on TPU.
   Ell     — dense (n,K) gather + product + row reduce.  The general
             unstructured workhorse: one vectorised gather, then pure VPU.
-  Sell    — Ell on (slices, C, W) blocks with a σ-sorted row permutation,
+  Sell    — SELL-C-σ width buckets: per-bucket dense gather+reduce,
             reducing padded FLOPs/bytes for skewed row lengths.
   Dia     — static shifted dense products: ZERO gathers; for stencil
             (structured-mesh) matrices this streams at HBM roofline.
@@ -53,12 +53,15 @@ def spmv_ell(m: Ell, x):
 
 
 def spmv_sell(m: Sell, x):
-    y_packed = jnp.sum(m.vals * jnp.take(x, m.cols, axis=0), axis=-1)  # (S, C)
+    # per-bucket dense gather+reduce (each bucket streams only its own
+    # w_b-padded slices — the SELL-C-σ traffic win over ELL), scattered
+    # back to natural row order through the slot tables
     n = m.shape[0]
-    perm = m.row_perm  # (S*C,) original row per packed slot, -1 = padding
-    flat = y_packed.reshape(-1)
-    safe = jnp.where(perm >= 0, perm, n)
-    return jax.ops.segment_sum(flat, safe, num_segments=n + 1)[:n]
+    y = jnp.zeros((n + 1,), x.dtype)  # slot n = dead pad row
+    for cb, vb, sr in zip(m.cols, m.vals, m.slot_rows):
+        contrib = jnp.sum(vb * jnp.take(x, cb, axis=0), axis=-1)  # (ns, C)
+        y = y.at[sr].add(contrib.reshape(-1))
+    return y[:n]
 
 
 def spmv_dia(m: Dia, x):
