@@ -57,6 +57,7 @@ class DistFoamSolver:
                  mesh: Mesh | None = None):
         self.field = field_name
         self.cfg = controls if isinstance(controls, SolverConfig) else parse_controls(controls)
+        common.ensure_compilation_cache()
         if mesh is None:
             devs = jax.devices()
             mesh = Mesh(np.array(devs), ("x",))
