@@ -241,8 +241,6 @@ def test_skip_sorting_false_sorts_input():
     Ginkgo with_skip_sorting(false) semantic, Preconditioner.H:88-112);
     a shuffled COO must then produce bit-identical factors to sorted
     input."""
-    import dataclasses
-
     import jax
 
     from ogl_tpu import testing as problems
