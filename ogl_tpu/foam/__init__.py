@@ -9,6 +9,11 @@ from ogl_tpu.foam.dist_solver import (
     DistFoamSolver as DistFoamSolver,
     solve_distributed as solve_distributed,
 )
+from ogl_tpu.foam.coupled import (
+    CoupledFoamSolver as CoupledFoamSolver,
+    CoupledSolverPerformance as CoupledSolverPerformance,
+    solve_coupled as solve_coupled,
+)
 from ogl_tpu.foam.api import (
     GKOCG as GKOCG,
     GKOBiCGStab as GKOBiCGStab,

@@ -70,17 +70,19 @@ class GKOMultigrid(_NamedSolver):
     SOLVER = "GKOMultigrid"
 
 
-class GKOACG:
-    """Coupled-matrix CG (reference LduMatrix/GKOACG/GKOACG.H).
+from ogl_tpu.foam.coupled import CoupledFoamSolver as _CoupledFoamSolver
 
-    The reference's coupled path is explicitly non-functional: the coupled
-    HostMatrix constructor aborts (HostMatrix.C:153-156) and GKOACG is
-    excluded from the build (CMakeLists.txt:174,194).  Kept as an explicit
-    stub for API parity; SURVEY.md Appendix B scopes coupled solvers out of
-    v1."""
 
-    def __init__(self, *a, **kw):
-        raise NotImplementedError(
-            "coupled (LduMatrix<vector>) solvers are not supported — the "
-            "reference's coupled path aborts as well (HostMatrix.C:153-156)"
-        )
+class GKOACG(_CoupledFoamSolver):
+    """Coupled-matrix CG (reference LduMatrix/GKOACG/GKOACG.H): one scalar
+    operator, an nc-component vector field solved as a multivector with
+    optional block-Jacobi.
+
+    The reference ships this non-compiled with an aborting coupled ctor
+    (HostMatrix.C:153-156, CMakeLists.txt:174); here it WORKS — multi-RHS
+    CG with per-component OpenFOAM stopping (solve/acg.py).  Note the
+    reference's dead create_BJ hardcodes maxBlockSize 8 (GKOACG.H:62-66);
+    here it is configurable with the usual default."""
+
+    def __init__(self, field_name: str, controls: dict | None = None):
+        super().__init__(field_name, dict(controls or {}))

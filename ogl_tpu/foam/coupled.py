@@ -1,0 +1,139 @@
+"""Coupled (LduMatrix<vector,scalar,scalar>) front end — the working
+realisation of the reference's GKOACG surface (LduMatrix/GKOACG/GKOACG.H:
+scalar matrix coefficients, a vector field solved as an nc-column
+multivector by CG with optional block-Jacobi; the reference ships it
+non-compiled and its coupled ctor aborts, HostMatrix.C:153-156).
+
+Reuses the FoamSolver machinery for everything scalar — matrix conversion,
+persistent device caches, TTL preconditioning, registry stats — and swaps
+the solve program for the multi-RHS coupled CG (solve/acg.py).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ogl_tpu import common, registry
+from ogl_tpu.core import ldu
+from ogl_tpu.foam.solver import FoamSolver
+from ogl_tpu.kernels import spmv
+from ogl_tpu.solve import stopping
+from ogl_tpu.solve.acg import cg_coupled
+
+__all__ = ["CoupledSolverPerformance", "CoupledFoamSolver", "solve_coupled"]
+
+
+class CoupledSolverPerformance(NamedTuple):
+    """SolverPerformance<vector>: per-component residuals, max iterations
+    (OpenFOAM prints the vector residuals and a single nIterations)."""
+
+    solver_name: str
+    field_name: str
+    initial_residual: tuple
+    final_residual: tuple
+    n_iterations: int
+    converged: bool
+
+    def print(self):
+        ir = "(" + " ".join(f"{v:g}" for v in self.initial_residual) + ")"
+        fr = "(" + " ".join(f"{v:g}" for v in self.final_residual) + ")"
+        print(f"{self.solver_name}:  Solving for {self.field_name}, "
+              f"Initial residual = {ir}, Final residual = {fr}, "
+              f"No Iterations {self.n_iterations}")
+
+
+class CoupledFoamSolver(FoamSolver):
+    """Per-field persistent coupled solver.  `solve(m, B)` takes the scalar
+    LduMatrix plus an (n, nc) source block (the vector field components)."""
+
+    def solve(self, m: ldu.LduMatrix, B, psi=None, time_value=None):
+        with jax.default_device(self.device):
+            return self._solve_coupled(m, np.asarray(B),
+                                       None if psi is None else np.asarray(psi))
+
+    def _solve_coupled(self, m: ldu.LduMatrix, B, psi):
+        cfg = self.cfg
+        if cfg.precond.name not in ("none", "BJ"):
+            # the reference's GKOACGFactory offers exactly none|BJ
+            # (GKOACG.H:38-41); anything else there falls off the end of
+            # create_solver (UB) — we reject it instead
+            raise ValueError(
+                f"GKOACG supports preconditioner none|BJ, got "
+                f"{cfg.precond.name!r} (reference GKOACG.H:38-41)")
+        if not m.symmetric:
+            raise ValueError("GKOACG (CG) needs a symmetric matrix")
+        self._update_matrix(m)
+        self._update_precond()
+
+        if B.ndim != 2:
+            raise ValueError(f"coupled source must be (n, nc), got {B.shape}")
+        if self._reorder is not None:
+            B = B[self._reorder[0]]
+            if psi is not None:
+                psi = psi[self._reorder[0]]
+        if cfg.scaling != 1.0:
+            B = B * np.asarray(cfg.scaling, self.dtype)
+        B_dev = jnp.asarray(B, self.dtype)
+        if psi is not None and cfg.update_init_guess:
+            X0 = jnp.asarray(psi, self.dtype)
+        else:
+            X0 = jnp.zeros_like(B_dev)
+
+        params = stopping.StoppingParams.of(cfg.stopping.adapted(
+            self.props.prev_solve_iters, self.props.prev_rel_res_cost,
+            cfg.export))
+        pc_op = self._precond_op
+        pc_state = pc_op.state if pc_op is not None else ()
+
+        key = ("coupled", cfg.solver)
+        if key not in self._compiled:
+            def run(mat, pcs, Bv, X0v, sp):
+                mv = spmv.matvec(mat)
+                pc = None
+                if pc_op is not None:
+                    one = pc_op.bind(pcs)
+                    pc = lambda R: jax.vmap(one, in_axes=1, out_axes=1)(R)
+                return cg_coupled(mv, Bv, X0v, sp, precond=pc)
+
+            jfn = jax.jit(run)
+            with common.timed("compile_solver", cfg.verbose, self.field,
+                              self.timings):
+                self._compiled[key] = jfn.lower(
+                    self.matrix, pc_state, B_dev, X0, params).compile()
+        fn = self._compiled[key]
+
+        with common.timed("solve", cfg.verbose, self.field, self.timings):
+            res = fn(self.matrix, pc_state, B_dev, X0, params)
+            jax.block_until_ready(res.X)
+        self.timings.clear()
+
+        iters, init_rn, final_rn, conv = jax.device_get(
+            (res.iters, res.init_res_norm, res.final_res_norm, res.converged))
+        self.props.prev_solve_iters = int(np.max(iters))
+
+        perf = CoupledSolverPerformance(
+            solver_name=f"GKOACG_{self._fmt_used}",
+            field_name=self.field,
+            initial_residual=tuple(float(v) for v in np.asarray(init_rn)),
+            final_residual=tuple(float(v) for v in np.asarray(final_rn)),
+            n_iterations=int(np.max(iters)),
+            converged=bool(np.asarray(conv).all()),
+        )
+        X = res.X
+        if self._reorder is not None:
+            X = np.asarray(jax.device_get(X))[self._reorder[1]]
+        return X, perf
+
+
+def solve_coupled(field_name: str, m: ldu.LduMatrix, B, controls,
+                  psi=None):
+    """Registry-cached coupled solve (cf. foam.solve)."""
+    solver = registry.global_registry.get_or_init(
+        f"{field_name}_coupled_solver",
+        lambda: CoupledFoamSolver(field_name, controls),
+    )
+    return solver.solve(m, B, psi=psi)

@@ -153,8 +153,9 @@ def test_named_solver_classes():
     nonsym = dataclasses.replace(base, lower=base.upper * 0.5)
     with pytest.raises(ValueError, match="symmetric"):
         s.solve(nonsym, b)
-    with pytest.raises(NotImplementedError):
-        GKOACG("x", {})
+    # GKOACG is a working coupled solver now (tests/test_coupled.py); the
+    # class constructs fine
+    GKOACG("x", {"executor": "reference"})
     sb = GKOBiCGStab("un", {"executor": "reference", "tolerance": 1e-8,
                             "relTol": 0, "dtype": "float64", "maxIter": 400})
     x, perf = sb.solve(nonsym, b)
