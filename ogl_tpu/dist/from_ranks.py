@@ -38,7 +38,69 @@ from ogl_tpu.dist.partition import (
     pack_local_stack,
 )
 
-__all__ = ["DistAssembler", "dist_from_ldu_ranks"]
+__all__ = ["DistAssembler", "dist_from_ldu_ranks", "build_halo_plan"]
+
+
+def build_halo_plan(iface_lists, halo_size: int) -> HaloPlan:
+    """Static ppermute schedule from every rank's processor-interface list
+    (per rank: [(neighbor, face_cells), ...] in interface order).
+
+    Send side: face cells of all interfaces to a rank, interface order
+    (the reference CommunicationPattern, HostMatrix.C:252-306).  Recv side:
+    halo slots are the natural interface-face enumeration, so neighbor r's
+    block sits at the positions of r's interfaces in that enumeration —
+    matching r's send order by the pairwise contract."""
+    p = len(iface_lists)
+    sends = []  # per rank {req: concatenated local send indices}
+    recv_slots = []  # per rank {nbr: slot array}
+    for ifaces in iface_lists:
+        s: dict[int, list] = {}
+        slots_of: dict[int, list] = {}
+        ctr = 0
+        for nbr, fc in ifaces:
+            fc = np.asarray(fc, np.int64)
+            s.setdefault(int(nbr), []).append(fc)
+            slots_of.setdefault(int(nbr), []).append(
+                np.arange(ctr, ctr + len(fc)))
+            ctr += len(fc)
+        sends.append({r: np.concatenate(v) for r, v in s.items()})
+        recv_slots.append({r: np.concatenate(v) for r, v in slots_of.items()})
+
+    per_offset: dict[int, dict[int, np.ndarray]] = {}
+    for owner in range(p):
+        for req, sidx in sends[owner].items():
+            d = (req - owner) % p
+            per_offset.setdefault(d, {})[owner] = np.asarray(sidx, np.int64)
+    offsets = tuple(sorted(per_offset))
+    send_idx_list, recv_pos_list = [], []
+    for d in offsets:
+        owners = per_offset[d]
+        s = max(len(v) for v in owners.values())
+        sidx = np.zeros((p, s), np.int32)
+        rpos = np.full((p, s), halo_size, np.int32)
+        for owner, v in owners.items():
+            req = (owner + d) % p
+            sidx[owner, : len(v)] = v
+            slots = recv_slots[req].get(owner)
+            if slots is None:
+                raise ValueError(
+                    f"pairwise interface mismatch: rank {owner} sends to "
+                    f"{req}, but {req} has no interface back to {owner}")
+            if len(slots) != len(v):
+                raise ValueError(
+                    f"pairwise interface mismatch: rank {owner} sends "
+                    f"{len(v)} faces to {req}, which expects {len(slots)}")
+            rpos[req, : len(slots)] = slots
+        send_idx_list.append(jnp.asarray(sidx))
+        recv_pos_list.append(jnp.asarray(rpos))
+
+    return HaloPlan(
+        send_idx=tuple(send_idx_list),
+        recv_pos=tuple(recv_pos_list),
+        offsets=offsets,
+        halo_size=halo_size,
+        n_parts=p,
+    )
 
 
 def _rank_sources(m: ldu_mod.LduMatrix, dtype):
@@ -98,7 +160,6 @@ class DistAssembler:
         loc_shards = []   # (rows, cols, vals)
         halo_shards = []  # (rows, slots, vals)
         halo_sizes = []
-        sends = []        # per rank {nbr: local send idx}
         self._sp = []     # per-rank LduSparsity
         self._halo_perm = []  # per-rank halo permute into proc-iface concat
         src_lens = []
@@ -115,62 +176,11 @@ class DistAssembler:
             hvals = src[off_proc + hperm] if len(hperm) else np.zeros(0, self.dtype)
             halo_shards.append((hrows.astype(np.int64), hslots.astype(np.int64), hvals))
             halo_sizes.append(sum(len(pi.face_cells) for pi in m.proc_interfaces))
-            send, _ = ldu_mod.communication_pattern(m)
-            sends.append(send)
 
         halo_size = max(max(halo_sizes, default=0), 1)
-
-        # recv slot layout per rank: natural interface-face enumeration, so
-        # the slots owned by neighbor r are the positions of r's interfaces
-        # in that enumeration (in interface order) — matching r's send order
-        # to us by the pairwise contract.
-        recv_slots = []  # per rank {nbr: slot array}
-        for m in ranks:
-            slots_of = {}
-            ctr = 0
-            for pi in m.proc_interfaces:
-                r = int(pi.neighbor)
-                k = len(pi.face_cells)
-                slots_of.setdefault(r, []).append(np.arange(ctr, ctr + k))
-                ctr += k
-            recv_slots.append({r: np.concatenate(v) for r, v in slots_of.items()})
-
-        # ppermute schedule by ring offset
-        per_offset: dict[int, dict[int, np.ndarray]] = {}
-        for owner in range(p):
-            for req, sidx in sends[owner].items():
-                d = (req - owner) % p
-                per_offset.setdefault(d, {})[owner] = np.asarray(sidx, np.int64)
-        offsets = tuple(sorted(per_offset))
-        send_idx_list, recv_pos_list = [], []
-        for d in offsets:
-            owners = per_offset[d]
-            s = max(len(v) for v in owners.values())
-            sidx = np.zeros((p, s), np.int32)
-            rpos = np.full((p, s), halo_size, np.int32)
-            for owner, v in owners.items():
-                req = (owner + d) % p
-                sidx[owner, : len(v)] = v
-                slots = recv_slots[req].get(owner)
-                if slots is None:
-                    raise ValueError(
-                        f"pairwise interface mismatch: rank {owner} sends to "
-                        f"{req}, but {req} has no interface back to {owner}")
-                if len(slots) != len(v):
-                    raise ValueError(
-                        f"pairwise interface mismatch: rank {owner} sends "
-                        f"{len(v)} faces to {req}, which expects {len(slots)}")
-                rpos[req, : len(slots)] = slots
-            send_idx_list.append(jnp.asarray(sidx))
-            recv_pos_list.append(jnp.asarray(rpos))
-
-        plan = HaloPlan(
-            send_idx=tuple(send_idx_list),
-            recv_pos=tuple(recv_pos_list),
-            offsets=offsets,
-            halo_size=halo_size,
-            n_parts=p,
-        )
+        iface_lists = [[(int(pi.neighbor), np.asarray(pi.face_cells, np.int64))
+                        for pi in m.proc_interfaces] for m in ranks]
+        plan = build_halo_plan(iface_lists, halo_size)
 
         local, dest_local = pack_local_stack(
             loc_shards, n_local, self.dtype, fmt=local_format

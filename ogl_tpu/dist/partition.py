@@ -145,7 +145,9 @@ def _dia_union_offsets(shards, max_diags: int = 64):
 
 
 def pack_local_stack(shards, n_local: int, dtype, fmt: str = "auto",
-                     max_diags: int = 64):
+                     max_diags: int = 64, force_offsets=None,
+                     force_width: int | None = None,
+                     force_entries: int | None = None):
     """Pack per-shard (rows, cols, vals) triples into a stacked local
     operator.  Returns (stack, dest) where dest is the per-shard entry→slot
     map (P, E) into the flattened per-shard storage, for the jit'd
@@ -153,13 +155,21 @@ def pack_local_stack(shards, n_local: int, dtype, fmt: str = "auto",
 
     fmt: "auto" (Dia if the union of offsets is narrow, else Ell),
     "Dia", or "Ell".
+
+    force_offsets / force_width / force_entries pin the static shapes to
+    externally-agreed values — multi-process construction packs only the
+    locally-owned shards, and every process must produce identical
+    program shapes (the globally allgathered union).
     """
     if fmt not in ("auto", "Dia", "Ell"):
         raise ValueError(f"unknown local format {fmt!r}; use auto|Dia|Ell")
     p = len(shards)
     e = max((len(r) for r, _, _ in shards), default=0)
-    e = max(e, 1)
-    offs = _dia_union_offsets(shards, max_diags) if fmt in ("auto", "Dia") else None
+    e = max(force_entries or 0, e, 1)
+    if force_offsets is not None:
+        offs = tuple(int(o) for o in force_offsets)
+    else:
+        offs = _dia_union_offsets(shards, max_diags) if fmt in ("auto", "Dia") else None
     if fmt == "Dia" and offs is None:
         raise ValueError(f"shard bandwidth too wide for Dia (> {max_diags} offsets)")
 
@@ -186,7 +196,7 @@ def pack_local_stack(shards, n_local: int, dtype, fmt: str = "auto",
         return stack, jnp.asarray(dest)
 
     # ELL fallback
-    k = 1
+    k = force_width or 1
     for rows, _, _ in shards:
         if len(rows):
             k = max(k, int(np.bincount(np.asarray(rows, np.int64)).max()))
@@ -219,13 +229,13 @@ def pack_local_stack(shards, n_local: int, dtype, fmt: str = "auto",
     return EllStack(cols=jnp.asarray(ecols), vals=jnp.asarray(evals)), jnp.asarray(dest)
 
 
-def pack_halo_stack(shards, dtype):
+def pack_halo_stack(shards, dtype, force_entries: int | None = None):
     """Pack per-shard halo (rows, slots, vals) triples into a CooStack.
     Entry order within each shard is preserved (row-major sorted by
     construction — required ordering, reference HostMatrix.C:449-456)."""
     p = len(shards)
     e = max((len(r) for r, _, _ in shards), default=0)
-    e = max(e, 1)
+    e = max(force_entries or 0, e, 1)
     rows = np.full((p, e), 0, np.int32)
     cols = np.zeros((p, e), np.int32)
     vals = np.zeros((p, e), dtype)

@@ -29,7 +29,40 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 __all__ = ["init_distributed", "global_mesh", "stage_stack", "stage_tree",
-           "broadcast_scalars"]
+           "broadcast_scalars", "allgather_ragged"]
+
+
+def allgather_ragged(arrays: list[np.ndarray]) -> list[list[np.ndarray]]:
+    """All-gather variable-length 1-D host arrays across processes: each
+    process contributes a LIST of arrays (one per locally-owned rank) and
+    receives every process's lists concatenated in process order.
+
+    This is the metadata exchange a per-rank construction needs (sizes,
+    interface face lists — all surface-sized): the reference gets it
+    implicitly because MPI ranks exchange through Pstream; here the
+    equivalent is two fixed-shape process_allgathers (lengths, then padded
+    payload).  Single-process: identity."""
+    if jax.process_count() <= 1:
+        return [arrays]
+    from jax.experimental import multihost_utils
+
+    k = len(arrays)
+    counts = multihost_utils.process_allgather(np.asarray([k]))
+    if not (np.asarray(counts) == k).all():
+        raise ValueError(
+            f"every process must contribute the same number of arrays; "
+            f"got {np.asarray(counts).ravel().tolist()}")
+    lens = np.asarray([len(a) for a in arrays], np.int64)
+    all_lens = np.asarray(multihost_utils.process_allgather(lens))
+    lmax = max(int(all_lens.max()), 1)
+    pad = np.zeros((k, lmax), np.float64)
+    for i, a in enumerate(arrays):
+        pad[i, : len(a)] = np.asarray(a, np.float64)
+    data = np.asarray(multihost_utils.process_allgather(pad))
+    out = []
+    for p in range(data.shape[0]):
+        out.append([data[p, i, : int(all_lens[p, i])] for i in range(k)])
+    return out
 
 
 def broadcast_scalars(*values: float) -> tuple[float, ...]:

@@ -213,6 +213,8 @@ class DistFoamSolver:
                             for pi in ranks[i].proc_interfaces], f)
 
     def solve(self, m, b, psi=None, time_value: str | None = None):
+        if jax.process_count() > 1:
+            return self._solve_multiproc(m, b, psi)
         cfg = self.cfg
         ranks = self._ranks_of(m)
         _banner(cfg, self.field, self.mesh.devices.ravel()[0])
@@ -351,6 +353,149 @@ class DistFoamSolver:
             converged=bool(np.asarray(_cv).ravel()[0]),
         )
         return x, perf
+
+
+    def _solve_multiproc(self, my_ranks, my_b, psi):
+        """True multi-process solve (the reference's per-MPI-rank deployment
+        shape): this process contributes only ITS mesh devices' LduMatrix
+        systems and RHS pieces; global structure flows through the small
+        metadata allgather inside MultiProcAssembler.  Returns (xs, perf)
+        where xs is the list of this process's per-rank solutions.
+
+        v1 scope: the fused dist-CG path and the general path with
+        none|BJ preconditioning (other Schwarz states have data-dependent
+        static shapes that are not yet globally agreed)."""
+        from ogl_tpu.dist.multiproc import MultiProcAssembler
+
+        cfg = self.cfg
+        if not isinstance(my_ranks, (list, tuple)):
+            raise TypeError(
+                "multi-process solves take a list of this process's per-rank "
+                "LduMatrix systems (one per locally-owned mesh device)")
+        my_ranks = list(my_ranks)
+        if cfg.export or cfg.debug:
+            raise NotImplementedError(
+                "export is not yet supported in multi-process mode")
+        if self.assembler is None:
+            with common.timed("init_dist_matrix_mp", cfg.verbose, self.field):
+                self.assembler = MultiProcAssembler(
+                    my_ranks, self.mesh, dtype=np.dtype(self.dtype),
+                    local_format=cfg.dist_local_format, scale=cfg.scaling)
+        elif cfg.update_sys_matrix:
+            with common.timed("update_dist_values_mp", cfg.verbose, self.field):
+                self.assembler.update(my_ranks)
+        asm = self.assembler
+        dm = asm.dm
+
+        if not isinstance(my_b, (list, tuple)):
+            raise TypeError("multi-process solves take a list of per-rank b")
+        scale = cfg.scaling
+        bs = asm.stage_vector([
+            np.asarray(v) * np.asarray(scale, self.dtype) if scale != 1.0
+            else np.asarray(v) for v in my_b])
+        if psi is not None and cfg.update_init_guess:
+            x0 = asm.stage_vector([np.asarray(v) for v in psi])
+        else:
+            x0 = jnp.zeros_like(bs)
+
+        fused = self._fused_eligible(dm)
+        pc_cfg = self.cfg.precond
+        if not fused and pc_cfg.name not in ("none", "BJ"):
+            raise NotImplementedError(
+                f"multi-process mode supports preconditioner none|BJ (got "
+                f"{pc_cfg.name!r}); the other Schwarz states need globally "
+                "agreed static shapes")
+        if not fused and pc_cfg.name == "BJ":
+            if self._precond is None or self.props.precond_caching_left <= 0:
+                apply_fn, state_local = build_schwarz(
+                    pc_cfg, asm.local_shard_triples(my_ranks), dm.n_local,
+                    np.dtype(self.dtype))
+                state = runtime.stage_stack(
+                    [np.asarray(jax.device_get(state_local))[i]
+                     for i in range(len(my_ranks))], self.mesh)
+                self._precond = (apply_fn, state)
+                self.props.precond_caching_left = pc_cfg.caching
+            else:
+                self.props.precond_caching_left -= 1
+        elif not fused:
+            self._precond = None
+
+        stopping_cfg = cfg.stopping.adapted(
+            self.props.prev_solve_iters, self.props.prev_rel_res_cost,
+            cfg.export)
+        sp = stopping.StoppingParams.of(stopping_cfg)
+
+        pc_struct = None
+        if self._precond is not None:
+            pc_struct = str(jax.tree_util.tree_structure(self._precond[1]))
+        if pc_struct != self._pc_struct:
+            self._compiled.clear()
+            self._pc_struct = pc_struct
+
+        t0 = time.perf_counter()
+        if fused:
+            invd = None
+            if cfg.precond.name == "BJ":
+                didx = dm.local.offsets.index(0)
+                invd = jax.jit(
+                    lambda data: (1.0 / jnp.where(data[:, didx] == 0, 1.0,
+                                                  data[:, didx])
+                                  ).astype(jnp.float32))(dm.local.data)
+            key = ("fused", invd is not None)
+            if key not in self._compiled:
+                from ogl_tpu.solve.cg_fused_dist import make_dist_cg_fused_fn
+
+                self._compiled[key] = make_dist_cg_fused_fn(
+                    dm, self.mesh, use_invd=invd is not None)
+            res = self._compiled[key](
+                dm.local, dm.halo, bs.astype(jnp.float32),
+                x0.astype(jnp.float32), invd, sp)
+            x_stack = res.x
+        else:
+            key = ("general", cfg.solver, False)
+            if key not in self._compiled:
+                from ogl_tpu.dist.solve import make_dist_solve_fn
+
+                solver_name = ("GKOIR" if cfg.solver == "GKOMultigrid"
+                               else cfg.solver)
+                self._compiled[key] = make_dist_solve_fn(
+                    dm, self.mesh, solver=solver_name,
+                    pc_apply=self._precond[0] if self._precond else None,
+                    krylov_dim=cfg.krylov_dim, history_len=0)
+            x_stack, res = self._compiled[key](
+                dm.local, dm.halo, bs, x0, sp,
+                self._precond[1] if self._precond else ())
+        jax.block_until_ready(x_stack)
+        solve_t = time.perf_counter() - t0
+
+        _it, _irn, _frn, _cv = jax.device_get(
+            (res.iters, res.init_res_norm, res.final_res_norm, res.converged))
+        iters = int(np.asarray(_it).ravel()[0])
+        time_per_iter = solve_t / max(iters, 1)
+        if self._res_eval_time is None:
+            self._res_eval_time = self._measure_res_eval(dm, x_stack, bs)
+        (rel_cost,) = runtime.broadcast_scalars(
+            time_per_iter / self._res_eval_time)
+        self.props.prev_rel_res_cost = rel_cost
+        self.props.prev_solve_iters = iters
+
+        # this process's solutions, in its mesh-device order
+        by_idx = {}
+        for shard in x_stack.addressable_shards:
+            i = (shard.index[0].start
+                 if isinstance(shard.index[0], slice) else shard.index[0])
+            by_idx[int(i)] = np.asarray(shard.data).reshape(-1)
+        xs = [by_idx[i][: dm.local_sizes[i]] for i in asm.my_idx]
+
+        perf = SolverPerformance(
+            solver_name=f"{cfg.solver}_mp{jax.process_count()}x{self.n_parts}",
+            field_name=self.field,
+            initial_residual=float(np.asarray(_irn).ravel()[0]),
+            final_residual=float(np.asarray(_frn).ravel()[0]),
+            n_iterations=iters,
+            converged=bool(np.asarray(_cv).ravel()[0]),
+        )
+        return xs, perf
 
 
 def solve_distributed(field_name: str, m, b, controls, mesh=None, psi=None,
