@@ -144,6 +144,24 @@ def _dia_union_offsets(shards, max_diags: int = 64):
     return tuple(sorted(int(o) for o in offs))
 
 
+# Structure-agreement hook (multi-process builds): pack_local_stack's
+# static shapes (DIA offsets / ELL width / entry count) are data-dependent;
+# when processes pack only their local shards, every process must land on
+# the SAME shapes.  dist.multiproc installs a hook that allgathers and
+# unifies the locally computed structure; pack call order is deterministic,
+# so the collectives line up across processes.
+_STRUCT_AGREE_HOOK = None
+
+
+def set_struct_agree_hook(hook):
+    """Install (or clear, with None) the structure-agreement hook; returns
+    the previous hook so callers can restore it."""
+    global _STRUCT_AGREE_HOOK
+    prev = _STRUCT_AGREE_HOOK
+    _STRUCT_AGREE_HOOK = hook
+    return prev
+
+
 def pack_local_stack(shards, n_local: int, dtype, fmt: str = "auto",
                      max_diags: int = 64, force_offsets=None,
                      force_width: int | None = None,
@@ -170,6 +188,15 @@ def pack_local_stack(shards, n_local: int, dtype, fmt: str = "auto",
         offs = tuple(int(o) for o in force_offsets)
     else:
         offs = _dia_union_offsets(shards, max_diags) if fmt in ("auto", "Dia") else None
+    if _STRUCT_AGREE_HOOK is not None and force_offsets is None:
+        # widths are only needed when the agreed structure is Ell
+        k_local = 1
+        for rows, _, _ in shards:
+            if len(rows):
+                k_local = max(k_local, int(np.bincount(
+                    np.asarray(rows, np.int64)).max()))
+        offs, k_agreed, e = _STRUCT_AGREE_HOOK(offs, k_local, e, max_diags)
+        force_width = max(force_width or 1, k_agreed)
     if fmt == "Dia" and offs is None:
         raise ValueError(f"shard bandwidth too wide for Dia (> {max_diags} offsets)")
 

@@ -362,9 +362,10 @@ class DistFoamSolver:
         metadata allgather inside MultiProcAssembler.  Returns (xs, perf)
         where xs is the list of this process's per-rank solutions.
 
-        v1 scope: the fused dist-CG path and the general path with
-        none|BJ preconditioning (other Schwarz states have data-dependent
-        static shapes that are not yet globally agreed)."""
+        The full Schwarz preconditioner set is supported: each process
+        factorises its own shards and the stacked state's data-dependent
+        static shapes are unified across processes through the
+        structure-agreement hook (dist.multiproc.build_schwarz_mp)."""
         from ogl_tpu.dist.multiproc import MultiProcAssembler
 
         cfg = self.cfg
@@ -400,25 +401,21 @@ class DistFoamSolver:
 
         fused = self._fused_eligible(dm)
         pc_cfg = self.cfg.precond
-        if not fused and pc_cfg.name not in ("none", "BJ"):
-            raise NotImplementedError(
-                f"multi-process mode supports preconditioner none|BJ (got "
-                f"{pc_cfg.name!r}); the other Schwarz states need globally "
-                "agreed static shapes")
-        if not fused and pc_cfg.name == "BJ":
-            if self._precond is None or self.props.precond_caching_left <= 0:
-                apply_fn, state_local = build_schwarz(
-                    pc_cfg, asm.local_shard_triples(my_ranks), dm.n_local,
-                    np.dtype(self.dtype))
-                state = runtime.stage_stack(
-                    [np.asarray(jax.device_get(state_local))[i]
-                     for i in range(len(my_ranks))], self.mesh)
-                self._precond = (apply_fn, state)
-                self.props.precond_caching_left = pc_cfg.caching
-            else:
-                self.props.precond_caching_left -= 1
-        elif not fused:
+        if pc_cfg.name == "none" and self.cfg.solver == "GKOMultigrid":
+            import dataclasses as _dc
+
+            pc_cfg = _dc.replace(pc_cfg, name="Multigrid")
+        if fused or pc_cfg.name == "none":
             self._precond = None
+        elif self._precond is not None and self.props.precond_caching_left > 0:
+            self.props.precond_caching_left -= 1
+        else:
+            from ogl_tpu.dist.multiproc import build_schwarz_mp
+
+            self._precond = build_schwarz_mp(
+                pc_cfg, asm.local_shard_triples(my_ranks), dm.n_local,
+                np.dtype(self.dtype), self.mesh, len(my_ranks))
+            self.props.precond_caching_left = pc_cfg.caching
 
         stopping_cfg = cfg.stopping.adapted(
             self.props.prev_solve_iters, self.props.prev_rel_res_cost,

@@ -108,6 +108,21 @@ def main():
     print(f"MPFOAM OK {pid} iters={perf1.n_iterations}/{perf2.n_iterations}",
           flush=True)
 
+    # full Schwarz set in multi-process mode: ILU (factor structure differs
+    # per shard -> exercised structure-agreement hook) and Multigrid
+    for pcn in ("ILU", "Multigrid"):
+        sp_ = DistFoamSolver(f"pmp{pcn}", {"solver": "GKOCG",
+                                           "tolerance": 1e-9, "relTol": 0,
+                                           "maxIter": 600, "dtype": "float64",
+                                           "preconditioner": pcn}, mesh)
+        xsp, perfp = sp_.solve(my_ranks, my_b)
+        assert perfp.converged, (pcn, perfp)
+        for i, x_i in zip(my_idx, xsp):
+            np.testing.assert_allclose(x_i, x_true[offs[i]:offs[i + 1]],
+                                       atol=1e-6)
+        print(f"MPSCHWARZ {pcn} OK {pid} iters={perfp.n_iterations}",
+              flush=True)
+
     # adaptMinIter agreement (reference lduLduBase.H:291-293): per-process
     # wall-clock cost measurements differ — broadcast_scalars must make
     # every process derive IDENTICAL StoppingParams.  Feed wildly different

@@ -52,6 +52,8 @@ def test_two_process_distributed_cg():
         assert p.returncode == 0, f"process {pid} failed:\n{out[-4000:]}"
         assert f"OK {pid}" in out, out[-2000:]
         assert f"MPFOAM OK {pid}" in out, out[-2000:]
+        for pcn in ("ILU", "Multigrid"):
+            assert f"MPSCHWARZ {pcn} OK {pid}" in out, out[-2000:]
     # identical adaptMinIter stopping params on every process (the
     # broadcast of the measured cost ratio, reference lduLduBase.H:291-293)
     params = sorted(
