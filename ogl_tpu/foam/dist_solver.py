@@ -212,9 +212,48 @@ class DistFoamSolver:
                              "n_faces": int(len(pi.face_cells))}
                             for pi in ranks[i].proc_interfaces], f)
 
+    def _export_multiproc(self, my_ranks, my_b, time_value):
+        """Multi-process export: this process writes processor<r>/ for its
+        own global ranks r (reference per-rank export, common.C:31-58),
+        incl. the interface sidecar foam.case needs for replay."""
+        import json as _json
+
+        t = time_value if time_value is not None else "0"
+        asm = self.assembler
+        dm = asm.dm
+        shards = asm.local_shard_triples(my_ranks)
+        halo_by_idx = {}
+        for leaf_name in ("rows", "cols", "vals"):
+            for shard in getattr(dm.halo, leaf_name).addressable_shards:
+                i = (shard.index[0].start
+                     if isinstance(shard.index[0], slice) else shard.index[0])
+                halo_by_idx.setdefault(int(i), {})[leaf_name] = np.asarray(
+                    shard.data)[0]
+        for k, (gi, m) in enumerate(zip(asm.my_idx, my_ranks)):
+            n_i = dm.local_sizes[gi]
+            pre = f"processor{gi}/{t}/{self.field}"
+            rows, cols, vals = shards[k]
+            mtx.write_coo(f"{pre}_A_local.mtx", Coo(
+                rows=rows.astype(np.int32), cols=cols.astype(np.int32),
+                vals=vals, shape=(n_i, n_i)))
+            nh = dm.halo_sizes[gi]
+            h = halo_by_idx[gi]
+            mtx.write_coo(f"{pre}_A_non_local.mtx", Coo(
+                rows=h["rows"][:nh].astype(np.int32),
+                cols=h["cols"][:nh].astype(np.int32),
+                vals=h["vals"][:nh], shape=(n_i, dm.plan.halo_size)))
+            b_i = np.asarray(my_b[k])[:n_i]
+            if self.cfg.scaling != 1.0:  # export the scaled b (parity with
+                b_i = b_i * self.cfg.scaling  # the single-controller path)
+            mtx.write_dense(f"{pre}_b.mtx", b_i)
+            with open(f"{pre}_comm.json", "w") as f:
+                _json.dump([{"neighbor": int(pi.neighbor),
+                             "n_faces": int(len(pi.face_cells))}
+                            for pi in m.proc_interfaces], f)
+
     def solve(self, m, b, psi=None, time_value: str | None = None):
         if jax.process_count() > 1:
-            return self._solve_multiproc(m, b, psi)
+            return self._solve_multiproc(m, b, psi, time_value)
         cfg = self.cfg
         ranks = self._ranks_of(m)
         _banner(cfg, self.field, self.mesh.devices.ravel()[0])
@@ -355,7 +394,7 @@ class DistFoamSolver:
         return x, perf
 
 
-    def _solve_multiproc(self, my_ranks, my_b, psi):
+    def _solve_multiproc(self, my_ranks, my_b, psi, time_value=None):
         """True multi-process solve (the reference's per-MPI-rank deployment
         shape): this process contributes only ITS mesh devices' LduMatrix
         systems and RHS pieces; global structure flows through the small
@@ -374,9 +413,6 @@ class DistFoamSolver:
                 "multi-process solves take a list of this process's per-rank "
                 "LduMatrix systems (one per locally-owned mesh device)")
         my_ranks = list(my_ranks)
-        if cfg.export or cfg.debug:
-            raise NotImplementedError(
-                "export is not yet supported in multi-process mode")
         if self.assembler is None:
             with common.timed("init_dist_matrix_mp", cfg.verbose, self.field):
                 self.assembler = MultiProcAssembler(
@@ -475,6 +511,11 @@ class DistFoamSolver:
             time_per_iter / self._res_eval_time)
         self.props.prev_rel_res_cost = rel_cost
         self.props.prev_solve_iters = iters
+
+        if cfg.export or cfg.debug:
+            # per-rank export, each process writing ITS ranks' files — the
+            # reference's per-MPI-rank export semantics (common.C:31-58)
+            self._export_multiproc(my_ranks, my_b, time_value)
 
         # this process's solutions, in its mesh-device order
         by_idx = {}

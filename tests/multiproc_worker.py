@@ -108,6 +108,40 @@ def main():
     print(f"MPFOAM OK {pid} iters={perf1.n_iterations}/{perf2.n_iterations}",
           flush=True)
 
+    # multi-process export: each process writes processor<r>/ for ITS ranks
+    import tempfile
+
+    from jax.experimental import multihost_utils
+
+    shared = os.environ.get("MP_EXPORT_DIR") or tempfile.gettempdir()
+    exp_dir = os.path.join(shared, f"ogl_mp_export_{os.environ.get('MP_RUN_ID', 'x')}")
+    os.makedirs(exp_dir, exist_ok=True)
+    cwd0 = os.getcwd()
+    os.chdir(exp_dir)
+    try:
+        se = DistFoamSolver("pexp", {"solver": "GKOCG", "tolerance": 1e-8,
+                                     "relTol": 0, "maxIter": 600,
+                                     "dtype": "float64", "export": True},
+                            mesh)
+        se.solve(my_ranks, my_b)
+        for i in my_idx:
+            for sfx in ("_A_local.mtx", "_A_non_local.mtx", "_b.mtx",
+                        "_comm.json"):
+                path = f"processor{i}/0/pexp{sfx}"
+                assert os.path.exists(path), path
+        multihost_utils.sync_global_devices("export_done")
+        if pid == 0:
+            # all ranks' files present -> replay through the consumer
+            from ogl_tpu.foam import case as case_mod
+
+            ranks_r, b_r = case_mod.read_exported_case(exp_dir, "pexp", "0")
+            assert len(ranks_r) == n_parts
+            assert sum(r.n for r in ranks_r) == m.n
+            np.testing.assert_allclose(b_r, b, atol=1e-12)
+        print(f"MPEXPORT OK {pid}", flush=True)
+    finally:
+        os.chdir(cwd0)
+
     # full Schwarz set in multi-process mode: ILU (factor structure differs
     # per shard -> exercised structure-agreement hook) and Multigrid
     for pcn in ("ILU", "Multigrid"):

@@ -31,6 +31,8 @@ def test_two_process_distributed_cg():
         p for p in env.get("PYTHONPATH", "").split(os.pathsep)
         if p and "axon" not in p)
     env["JAX_PLATFORMS"] = "cpu"
+    import uuid
+    env["MP_RUN_ID"] = uuid.uuid4().hex[:8]
     procs = [
         subprocess.Popen(
             [sys.executable, worker, coordinator, "2", str(pid)],
@@ -52,6 +54,7 @@ def test_two_process_distributed_cg():
         assert p.returncode == 0, f"process {pid} failed:\n{out[-4000:]}"
         assert f"OK {pid}" in out, out[-2000:]
         assert f"MPFOAM OK {pid}" in out, out[-2000:]
+        assert f"MPEXPORT OK {pid}" in out, out[-2000:]
         for pcn in ("ILU", "Multigrid"):
             assert f"MPSCHWARZ {pcn} OK {pid}" in out, out[-2000:]
     # identical adaptMinIter stopping params on every process (the
