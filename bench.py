@@ -112,22 +112,7 @@ def main():
     # iteration must stream from HBM, so the number is an honest HBM
     # fraction (and a lower bound — see roofline.measure_chained).
     if on_tpu:
-        rdims = (256, 256, 128)
-        rcache = os.path.join(
-            os.path.dirname(os.path.abspath(__file__)),
-            f".bench_cache_{'x'.join(map(str, rdims))}.npz")
-        if os.path.exists(rcache):
-            z = np.load(rcache)
-            rmat = formats.Dia(data=jnp.asarray(z["data"]),
-                               offsets=tuple(int(o) for o in z["offsets"]),
-                               shape=(int(z["n"]), int(z["n"])))
-        else:
-            t0 = time.perf_counter()
-            rm = problems.poisson_ldu(rdims)
-            rmat = formats.coo_to_dia(ldu.ldu_to_coo_host(rm, dtype=np.float32))
-            np.savez(rcache, data=np.asarray(jax.device_get(rmat.data)),
-                     offsets=np.array(rmat.offsets), n=rm.n)
-            log(f"roofline setup: {time.perf_counter() - t0:.1f}s (cached)")
+        rmat = _poisson_dia((256, 256, 128))
     else:
         rmat = mat
     rx = jnp.ones((rmat.shape[0],), jnp.float32)
@@ -228,6 +213,38 @@ def main():
         "unit": "ns",
         "vs_baseline": round(vs_baseline, 3),
     }))
+
+
+def _poisson_dia(dims):
+    """The 7-point Dirichlet-pinned Poisson DIA operator, constructed
+    analytically (identical to coo_to_dia(ldu_to_coo(poisson_ldu(dims))) —
+    pinned by tests — but seconds instead of minutes at 8M+ DOF)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ogl_tpu.core import formats
+
+    nx, ny, nz = dims
+    n = nx * ny * nz
+    i = np.arange(n)
+    ix, iy, iz = i % nx, (i // nx) % ny, i // (nx * ny)
+    planes = []
+    offsets = []
+    for stride, coord, m in ((nx * ny, iz, nz), (nx, iy, ny), (1, ix, nx)):
+        if m > 1:
+            offsets.append(-stride)
+            planes.append(np.where(coord != 0, -1.0, 0.0))
+    offsets.append(0)
+    planes.append(np.full(n, 2.0 * sum(m > 1 for m in (nx, ny, nz))))
+    for stride, coord, m in ((1, ix, nx), (nx, iy, ny), (nx * ny, iz, nz)):
+        if m > 1:
+            offsets.append(stride)
+            planes.append(np.where(coord != m - 1, -1.0, 0.0))
+    order = np.argsort(offsets)
+    data = np.stack([planes[k] for k in order]).astype(np.float32)
+    return formats.Dia(data=jnp.asarray(data),
+                       offsets=tuple(int(offsets[k]) for k in order),
+                       shape=(n, n))
 
 
 def _foam_large_benches(dims):

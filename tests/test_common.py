@@ -55,3 +55,24 @@ def test_mtx_symmetric_read(tmp_path):
     a = formats.to_dense(mtx.read(p))
     exp = np.array([[2, -1, 0], [-1, 2, 0], [0, 0, 2.0]])
     np.testing.assert_allclose(a, exp)
+
+
+def test_bench_poisson_dia_matches_conversion():
+    """bench._poisson_dia (analytic construction for the roofline problem)
+    must equal the framework conversion path exactly."""
+    import sys
+
+    sys.path.insert(0, ".")
+    import numpy as np
+
+    from bench import _poisson_dia
+    from ogl_tpu import testing as problems
+    from ogl_tpu.core import formats, ldu
+
+    for dims in ((5, 4, 3), (8, 1, 1), (6, 5, 1)):
+        ref = formats.coo_to_dia(
+            ldu.ldu_to_coo_host(problems.poisson_ldu(dims), dtype=np.float32))
+        got = _poisson_dia(dims)
+        assert got.offsets == ref.offsets
+        np.testing.assert_array_equal(np.asarray(got.data),
+                                      np.asarray(ref.data))
