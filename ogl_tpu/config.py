@@ -131,7 +131,8 @@ class SolverConfig:
     # in-place value overwrite (reference CsrMatrixWrapper.H:76-136)
     regenerate: bool = False
     # distributed local-block format: "auto" (Dia if the union of diagonal
-    # offsets across shards is narrow, else Ell), "Dia", or "Ell"
+    # offsets across shards is narrow, else Gdia if the union plane table
+    # is bounded, else Ell), "Dia", "Gdia", or "Ell"
     dist_local_format: str = "auto"
     # whether matrixFormat was given explicitly: when False and the executor
     # is an accelerator whose gather-based SpMV would be slow (Coo/Csr/Ell/

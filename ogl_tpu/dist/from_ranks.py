@@ -217,8 +217,8 @@ class DistAssembler:
         if isinstance(local, DiaStack):
             self._local_kind = "Dia"
             self._local_shape = tuple(int(s) for s in local.data.shape[1:])
-        else:
-            self._local_kind = "Ell"
+        else:  # GdiaStack / EllStack both store values under .vals
+            self._local_kind = type(local).__name__.removesuffix("Stack")
             self._local_shape = tuple(int(s) for s in local.vals.shape[1:])
 
     def _sources(self, m) -> np.ndarray:

@@ -39,6 +39,7 @@ __all__ = [
     "DistMatrix",
     "HaloPlan",
     "DiaStack",
+    "GdiaStack",
     "EllStack",
     "CooStack",
     "pack_local_stack",
@@ -74,6 +75,19 @@ class DiaStack:
 
     data: jnp.ndarray  # (P, n_diags, n_local)
     offsets: tuple[int, ...] = static_field()
+
+
+@_pytree
+@dataclasses.dataclass(frozen=True)
+class GdiaStack:
+    """Per-shard Gdia local blocks stacked on the parts axis, sharing a
+    UNION plane table (per block-row offset q: the max plane multiplicity
+    any shard needs) — the general unstructured fast path on TPU
+    (kernels/gdia.py) for shards too wide for DIA."""
+
+    vals: jnp.ndarray  # (P, n_planes, R, 128)
+    lidx: jnp.ndarray  # (P, n_planes, R, 128) int8 source lanes
+    plane_offsets: tuple[int, ...] = static_field()
 
 
 @_pytree
@@ -179,8 +193,8 @@ def pack_local_stack(shards, n_local: int, dtype, fmt: str = "auto",
     locally-owned shards, and every process must produce identical
     program shapes (the globally allgathered union).
     """
-    if fmt not in ("auto", "Dia", "Ell"):
-        raise ValueError(f"unknown local format {fmt!r}; use auto|Dia|Ell")
+    if fmt not in ("auto", "Dia", "Gdia", "Ell"):
+        raise ValueError(f"unknown local format {fmt!r}; use auto|Dia|Gdia|Ell")
     p = len(shards)
     e = max((len(r) for r, _, _ in shards), default=0)
     e = max(force_entries or 0, e, 1)
@@ -199,6 +213,8 @@ def pack_local_stack(shards, n_local: int, dtype, fmt: str = "auto",
         force_width = max(force_width or 1, k_agreed)
     if fmt == "Dia" and offs is None:
         raise ValueError(f"shard bandwidth too wide for Dia (> {max_diags} offsets)")
+    if fmt in ("Gdia", "Ell"):
+        offs = None  # explicit format: skip the Dia tier
 
     if offs is not None:
         nd = len(offs)
@@ -221,6 +237,54 @@ def pack_local_stack(shards, n_local: int, dtype, fmt: str = "auto",
             offsets=offs,
         )
         return stack, jnp.asarray(dest)
+
+    # ---- Gdia tier: general unstructured shards on TPU (lane-gather
+    # kernel) — shards share a UNION plane table (per block-row offset q
+    # the max plane multiplicity any shard needs).  Multi-process packs
+    # (agreement hook installed) fall through to Ell: the plane table is
+    # not yet part of the agreement protocol.
+    if fmt in ("auto", "Gdia") and _STRUCT_AGREE_HOOK is None:
+        from ogl_tpu.kernels.gdia import (
+            LANES as _L,
+            gdia_layout,
+            gdia_requirements,
+        )
+
+        req: dict[int, int] = {}
+        for rows, cols, _ in shards:
+            if len(rows):
+                for qv, c in gdia_requirements(rows, cols, n_local).items():
+                    req[qv] = max(req.get(qv, 0), c)
+        table = tuple(qv for qv in sorted(req) for _ in range(req[qv])) or (0,)
+        max_planes_g = 48
+        if len(table) > max_planes_g:
+            if fmt == "Gdia":
+                raise ValueError(
+                    f"shards need {len(table)} Gdia planes (> {max_planes_g});"
+                    " renumber (core.reorder.rcm_permutation) first")
+        else:
+            r = max(-(-n_local // _L), 1)
+            n_planes = len(table)
+            size = n_planes * r * _L
+            assert size < 2**31, "value storage too large for int32 slots"
+            vals_s = np.zeros((p, size), dtype)
+            lidx_s = np.zeros((p, size), np.int8)
+            dest = np.full((p, e), size, np.int32)
+            for i, (rows, cols, vals) in enumerate(shards):
+                if not len(rows):
+                    continue
+                _, _, d, lanes = gdia_layout(
+                    rows, cols, n_local, max_planes=max_planes_g,
+                    plane_table=table)
+                vals_s[i][d] = vals
+                lidx_s[i][d] = lanes
+                dest[i, : len(rows)] = d
+            stack = GdiaStack(
+                vals=jnp.asarray(vals_s.reshape(p, n_planes, r, _L)),
+                lidx=jnp.asarray(lidx_s.reshape(p, n_planes, r, _L)),
+                plane_offsets=table,
+            )
+            return stack, jnp.asarray(dest)
 
     # ELL fallback
     k = force_width or 1
@@ -280,6 +344,12 @@ def shard_local_matrix(local, n_local: int):
     if isinstance(local, DiaStack):
         return Dia(data=local.data[0], offsets=local.offsets,
                    shape=(n_local, n_local))
+    if isinstance(local, GdiaStack):
+        from ogl_tpu.kernels.gdia import Gdia
+
+        return Gdia(vals=local.vals[0], lidx=local.lidx[0],
+                    plane_offsets=local.plane_offsets,
+                    shape=(n_local, n_local))
     if isinstance(local, EllStack):
         return Ell(cols=local.cols[0], vals=local.vals[0],
                    shape=(n_local, n_local))

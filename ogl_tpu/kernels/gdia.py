@@ -40,7 +40,8 @@ from ogl_tpu.core.formats import Coo, static_field, _pytree
 
 LANES = 128
 
-__all__ = ["Gdia", "gdia_from_coo", "gdia_layout", "spmv_gdia", "gdia_matvec"]
+__all__ = ["Gdia", "gdia_from_coo", "gdia_layout", "gdia_requirements",
+           "spmv_gdia", "gdia_matvec"]
 
 
 @_pytree
@@ -60,19 +61,45 @@ class Gdia:
         return self.vals.dtype
 
 
-def gdia_layout(rows, cols, n: int, max_planes: int = 64):
+def gdia_requirements(rows, cols, n: int) -> dict[int, int]:
+    """Per-block-row-offset plane multiplicity this sparsity needs — the
+    structural metadata a stacked multi-shard packing unifies (max per q
+    across shards)."""
+    rows = np.asarray(rows, np.int64)
+    cols = np.asarray(cols, np.int64)
+    rd, ld = rows // LANES, rows % LANES
+    q = (cols // LANES) - rd
+    out: dict[int, int] = {}
+    for qv in np.unique(q):
+        sel = q == qv
+        dst = rd[sel] * LANES + ld[sel]
+        out[int(qv)] = int(np.bincount(dst - dst.min()).max()) if len(dst) else 0
+    return out
+
+
+def gdia_layout(rows, cols, n: int, max_planes: int = 64, plane_table=None):
     """Entry→slot layout for Gdia packing.
 
     Returns (plane_offsets, r, dest, lanes): entry i goes to flat position
     dest[i] of the (n_planes, r, 128) storage, with source lane lanes[i].
     Shared by `gdia_from_coo` and the steady-state value-update path
-    (core.formats.value_map) so both agree on plane assignment."""
+    (core.formats.value_map) so both agree on plane assignment.
+
+    plane_table: an externally-agreed plane_offsets tuple (q repeated by
+    multiplicity, ascending q) — stacked multi-shard packings must share
+    one table; raises if this sparsity does not fit it."""
     rows = np.asarray(rows, np.int64)
     cols = np.asarray(cols, np.int64)
     r = max(math.ceil(n / LANES), 1)
     rd, ld = rows // LANES, rows % LANES
     rs, ls = cols // LANES, cols % LANES
     q = rs - rd
+
+    base_of: dict[int, tuple[int, int]] = {}
+    if plane_table is not None:
+        for k, qv in enumerate(plane_table):
+            b, c = base_of.get(int(qv), (k, 0))
+            base_of[int(qv)] = (b, c + 1)
 
     plane_offsets: list[int] = []
     dest = np.zeros(len(rows), np.int64)
@@ -87,9 +114,19 @@ def gdia_layout(rows, cols, n: int, max_planes: int = 64):
         starts = np.searchsorted(dst, dst)  # first occurrence index
         plane_of = np.arange(len(dst)) - starts
         n_p = int(plane_of.max()) + 1 if len(dst) else 0
-        dest[sel] = (plane_base + plane_of) * (r * LANES) + dst
-        plane_offsets.extend([int(qv)] * n_p)
-        plane_base += n_p
+        if plane_table is not None:
+            if int(qv) not in base_of or n_p > base_of[int(qv)][1]:
+                raise ValueError(
+                    f"sparsity does not fit the agreed Gdia plane table: "
+                    f"offset {int(qv)} needs {n_p} planes, table has "
+                    f"{base_of.get(int(qv), (0, 0))[1]}")
+            dest[sel] = (base_of[int(qv)][0] + plane_of) * (r * LANES) + dst
+        else:
+            dest[sel] = (plane_base + plane_of) * (r * LANES) + dst
+            plane_offsets.extend([int(qv)] * n_p)
+            plane_base += n_p
+    if plane_table is not None:
+        plane_offsets = [int(qv) for qv in plane_table]
     if len(plane_offsets) > max_planes:
         raise ValueError(
             f"Gdia needs {len(plane_offsets)} planes (> {max_planes}); matrix "

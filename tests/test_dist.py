@@ -200,3 +200,57 @@ def test_pack_local_stack_unsorted_triples():
     np.add.at(flat, np.asarray(dest[0]), v[perm])
     np.testing.assert_allclose(
         flat[:-1].reshape(n, -1).sum(axis=1), dense.sum(axis=1), rtol=1e-12)
+
+
+def test_dist_gdia_local_stack():
+    """Unstructured shards (bandwidth too wide for DIA after partitioning)
+    pack into a GdiaStack — the TPU lane-gather fast path — and solve to
+    the right answer, including the steady-state value update."""
+    import dataclasses
+
+    from ogl_tpu.config import StoppingConfig
+    from ogl_tpu.dist.from_ranks import DistAssembler
+    from ogl_tpu.dist.partition import GdiaStack, gather_global, split_vector
+    from ogl_tpu.dist.solve import dist_solve
+    from ogl_tpu.solve.stopping import StoppingParams
+
+    # a stencil plus a long-range symmetric coupling per row: > 64 distinct
+    # diagonal offsets, well-bounded Gdia plane table
+    m0 = problems.poisson_ldu((64, 32))
+    rng = np.random.default_rng(8)
+    n = m0.n
+    # short enough to stay INSIDE a 512-row shard, varied enough to exceed
+    # the 64-offset DIA cap
+    extra_rows = np.arange(0, n - 101)
+    extra_cols = extra_rows + 30 + (extra_rows % 70)
+    keep = (extra_rows // 512) == (extra_cols // 512)  # intra-shard only
+    extra_rows, extra_cols = extra_rows[keep], extra_cols[keep]
+    la = np.concatenate([m0.lower_addr, extra_rows])
+    ua = np.concatenate([m0.upper_addr, extra_cols])
+    order = np.lexsort((ua, la))
+    up = np.concatenate([m0.upper, np.full(len(extra_rows), -0.01)])[order]
+    diag = m0.diag + 0.1  # keep diagonally dominant
+    m = ldu.LduMatrix(n=n, lower_addr=la[order], upper_addr=ua[order],
+                      diag=diag, upper=up)
+    parts = ldu.decompose(m, 4)
+    asm = DistAssembler(parts, dtype=np.float64)
+    assert isinstance(asm.dm.local, GdiaStack), type(asm.dm.local)
+
+    from ogl_tpu.core import formats as _f
+
+    a = _f.to_dense(ldu.ldu_to_coo_host(m))
+    x_true = rng.normal(size=n)
+    b = a @ x_true
+    mesh = Mesh(np.array(jax.devices()[:4]), ("x",))
+    sp = StoppingParams.of(StoppingConfig(tolerance=1e-11, rel_tol=0.0,
+                                          max_iter=2000))
+    bs = jnp.asarray(split_vector(asm.dm, b))
+    x, res = dist_solve(asm.dm, bs, jnp.zeros_like(bs), sp, mesh)
+    np.testing.assert_allclose(gather_global(asm.dm, x), x_true, atol=1e-7)
+
+    # steady-state value update through the Gdia dest map
+    m2 = dataclasses.replace(m, diag=2 * m.diag, upper=2 * m.upper)
+    asm.update(ldu.decompose(m2, 4))
+    x2, res2 = dist_solve(asm.dm, bs, jnp.zeros_like(bs), sp, mesh)
+    np.testing.assert_allclose(gather_global(asm.dm, x2), x_true / 2,
+                               atol=1e-7)
