@@ -34,6 +34,7 @@ from ogl_tpu.dist.partition import (
     DiaStack,
     DistMatrix,
     EllStack,
+    GdiaStack,
     pack_halo_stack,
     pack_local_stack,
 )
@@ -41,13 +42,44 @@ from ogl_tpu.dist.partition import (
 __all__ = ["MultiProcAssembler", "local_rank_indices", "build_schwarz_mp"]
 
 
-def _struct_agree_hook(offs, width, entries, max_diags):
-    """Unify pack_local_stack's data-dependent static shapes across
-    processes: union of DIA offsets (Ell if any process overflows or is
-    already Ell), max width, max entry count.  Pack call order is
-    deterministic, so these collectives line up."""
+def _allgather_payload(payload: np.ndarray) -> np.ndarray:
+    """Gather one variable-length f64 vector from every process; rows are
+    returned padded with their true length in column 0."""
     from jax.experimental import multihost_utils
 
+    lens = multihost_utils.process_allgather(np.asarray([len(payload)]))
+    lmax = int(np.asarray(lens).max())
+    pad = np.zeros(lmax + 1, np.float64)
+    pad[0] = len(payload)
+    pad[1:1 + len(payload)] = payload
+    return np.asarray(multihost_utils.process_allgather(pad))
+
+
+def _struct_agree_hook(kind, *args):
+    """Unify pack_local_stack's data-dependent static shapes across
+    processes.  Pack call order is deterministic, so these collectives
+    line up.
+
+    kind "dia":  (offs|None, width, entries, max_diags) -> union offsets
+                 (None if any process overflowed / is Ell), max width,
+                 max entries.
+    kind "gdia": (req: {q: plane count},) -> per-q max across processes.
+    """
+    if kind == "gdia":
+        (req,) = args
+        flat = np.asarray(
+            [v for q in sorted(req) for v in (q, req[q])], np.float64)
+        alls = _allgather_payload(flat)
+        out: dict[int, int] = {}
+        for row in alls:
+            k = int(row[0])
+            body = row[1:1 + k]
+            for j in range(0, k, 2):
+                q, c = int(body[j]), int(body[j + 1])
+                out[q] = max(out.get(q, 0), c)
+        return out
+
+    offs, width, entries, max_diags = args
     is_dia = offs is not None
     payload = np.zeros(3 + (len(offs) if is_dia else 0), np.float64)
     payload[0] = 1.0 if is_dia else 0.0
@@ -55,12 +87,7 @@ def _struct_agree_hook(offs, width, entries, max_diags):
     payload[2] = entries
     if is_dia:
         payload[3:] = np.asarray(offs, np.float64)
-    lens = multihost_utils.process_allgather(np.asarray([len(payload)]))
-    lmax = int(np.asarray(lens).max())
-    pad = np.zeros(lmax + 1, np.float64)
-    pad[0] = len(payload)
-    pad[1:1 + len(payload)] = payload
-    alls = np.asarray(multihost_utils.process_allgather(pad))
+    alls = _allgather_payload(payload)
     union: set[int] = set()
     all_dia = True
     w = e = 1
@@ -205,14 +232,6 @@ class MultiProcAssembler:
 
         plan = build_halo_plan([m["ifaces"] for m in metas], halo_size)
 
-        # globally agreed local format: union offsets across ALL ranks
-        union = sorted({o for m in metas for o in m["offsets"]})
-        width = max(m["width"] for m in metas)
-        use_dia = (local_format in ("auto", "Dia")) and len(union) <= 64
-        if local_format == "Dia" and not use_dia:
-            raise ValueError(
-                f"global shard bandwidth too wide for Dia ({len(union)} offsets)")
-
         # --- pack THIS process's slices with the global static shapes ---
         loc_shards, halo_shards, halo_perms = [], [], []
         for m, sp, src in zip(my_ranks, self._sp, srcs):
@@ -228,12 +247,19 @@ class MultiProcAssembler:
                                 hslots.astype(np.int64), hvals))
             halo_perms.append((off_proc, hperm.astype(np.int64)))
 
-        local_stack, dest_local = pack_local_stack(
-            loc_shards, n_local, self.dtype,
-            fmt="Dia" if use_dia else "Ell",
-            force_offsets=union if use_dia else None,
-            force_width=None if use_dia else width,
-            force_entries=e_local)
+        # the Dia -> Gdia -> Ell tier choice runs under the structure-
+        # agreement hook, so every process lands on the same static shapes
+        # and format from its local shards alone
+        from ogl_tpu.dist import partition as _part
+
+        prev = _part.set_struct_agree_hook(
+            _struct_agree_hook if jax.process_count() > 1 else None)
+        try:
+            local_stack, dest_local = pack_local_stack(
+                loc_shards, n_local, self.dtype, fmt=local_format,
+                force_entries=e_local)
+        finally:
+            _part.set_struct_agree_hook(prev)
         halo_stack = pack_halo_stack(halo_shards, self.dtype,
                                      force_entries=e_halo)
 
@@ -257,6 +283,11 @@ class MultiProcAssembler:
             local = DiaStack(data=stage(local_stack.data),
                              offsets=local_stack.offsets)
             self._local_shape = tuple(int(s) for s in local_stack.data.shape[1:])
+        elif isinstance(local_stack, GdiaStack):
+            local = GdiaStack(vals=stage(local_stack.vals),
+                              lidx=stage(local_stack.lidx),
+                              plane_offsets=local_stack.plane_offsets)
+            self._local_shape = tuple(int(s) for s in local_stack.vals.shape[1:])
         else:
             local = EllStack(cols=stage(local_stack.cols),
                              vals=stage(local_stack.vals))

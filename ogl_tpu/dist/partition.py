@@ -209,7 +209,8 @@ def pack_local_stack(shards, n_local: int, dtype, fmt: str = "auto",
             if len(rows):
                 k_local = max(k_local, int(np.bincount(
                     np.asarray(rows, np.int64)).max()))
-        offs, k_agreed, e = _STRUCT_AGREE_HOOK(offs, k_local, e, max_diags)
+        offs, k_agreed, e = _STRUCT_AGREE_HOOK(
+            "dia", offs, k_local, e, max_diags)
         force_width = max(force_width or 1, k_agreed)
     if fmt == "Dia" and offs is None:
         raise ValueError(f"shard bandwidth too wide for Dia (> {max_diags} offsets)")
@@ -240,10 +241,9 @@ def pack_local_stack(shards, n_local: int, dtype, fmt: str = "auto",
 
     # ---- Gdia tier: general unstructured shards on TPU (lane-gather
     # kernel) — shards share a UNION plane table (per block-row offset q
-    # the max plane multiplicity any shard needs).  Multi-process packs
-    # (agreement hook installed) fall through to Ell: the plane table is
-    # not yet part of the agreement protocol.
-    if fmt in ("auto", "Gdia") and _STRUCT_AGREE_HOOK is None:
+    # the max plane multiplicity any shard needs); multi-process packs
+    # agree on the table through the hook.
+    if fmt in ("auto", "Gdia"):
         from ogl_tpu.kernels.gdia import (
             LANES as _L,
             gdia_layout,
@@ -255,6 +255,8 @@ def pack_local_stack(shards, n_local: int, dtype, fmt: str = "auto",
             if len(rows):
                 for qv, c in gdia_requirements(rows, cols, n_local).items():
                     req[qv] = max(req.get(qv, 0), c)
+        if _STRUCT_AGREE_HOOK is not None:
+            req = _STRUCT_AGREE_HOOK("gdia", req)
         table = tuple(qv for qv in sorted(req) for _ in range(req[qv])) or (0,)
         max_planes_g = 48
         if len(table) > max_planes_g:

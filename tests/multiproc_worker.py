@@ -157,6 +157,46 @@ def main():
         print(f"MPSCHWARZ {pcn} OK {pid} iters={perfp.n_iterations}",
               flush=True)
 
+    # Gdia tier through the structure-agreement hook: wide intra-shard
+    # couplings exceed the DIA offset cap; every process must agree on the
+    # same union plane table from its local shards alone
+    from ogl_tpu.dist.partition import GdiaStack
+
+    mg0 = problems.poisson_ldu((64, 16))
+    ng = mg0.n
+    er = np.arange(0, ng - 101)
+    ec = er + 30 + (er % 70)
+    keep = (er // 256) == (ec // 256)  # intra-shard (256 rows/shard)
+    er, ec = er[keep], ec[keep]
+    la = np.concatenate([mg0.lower_addr, er])
+    ua = np.concatenate([mg0.upper_addr, ec])
+    order_g = np.lexsort((ua, la))
+    from ogl_tpu.core.ldu import LduMatrix
+
+    mg = LduMatrix(
+        n=ng, lower_addr=la[order_g], upper_addr=ua[order_g],
+        diag=mg0.diag + 0.1,
+        upper=np.concatenate([mg0.upper, np.full(len(er), -0.01)])[order_g])
+    from ogl_tpu.core import formats as _fmts
+
+    ag = _fmts.to_dense(ldu.ldu_to_coo_host(mg))
+    xg_true = rng.normal(size=ng)
+    bg = ag @ xg_true
+    partsg = ldu.decompose(mg, n_parts)
+    offsg = np.cumsum([0] + [p_.n for p_ in partsg])
+    sg = DistFoamSolver("pgdia", {"solver": "GKOCG", "tolerance": 1e-9,
+                                  "relTol": 0, "maxIter": 2000,
+                                  "dtype": "float64"}, mesh)
+    xsg, perfg = sg.solve([partsg[i] for i in my_idx],
+                          [bg[offsg[i]:offsg[i + 1]] for i in my_idx])
+    assert isinstance(sg.assembler.dm.local, GdiaStack), type(
+        sg.assembler.dm.local)
+    assert perfg.converged, perfg
+    for i, x_i in zip(my_idx, xsg):
+        np.testing.assert_allclose(x_i, xg_true[offsg[i]:offsg[i + 1]],
+                                   atol=1e-6)
+    print(f"MPGDIA OK {pid} iters={perfg.n_iterations}", flush=True)
+
     # adaptMinIter agreement (reference lduLduBase.H:291-293): per-process
     # wall-clock cost measurements differ — broadcast_scalars must make
     # every process derive IDENTICAL StoppingParams.  Feed wildly different
