@@ -139,13 +139,18 @@ def main():
             if d.get("device_kind") == dev.device_kind:
                 mpeak = float(d["stream_gbps"])
         if mpeak is None:
-            t0 = time.perf_counter()
-            mpeak = roofline.measure_stream_peak()
-            log(f"stream-peak calibration: {mpeak:.0f} GB/s "
-                f"({time.perf_counter() - t0:.0f}s, cached)")
-            with open(speak_cache, "w") as f:
-                json.dump({"device_kind": dev.device_kind,
-                           "stream_gbps": mpeak}, f)
+            try:
+                t0 = time.perf_counter()
+                mpeak = roofline.measure_stream_peak()
+                log(f"stream-peak calibration: {mpeak:.0f} GB/s "
+                    f"({time.perf_counter() - t0:.0f}s, cached)")
+                with open(speak_cache, "w") as f:
+                    json.dump({"device_kind": dev.device_kind,
+                               "stream_gbps": mpeak}, f)
+            except Exception as e:  # calibration must never kill the metric
+                log(f"stream-peak calibration failed ({type(e).__name__}: "
+                    f"{e}); denominator falls back to the spec table")
+                mpeak = 0.0
         eff_peak = max(eff_peak, mpeak)
         log(f"peak: spec {r.peak_gbps:.0f} GB/s, measured stream "
             f"{mpeak:.0f} GB/s -> denominator {eff_peak:.0f} GB/s")
