@@ -1,4 +1,5 @@
 from ogl_tpu.foam import case as case
+from ogl_tpu.foam import logs as logs
 from ogl_tpu.foam import dictionary as dictionary
 from ogl_tpu.foam.solver import (
     FoamSolver as FoamSolver,

@@ -395,3 +395,35 @@ def test_adapt_min_iter_relaxation_factor_one():
     adapted = cfg.adapted(prev_solve_iters=50, prev_rel_cost=0.5, export_res=False)
     assert adapted.min_iter == 49  # 50 * 0.99 -> 49
     assert adapted.frequency >= 1
+
+
+def test_log_parsing_and_validation(capsys):
+    """solverPerformance log round trip (the reference's postProcessLogs /
+    obr-query validation path, test/postProcessLogs.py)."""
+    from ogl_tpu.foam import logs
+
+    m, b, x_true = _problem()
+    _, perf = foam.solve("plog", m, b, {
+        "solver": "GKOCG", "executor": "reference", "tolerance": 1e-9,
+        "relTol": 0, "maxIter": 500, "dtype": "float64"})
+    perf.print()
+    out = capsys.readouterr().out
+    recs = logs.validate_log(out, "plog", tolerance=1e-8)
+    assert recs[0].n_iterations == perf.n_iterations
+    assert recs[0].solver.startswith("GKOCG")
+    # coupled (vector-residual) lines parse too
+    B = np.stack([b, 2 * b], axis=1)
+    X, perfc = foam.solve_coupled("ulog", m, B, {
+        "executor": "reference", "tolerance": 1e-9, "relTol": 0,
+        "maxIter": 500, "dtype": "float64"})
+    perfc.print()
+    out2 = capsys.readouterr().out
+    recs2 = logs.validate_log(out2, "ulog", tolerance=1e-8)
+    assert recs2[0].n_iterations == perfc.n_iterations
+    assert isinstance(recs2[0].final_residual, tuple)
+    # a failing log raises
+    import pytest as _pt
+
+    with _pt.raises(AssertionError):
+        logs.validate_log("GKOCG:  Solving for p, Initial residual = 1, "
+                          "Final residual = 2, No Iterations 5", "p")
