@@ -116,9 +116,25 @@ def main():
     else:
         rmat = mat
     rx = jnp.ones((rmat.shape[0],), jnp.float32)
-    rmv = dia_matvec(rmat)
+    if on_tpu:
+        # pass the matrix as a traced operand: closing over 235 MB bakes
+        # it into the jaxpr as a constant (pathological compile time)
+        from ogl_tpu.kernels.pallas_spmv import _DiaPlan, _dia_spmv_padded
+
+        rplan = _DiaPlan(rmat, 512)
+
+        def rmv(x, data3):
+            y = _dia_spmv_padded(data3, rplan.pad_x(x), offsets=rplan.offsets,
+                                 n=rplan.n, tile=rplan.tile)
+            return y.reshape(-1)[: rplan.n]
+
+        r_ops = (rplan.data3,)
+    else:
+        _rmv = dia_matvec(rmat)
+        rmv = lambda x: _rmv(x)
+        r_ops = ()
     r = roofline.measure_chained(
-        rmv, rx, warmup=3, target_seconds=1.5,
+        rmv, rx, warmup=3, target_seconds=1.5, operands=r_ops,
         bytes_moved=roofline.spmv_bytes(rmat),
         flops=roofline.spmv_flops(rmat),
     )
@@ -170,7 +186,9 @@ def main():
 
         kern = CgKernels(n, mat.offsets)
         data3 = kern.pack_values(mat)
-        solve = jax.jit(lambda b, sp: cg_fused(kern, data3, b, jnp.zeros_like(b), sp))
+        solve0 = jax.jit(
+            lambda b, sp, d3: cg_fused(kern, d3, b, jnp.zeros_like(b), sp))
+        solve = lambda b, sp: solve0(b, sp, data3)  # d3 traced, not a const
     else:
         ops = single_device_ops(mv_kernel, n)
         solve = jax.jit(lambda b, sp: cg(ops, b, jnp.zeros_like(b), sp))

@@ -96,7 +96,10 @@ class CoupledFoamSolver(FoamSolver):
                 pc = None
                 if pc_op is not None:
                     one = pc_op.bind(pcs)
-                    pc = lambda R: jax.vmap(one, in_axes=1, out_axes=1)(R)
+                    # static unroll, not vmap: preconditioner applies may
+                    # route through Pallas kernels (see solve/acg.py mvm)
+                    pc = lambda R: jnp.stack(
+                        [one(R[:, c]) for c in range(R.shape[1])], axis=1)
                 return cg_coupled(mv, Bv, X0v, sp, precond=pc)
 
             jfn = jax.jit(run)

@@ -128,33 +128,33 @@ def measure_stream_peak(n: int = 64 * 1024 * 1024,
 
     b = jnp.full((n,), 1.0000001, jnp.float32)
 
-    @jax.jit
-    def chain(x, k):
+    @jax.jit  # b is an ARGUMENT: closure constants of this size make the
+    def chain(x, k, b):  # compile pathologically slow (huge jaxpr consts)
         def body(i, v):
             return v * jnp.float32(0.9999999) + b
 
         return jnp.sum(jax.lax.fori_loop(0, k, body, x))
 
     x = jnp.ones((n,), jnp.float32)
-    float(chain(x, 1))  # compile + warm
-    rtt = min(_timed_fetch(chain, x, 0) for _ in range(5))
-    probe = max((_timed_fetch(chain, x, 64) - rtt) / 64, 1e-8)
+    float(chain(x, 1, b))  # compile + warm
+    rtt = min(_timed_fetch(chain, x, 0, b) for _ in range(5))
+    probe = max((_timed_fetch(chain, x, 64, b) - rtt) / 64, 1e-8)
     k = int(min(max(target_seconds / probe, 128), 50_000))
-    t = max(_timed_fetch(chain, x, k) - rtt, 1e-9)
+    t = max(_timed_fetch(chain, x, k, b) - rtt, 1e-9)
     return 3 * n * 4 / (t / k) / 1e9
 
 
-def _timed_fetch(f, x, k) -> float:
+def _timed_fetch(f, x, k, *ops) -> float:
     import time
 
     t0 = time.perf_counter()
-    float(f(x, k))
+    float(f(x, k, *ops))
     return time.perf_counter() - t0
 
 
 def measure_chained(vec_fn, x0, iters: int | None = None, warmup: int = 2,
                     bytes_moved=0, flops=0,
-                    target_seconds: float = 1.0) -> Roofline:
+                    target_seconds: float = 1.0, operands=()) -> Roofline:
     """Time a vector->vector kernel accurately on remote/tunneled devices.
 
     `iters` dependent applications run inside ONE compiled fori_loop (no
@@ -175,19 +175,24 @@ def measure_chained(vec_fn, x0, iters: int | None = None, warmup: int = 2,
     """
     import time
 
+    # `operands` (e.g. the matrix arrays) ride as TRACED arguments: closing
+    # over hundreds of MB bakes them into the jaxpr as constants, which
+    # makes the compile pathologically slow and defeats the persistent
+    # cache; vec_fn is then called vec_fn(v, *operands)
     @jax.jit  # trip count traced: ONE compile for every chain length
-    def chain(x, k):
-        return jnp.sum(jax.lax.fori_loop(0, k, lambda i, v: vec_fn(v), x))
+    def chain(x, k, *ops):
+        return jnp.sum(jax.lax.fori_loop(
+            0, k, lambda i, v: vec_fn(v, *ops), x))
 
     def timed(k, reps):
         best = float("inf")
         for _ in range(reps):
             t0 = time.perf_counter()
-            float(chain(x0, k))
+            float(chain(x0, k, *operands))
             best = min(best, time.perf_counter() - t0)
         return best
 
-    float(chain(x0, 1))  # compile + warm, forced
+    float(chain(x0, 1, *operands))  # compile + warm, forced
     rtt = timed(0, 5)  # fixed dispatch + host-fetch cost
     if iters is None:
         probe_k = 64

@@ -50,7 +50,13 @@ def cg_coupled(mv, B, X0, cfg, precond=None) -> CoupledResult:
     component with the same scalar M, the reference's BJ option)."""
     dtype = B.dtype
     n, nc = B.shape
-    mvm = jax.vmap(mv, in_axes=1, out_axes=1)
+
+    def mvm(X):
+        # static unroll over the (few) components: vmapping the Pallas
+        # matvec is not lowerable (manual-DMA HBM block specs can't take a
+        # batch dim), and nc separate kernel launches pipeline fine
+        return jnp.stack([mv(X[:, c]) for c in range(nc)], axis=1)
+
     pc = (lambda R: R) if precond is None else precond
 
     X0 = jnp.asarray(X0, dtype)

@@ -134,69 +134,75 @@ def gmres(ops: Ops, b, x0, cfg: StoppingConfig, krylov_dim: int = 100, history_l
                                | (c.stop.iter >= cfg.max_iter))
             st = jax.lax.cond(fire, do_check, lambda s: s, c.stop)
 
-            def update(c: _Inner):
-                j = c.j
-                # Arnoldi with CGS2: w = A M^-1 v_j, orthogonalise vs V[:j+1].
-                # BLOCKED basis access: only the ceil((j+2)/B) leading
-                # B-row blocks of V are read — a full-V masked matmul would
-                # stream all m+1 rows every iteration (O(m·n) bytes) even
-                # at j = 0.  Average traffic halves; early iterations cost
-                # O(j·n).
-                w = ops.matvec(ops.precond(c.V[j]))
-                mp = c.V.shape[0]
-                B = _BLOCK
-                nblk = (j + 2 + B - 1) // B  # blocks covering rows 0..j+1
-                mask = (jnp.arange(mp) <= j).astype(dtype)
+            # BRANCHLESS update: wrapping the update in lax.cond would make
+            # XLA copy the whole carry — V alone is m·n·4 bytes (416 MB at
+            # m=100, n=1M), and that copy per iteration dominated the
+            # steady state (~2.3 ms/iter fixed cost measured).  Instead the
+            # Arnoldi step always runs and `live` freezes every output once
+            # converged; the single extra post-convergence evaluation is
+            # numerically inert (outputs discarded through the freeze).
+            live = ~st.converged
+            j = c.j
+            # Arnoldi with CGS2: w = A M^-1 v_j, orthogonalise vs V[:j+1].
+            # BLOCKED basis access: only the ceil((j+2)/B) leading
+            # B-row blocks of V are read — a full-V masked matmul would
+            # stream all m+1 rows every iteration (O(m·n) bytes) even
+            # at j = 0.  Average traffic halves; early iterations cost
+            # O(j·n).
+            w = ops.matvec(ops.precond(c.V[j]))
+            mp = c.V.shape[0]
+            B = _BLOCK
+            nblk = (j + 2 + B - 1) // B  # blocks covering rows 0..j+1
+            mask = (jnp.arange(mp) <= j).astype(dtype)
 
-                def dots(V, w):
-                    def body(k, h):
-                        vb = jax.lax.dynamic_slice_in_dim(V, k * B, B, axis=0)
-                        return jax.lax.dynamic_update_slice_in_dim(
-                            h, vb @ w, k * B, axis=0)
-                    h = jax.lax.fori_loop(0, nblk, body, jnp.zeros((mp,), dtype))
-                    return ops.allreduce(h) * mask
+            def dots(V, w):
+                def body(k, h):
+                    vb = jax.lax.dynamic_slice_in_dim(V, k * B, B, axis=0)
+                    return jax.lax.dynamic_update_slice_in_dim(
+                        h, vb @ w, k * B, axis=0)
+                h = jax.lax.fori_loop(0, nblk, body, jnp.zeros((mp,), dtype))
+                return ops.allreduce(h) * mask
 
-                def subtract(V, h, w):
-                    def body(k, w):
-                        vb = jax.lax.dynamic_slice_in_dim(V, k * B, B, axis=0)
-                        hb = jax.lax.dynamic_slice_in_dim(h, k * B, B, axis=0)
-                        return w - hb @ vb
-                    return jax.lax.fori_loop(0, nblk, body, w)
+            def subtract(V, h, w):
+                def body(k, w):
+                    vb = jax.lax.dynamic_slice_in_dim(V, k * B, B, axis=0)
+                    hb = jax.lax.dynamic_slice_in_dim(h, k * B, B, axis=0)
+                    return w - hb @ vb
+                return jax.lax.fori_loop(0, nblk, body, w)
 
-                h1 = dots(c.V, w)  # global dots
-                w = subtract(c.V, h1, w)
-                h2 = dots(c.V, w)  # re-orthogonalisation pass
-                w = subtract(c.V, h2, w)
-                h = h1 + h2
-                wnorm = ops.norm2(w)
-                h = h.at[j + 1].set(wnorm)
-                V = c.V.at[j + 1].set(w / jnp.maximum(wnorm, tiny))
+            h1 = dots(c.V, w)  # global dots
+            w = subtract(c.V, h1, w)
+            h2 = dots(c.V, w)  # re-orthogonalisation pass
+            w = subtract(c.V, h2, w)
+            h = h1 + h2
+            wnorm = ops.norm2(w)
+            h = h.at[j + 1].set(wnorm)
+            vrow = jnp.where(live, w / jnp.maximum(wnorm, tiny), c.V[j + 1])
+            V = c.V.at[j + 1].set(vrow)
 
-                # apply previous Givens rotations to the new column
-                def rot(k, hcol):
-                    a, bb = hcol[k], hcol[k + 1]
-                    return hcol.at[k].set(c.cs[k] * a + c.sn[k] * bb).at[k + 1].set(
-                        -c.sn[k] * a + c.cs[k] * bb
-                    )
-
-                h = jax.lax.fori_loop(0, j, rot, h)
-                # new rotation annihilating h[j+1]
-                denom = jnp.sqrt(h[j] ** 2 + h[j + 1] ** 2)
-                csj = jnp.where(denom > tiny, h[j] / jnp.maximum(denom, tiny), 1.0)
-                snj = jnp.where(denom > tiny, h[j + 1] / jnp.maximum(denom, tiny), 0.0)
-                h = h.at[j].set(csj * h[j] + snj * h[j + 1]).at[j + 1].set(0.0)
-                g = c.g.at[j + 1].set(-snj * c.g[j]).at[j].set(csj * c.g[j])
-                return _Inner(
-                    V=V,
-                    H=c.H.at[:, j].set(h[: m + 1]),
-                    cs=c.cs.at[j].set(csj),
-                    sn=c.sn.at[j].set(snj),
-                    g=g,
-                    j=j + 1,
-                    stop=st.replace(iter=st.iter + 1),
+            # apply previous Givens rotations to the new column
+            def rot(k, hcol):
+                a, bb = hcol[k], hcol[k + 1]
+                return hcol.at[k].set(c.cs[k] * a + c.sn[k] * bb).at[k + 1].set(
+                    -c.sn[k] * a + c.cs[k] * bb
                 )
 
-            return jax.lax.cond(st.converged, lambda c: c._replace(stop=st), update, c)
+            h = jax.lax.fori_loop(0, j, rot, h)
+            # new rotation annihilating h[j+1]
+            denom = jnp.sqrt(h[j] ** 2 + h[j + 1] ** 2)
+            csj = jnp.where(denom > tiny, h[j] / jnp.maximum(denom, tiny), 1.0)
+            snj = jnp.where(denom > tiny, h[j + 1] / jnp.maximum(denom, tiny), 0.0)
+            h = h.at[j].set(csj * h[j] + snj * h[j + 1]).at[j + 1].set(0.0)
+            g = c.g.at[j + 1].set(-snj * c.g[j]).at[j].set(csj * c.g[j])
+            return _Inner(
+                V=V,
+                H=jnp.where(live, c.H.at[:, j].set(h[: m + 1]), c.H),
+                cs=jnp.where(live, c.cs.at[j].set(csj), c.cs),
+                sn=jnp.where(live, c.sn.at[j].set(snj), c.sn),
+                g=jnp.where(live, g, c.g),
+                j=j + live.astype(j.dtype),
+                stop=st.replace(iter=st.iter + live.astype(st.iter.dtype)),
+            )
 
         out = jax.lax.while_loop(inner_cond, inner_body, init)
         x = x_at(o.x, out.V, out.H, out.g, out.j)
