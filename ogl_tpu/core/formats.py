@@ -376,8 +376,10 @@ def coo_to_dia(m: Coo) -> Dia:
     rows, cols, vals = _host(m)
     n = m.shape[0]
     offs, dest = dia_layout(rows, cols, n)
-    data = np.zeros(len(offs) * n, dtype=vals.dtype)
-    np.add.at(data, dest, vals)
+    # bincount is a single vectorised pass; np.add.at's buffered scatter is
+    # ~10x slower at the 10M-entry scale this runs at (duplicates still sum)
+    data = np.bincount(dest, weights=vals.astype(np.float64),
+                       minlength=len(offs) * n).astype(vals.dtype)
     return Dia(data=jnp.asarray(data.reshape(len(offs), n)), offsets=offs, shape=m.shape)
 
 

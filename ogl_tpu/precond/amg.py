@@ -176,8 +176,13 @@ def build_hierarchy(coo: Coo, max_levels: int, min_coarse_rows: int,
                 invdf=invdf,
             )
         )
-        p = sp.csr_matrix((np.ones(n), (np.arange(n), agg)), shape=(n, nc))
-        a = (p.T @ a @ p).tocsr()
+        # Galerkin product with a one-hot aggregation P is just the
+        # index-mapped duplicate-sum A_c[agg[r], agg[c]] += A[r, c] — the
+        # generic spgemm chain (p.T @ a @ p) did the same thing ~10x
+        # slower and dominated first-solve latency at 1M DOF
+        ac = a.tocoo()
+        a = sp.csr_matrix((ac.data, (agg[ac.row], agg[ac.col])),
+                          shape=(nc, nc))
         a.sum_duplicates()
     # coarsest level: dense inverse when small (one MXU matvec per cycle
     # instead of a latency-bound fixed-iteration CG; exact, so it also
@@ -258,15 +263,16 @@ def _ell_of(a_csr, dtype):
     structure exactly) → Gdia (lane gathers, bounded planes) → Ell."""
     from ogl_tpu.core.formats import coo_to_dia
 
-    a = a_csr.tocoo()
-    order = np.lexsort((a.col, a.row))
+    a_csr.sort_indices()  # no-op when already canonical
+    a = a_csr.tocoo()  # canonical CSR -> already row-major sorted
     coo = Coo(
-        rows=a.row[order].astype(np.int32),
-        cols=a.col[order].astype(np.int32),
-        vals=a.data[order].astype(dtype),
+        rows=a.row.astype(np.int32, copy=False),
+        cols=a.col.astype(np.int32, copy=False),
+        vals=a.data.astype(dtype, copy=False),
         shape=a.shape,
     )
-    n_offs = len(np.unique(coo.cols.astype(np.int64) - coo.rows.astype(np.int64)))
+    diffs = coo.cols.astype(np.int64) - coo.rows.astype(np.int64)
+    n_offs = len(np.unique(diffs))
     if n_offs <= 64:
         return coo_to_dia(coo)
     try:
