@@ -362,14 +362,26 @@ def coo_to_hybrid(m: Coo, width: int | None = None) -> "Hybrid":
 def dia_layout(rows: np.ndarray, cols: np.ndarray, n: int):
     """Entry→slot layout for DIA packing: returns (offsets, dest) where
     dest[i] is the flat index of entry i into the (n_diags, n) data array.
-    One unique pass (return_inverse) instead of unique + searchsorted —
-    this runs on 10M+ entry arrays at setup."""
-    rows = np.asarray(rows, np.int64)
-    cols = np.asarray(cols, np.int64)
-    # int32 diffs: offsets fit (|off| < n < 2^31) and unique on int32 is
-    # ~2x faster at the 10M-entry scale this runs at
-    offs, d_ids = np.unique((cols - rows).astype(np.int32), return_inverse=True)
-    return tuple(int(o) for o in offs), d_ids.astype(np.int64) * n + rows
+
+    Diagonal offsets live in the small range [-(n-1), n-1], so their ranks
+    come from a boolean presence table + short cumsum (O(nnz + n) with tiny
+    constants) instead of np.unique's O(nnz log nnz) sort — this runs on
+    10M+ entry arrays at setup and the sort dominated first-solve time."""
+    rows = np.asarray(rows)
+    cols = np.asarray(cols)
+    if len(rows) == 0 or n == 0:
+        return (), np.zeros(0, np.int64)
+    shifted = np.subtract(cols, rows, dtype=np.int64)
+    shifted += n - 1  # in [0, 2n-2]
+    present = np.zeros(2 * n - 1, np.bool_)
+    present[shifted] = True
+    offs = np.flatnonzero(present)
+    rank = np.cumsum(present, dtype=np.int64)
+    rank -= 1  # rank[s] = index of offset s among the present ones
+    dest = rank[shifted]
+    dest *= n
+    dest += rows
+    return tuple(int(o) - (n - 1) for o in offs), dest
 
 
 def coo_to_dia(m: Coo) -> Dia:

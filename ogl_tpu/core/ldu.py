@@ -149,8 +149,7 @@ def init_local_sparsity(
 
     nat = native.init_local_sparsity(n, lower_addr, upper_addr, symmetric)
     if nat is not None:
-        r, c, p = nat
-        return r.astype(np.int64), c.astype(np.int64), p.astype(np.int64)
+        return nat  # int32 triple; LduSparsity stores int32 — no round-trip
 
     nf = len(upper_addr)
     after_nbrs = nf if symmetric else 2 * nf
@@ -197,9 +196,9 @@ def build_local_sparsity(ldu: LduMatrix) -> LduSparsity:
         n=ldu.n,
         n_faces=ldu.n_faces,
         symmetric=ldu.symmetric,
-        rows=rows.astype(np.int32),
-        cols=cols.astype(np.int32),
-        permute=permute.astype(np.int32),
+        rows=np.asarray(rows, np.int32),
+        cols=np.asarray(cols, np.int32),
+        permute=np.asarray(permute, np.int32),
         n_local_iface=n_iface,
     )
 
