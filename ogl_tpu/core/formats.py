@@ -593,7 +593,10 @@ def value_map(m, rows, cols) -> ValueMap:
     for s in shape:
         size *= s
     assert size < 2**31, "value storage too large for int32 slot indices"
-    unique = len(np.unique(dest)) == len(dest)
+    # duplicate-slot check without an nnz sort: mark-and-count
+    seen = np.zeros(size, np.bool_)
+    seen[dest] = True
+    unique = int(seen.sum()) == len(dest)
     return ValueMap(
         dest=jnp.asarray(dest, jnp.int32), out_shape=shape, unique=unique
     )

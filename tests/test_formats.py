@@ -127,3 +127,33 @@ def test_sell_storage_is_sliced_not_ell():
     x = rng.normal(size=n)
     np.testing.assert_allclose(np.asarray(spmv_mod.spmv(sell, jnp.asarray(x))),
                                formats.to_dense(coo) @ x, atol=1e-9)
+
+
+def test_dia_layout_ranks_and_duplicates():
+    # brute-force cross-check of the presence-table rank computation
+    rng = np.random.default_rng(7)
+    n = 50
+    rows = rng.integers(0, n, 300)
+    cols = rng.integers(0, n, 300)
+    offs, dest = formats.dia_layout(rows, cols, n)
+    assert list(offs) == sorted(set(int(c) - int(r) for r, c in zip(rows, cols)))
+    for i in (0, 17, 299):
+        d = int(cols[i]) - int(rows[i])
+        assert dest[i] == offs.index(d) * n + rows[i]
+    # duplicate coordinates map to the SAME slot (summed by coo_to_dia)
+    a = np.zeros((4, 4))
+    a[1, 2] = 5.0
+    coo = formats.coo_from_dense(a)
+    dup = formats.Coo(
+        rows=np.concatenate([np.asarray(coo.rows)] * 2),
+        cols=np.concatenate([np.asarray(coo.cols)] * 2),
+        vals=np.concatenate([np.asarray(coo.vals)] * 2),
+        shape=coo.shape,
+    )
+    d = formats.coo_to_dia(dup)
+    assert formats.to_dense(d)[1, 2] == 10.0
+
+
+def test_dia_layout_empty():
+    offs, dest = formats.dia_layout(np.zeros(0, np.int64), np.zeros(0, np.int64), 8)
+    assert offs == () and len(dest) == 0
