@@ -211,8 +211,13 @@ def main():
         # x,r,z out) — implied bandwidth must be the same order as the
         # SpMV measurement (it shares the HBM bottleneck)
         cg_bytes = (len(mat.offsets) + 12) * n * 4
+        ws_mb = (len(mat.offsets) + 6) * n * 4 / 1e6  # data3 + ~6 live vectors
+        note = (" [working set fits VMEM: chained iterations are served "
+                "from VMEM, so >100% of the HBM stream peak is expected]"
+                if ws_mb < 100 else "")
         log(f"CG implied bandwidth: {cg_bytes / tpi / 1e9:.0f} GB/s "
-            f"({100 * cg_bytes / tpi / 1e9 / eff_peak:.0f}% of denominator)")
+            f"({100 * cg_bytes / tpi / 1e9 / eff_peak:.0f}% of denominator, "
+            f"working set ~{ws_mb:.0f} MB){note}")
 
     # --- BASELINE.json config sweep (iteration counts; stderr only) ------
     if os.environ.get("OGL_BENCH_SWEEP", "1") != "0":

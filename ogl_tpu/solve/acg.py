@@ -86,40 +86,39 @@ def cg_coupled(mv, B, X0, cfg, precond=None) -> CoupledResult:
         return jnp.logical_and(~jnp.all(c.done), c.it < hard_cap)
 
     def body(c: _Carry):
-        # criterion gate (StoppingCriterion.C:77-87), shared minIter/freq
-        def do_check(c):
-            rn = jnp.sum(jnp.abs(c.R), axis=0) / nf
-            hit = (rn < cfg.tolerance) | jnp.logical_and(
-                cfg.rel_tol > 0, rn < cfg.rel_tol * c.init_rn)
-            hit = hit | (c.it >= cfg.max_iter)
-            newly = hit & ~c.done
-            return c._replace(
-                rn=rn,
-                done=c.done | hit,
-                iters_at=jnp.where(newly, c.it, c.iters_at),
-            )
+        # criterion gate (StoppingCriterion.C:77-87), shared minIter/freq.
+        # Branchless (see solve/cg.py): the check reduction is cheap next
+        # to the matvec, and lax.cond would copy the (n, nc) carry blocks
+        # through both branches every iteration.
+        fire = stopping.would_check(cfg, c.it)
+        rn_now = jnp.sum(jnp.abs(c.R), axis=0) / nf
+        hit = (rn_now < cfg.tolerance) | jnp.logical_and(
+            cfg.rel_tol > 0, rn_now < cfg.rel_tol * c.init_rn)
+        hit = (hit | (c.it >= cfg.max_iter)) & fire
+        newly = hit & ~c.done
+        c = c._replace(
+            rn=jnp.where(fire, rn_now, c.rn),
+            done=c.done | hit,
+            iters_at=jnp.where(newly, c.it, c.iters_at),
+        )
 
-        c = jax.lax.cond(stopping.would_check(cfg, c.it), do_check,
-                         lambda c: c, c)
-
-        def update(c: _Carry):
-            live = (~c.done).astype(dtype)  # (nc,)
-            Z = pc(c.R)
-            rho = jnp.sum(c.R * Z, axis=0)
-            beta = jnp.where(c.it == 0, jnp.zeros((), dtype), rho / c.rho_old)
-            P = jnp.where(c.done, c.P, Z + beta * c.P)
-            Q = mvm(P)
-            delta = jnp.sum(P * Q, axis=0)
-            alpha = live * rho / jnp.where(delta == 0, 1.0, delta)
-            return c._replace(
-                X=c.X + alpha * P,
-                R=c.R - alpha * Q,
-                P=P,
-                rho_old=jnp.where(c.done, c.rho_old, rho),
-                it=c.it + 1,
-            )
-
-        return jax.lax.cond(jnp.all(c.done), lambda c: c, update, c)
+        # per-component freezing is already mask-based (`live`); running the
+        # update on the all-done exit iteration changes nothing reported
+        live = (~c.done).astype(dtype)  # (nc,)
+        Z = pc(c.R)
+        rho = jnp.sum(c.R * Z, axis=0)
+        beta = jnp.where(c.it == 0, jnp.zeros((), dtype), rho / c.rho_old)
+        P = jnp.where(c.done, c.P, Z + beta * c.P)
+        Q = mvm(P)
+        delta = jnp.sum(P * Q, axis=0)
+        alpha = live * rho / jnp.where(delta == 0, 1.0, delta)
+        return c._replace(
+            X=c.X + alpha * P,
+            R=c.R - alpha * Q,
+            P=P,
+            rho_old=jnp.where(c.done, c.rho_old, rho),
+            it=c.it + 1,
+        )
 
     out = jax.lax.while_loop(cond, body, init)
     iters = jnp.where(out.done, out.iters_at, out.it)

