@@ -4,10 +4,12 @@ Replaces `gko::solver::Gmres` as driven by GKOGMRES
 (reference Solver/GMRES/GKOGMRES.H).  TPU-first choices:
 
   * The Krylov basis V is a dense (m+1, n) array, so every Arnoldi
-    orthogonalisation is one (m+1,n)×(n,) matmul pair — MXU work instead
-    of m sequential dot kernels (SURVEY.md §7 "GMRES orthogonalisation
-    without host syncs").  Classical Gram-Schmidt with one
-    re-orthogonalisation pass (CGS2) for MGS-class stability.
+    orthogonalisation streams blocked (B,n)×(n,) matmul pairs — vector
+    work instead of m sequential dot kernels (SURVEY.md §7 "GMRES
+    orthogonalisation without host syncs").  Blocked MODIFIED
+    Gram-Schmidt, no re-orthogonalisation: MGS-GMRES is backward stable
+    (Paige/Rozložník/Strakoš 2006) and matches the reference's Ginkgo
+    GMRES.
   * Right preconditioning (solve A M⁻¹ u = b, x = x0 + M⁻¹ V y): the
     Arnoldi residual estimate equals the TRUE residual 2-norm, and the
     OpenFOAM criterion (1-norm + norm factor) is evaluated on a
@@ -36,6 +38,10 @@ _BLOCK = 8  # basis rows per block in the blocked Arnoldi access
 
 class _Inner(NamedTuple):
     V: Any  # (m+1, n) Krylov basis
+    v: Any  # (n,) the newest basis row V[j] as a flat vector — a single
+    # row of the tiled (mp, n) array occupies one sublane of every (8,128)
+    # tile, so reading V[j] directly costs ~8x its bytes; the flat copy
+    # makes the per-iteration A·M⁻¹·v_j read dense
     H: Any  # (m+1, m) Hessenberg
     cs: Any  # (m,) Givens cosines
     sn: Any  # (m,) Givens sines
@@ -68,6 +74,15 @@ def gmres(ops: Ops, b, x0, cfg: StoppingConfig, krylov_dim: int = 100, history_l
     x0 = jnp.asarray(x0, dtype)
     hard_cap = cfg.max_iter + cfg.frequency
     tiny = stopping.small_of(dtype) ** 2
+    # basis rows are stored as (R, 128) tile planes: a row of a flat
+    # (mp, n) array occupies one sublane of every (8,128) tile, making
+    # the per-iteration row write/read an ~8x-traffic strided RMW.  The
+    # 3-D layout keeps every row a dense run of whole tiles.
+    R = -(-n // 128)
+    npad = R * 128
+
+    def _plane(v):  # (n,) -> (R, 128), zero-padded
+        return jnp.pad(v, (0, npad - n)).reshape(R, 128)
 
     def x_at(x_restart, V, H, g, j):
         y = _solve_y(H, g, j, m)
@@ -81,10 +96,10 @@ def gmres(ops: Ops, b, x0, cfg: StoppingConfig, krylov_dim: int = 100, history_l
         def body(k, acc):
             vb = jax.lax.dynamic_slice_in_dim(V, k * B, B, axis=0)
             yb = jax.lax.dynamic_slice_in_dim(y, k * B, B, axis=0)
-            return acc + yb @ vb
+            return acc + jnp.einsum("b,brl->rl", yb, vb)
 
-        yV = jax.lax.fori_loop(0, nblk, body, jnp.zeros((n,), dtype))
-        return x_restart + ops.precond(yV)
+        yV = jax.lax.fori_loop(0, nblk, body, jnp.zeros((R, 128), dtype))
+        return x_restart + ops.precond(yV.reshape(-1)[:n])
 
     def inner_cond(c: _Inner):
         return jnp.logical_and(
@@ -95,10 +110,12 @@ def gmres(ops: Ops, b, x0, cfg: StoppingConfig, krylov_dim: int = 100, history_l
         r = b - ops.matvec(o.x)
         beta = ops.norm2(r)
         mp = -(-(m + 1) // _BLOCK) * _BLOCK  # padded to block multiple
-        V = jnp.zeros((mp, n), dtype).at[0].set(r / jnp.maximum(beta, tiny))
+        V = jnp.zeros((mp, R, 128), dtype).at[0].set(
+            _plane(r / jnp.maximum(beta, tiny)))
         g = jnp.zeros((m + 1,), dtype).at[0].set(beta)
         init = _Inner(
             V=V,
+            v=r / jnp.maximum(beta, tiny),
             H=jnp.zeros((m + 1, m), dtype),
             cs=jnp.zeros((m,), dtype),
             sn=jnp.zeros((m,), dtype),
@@ -143,51 +160,77 @@ def gmres(ops: Ops, b, x0, cfg: StoppingConfig, krylov_dim: int = 100, history_l
             # numerically inert (outputs discarded through the freeze).
             live = ~st.converged
             j = c.j
-            # Arnoldi with CGS2: w = A M^-1 v_j, orthogonalise vs V[:j+1].
+            # Arnoldi: w = A M^-1 v_j, orthogonalise vs V[:j+1] (MGS).
             # BLOCKED basis access: only the ceil((j+2)/B) leading
             # B-row blocks of V are read — a full-V masked matmul would
             # stream all m+1 rows every iteration (O(m·n) bytes) even
             # at j = 0.  Average traffic halves; early iterations cost
             # O(j·n).
-            w = ops.matvec(ops.precond(c.V[j]))
+            w = _plane(ops.matvec(ops.precond(c.v)))
             mp = c.V.shape[0]
             B = _BLOCK
             nblk = (j + 2 + B - 1) // B  # blocks covering rows 0..j+1
             mask = (jnp.arange(mp) <= j).astype(dtype)
 
-            def dots(V, w):
-                def body(k, h):
+            def mgs_pass(V, w):
+                """Blocked MODIFIED Gram-Schmidt: each B-row block is
+                projected out of w before the next block's dots, so the
+                dots and the subtraction share ONE stream over the live
+                basis prefix (CGS needed two, and its always-on second
+                pass two more — 4x the traffic of this pass; the basis
+                stream IS the GMRES iteration cost at 1M).  MGS is also
+                what the reference's Ginkgo GMRES uses.  The per-block
+                dots are allreduced, so every rank steps its collectives
+                identically."""
+                def body(k, carry):
+                    w, h = carry
                     vb = jax.lax.dynamic_slice_in_dim(V, k * B, B, axis=0)
-                    return jax.lax.dynamic_update_slice_in_dim(
-                        h, vb @ w, k * B, axis=0)
-                h = jax.lax.fori_loop(0, nblk, body, jnp.zeros((mp,), dtype))
-                return ops.allreduce(h) * mask
+                    mb = jax.lax.dynamic_slice_in_dim(mask, k * B, B, axis=0)
+                    hb = ops.allreduce(jnp.einsum("brl,rl->b", vb, w)) * mb
+                    return (w - jnp.einsum("b,brl->rl", hb, vb),
+                            jax.lax.dynamic_update_slice_in_dim(
+                                h, hb, k * B, axis=0))
+                return jax.lax.fori_loop(
+                    0, nblk, body, (w, jnp.zeros((mp,), dtype)))
 
-            def subtract(V, h, w):
-                def body(k, w):
-                    vb = jax.lax.dynamic_slice_in_dim(V, k * B, B, axis=0)
-                    hb = jax.lax.dynamic_slice_in_dim(h, k * B, B, axis=0)
-                    return w - hb @ vb
-                return jax.lax.fori_loop(0, nblk, body, w)
-
-            h1 = dots(c.V, w)  # global dots
-            w = subtract(c.V, h1, w)
-            h2 = dots(c.V, w)  # re-orthogonalisation pass
-            w = subtract(c.V, h2, w)
-            h = h1 + h2
-            wnorm = ops.norm2(w)
+            # No re-orthogonalisation pass: MGS-GMRES is backward stable
+            # without one (Paige, Rozložník & Strakoš, SIMAX 2006 — the
+            # least-squares residual stays accurate even as the basis
+            # loses orthogonality), and the reference's Ginkgo GMRES also
+            # runs plain MGS.  A DGKS ω-test would fire on nearly every
+            # Arnoldi step (the projection removes most of w's mass by
+            # construction), doubling the dominant basis traffic for no
+            # observed iteration change.
+            w, h = mgs_pass(c.V, w)
+            wnorm = ops.norm2(w.reshape(-1))
             h = h.at[j + 1].set(wnorm)
             vrow = jnp.where(live, w / jnp.maximum(wnorm, tiny), c.V[j + 1])
             V = c.V.at[j + 1].set(vrow)
 
-            # apply previous Givens rotations to the new column
-            def rot(k, hcol):
-                a, bb = hcol[k], hcol[k + 1]
-                return hcol.at[k].set(c.cs[k] * a + c.sn[k] * bb).at[k + 1].set(
-                    -c.sn[k] * a + c.cs[k] * bb
-                )
+            # apply previous Givens rotations to the new column.  The chain
+            # (h[k], h[k+1]) <- rot_k is a first-order affine recurrence in
+            # t_k := h[k]-before-rot_k (t_{k+1} = -sn_k t_k + cs_k h0[k+1]),
+            # so the j sequential scalar steps of the naive fori_loop —
+            # ~j tiny device ops per iteration — collapse into one
+            # associative_scan over m affine maps.
+            kidx = jnp.arange(m)
+            live_rot = kidx < j
+            sn_e = jnp.where(live_rot, c.sn, 0.0)
+            cs_e = jnp.where(live_rot, c.cs, 1.0)
+            a_seq = -sn_e
+            b_seq = cs_e * h[1 : m + 1]
 
-            h = jax.lax.fori_loop(0, j, rot, h)
+            def comb(l, r):
+                return (l[0] * r[0], r[0] * l[1] + r[1])
+
+            A, Bc = jax.lax.associative_scan(comb, (a_seq, b_seq))
+            t = jnp.concatenate([h[:1], A * h[0] + Bc])  # t_k, k = 0..m
+            h = jnp.where(
+                jnp.arange(m + 1) < j,
+                cs_e[jnp.minimum(jnp.arange(m + 1), m - 1)] * t
+                + sn_e[jnp.minimum(jnp.arange(m + 1), m - 1)]
+                * jnp.pad(h[1 : m + 1], (0, 1)),
+                jnp.where(jnp.arange(m + 1) == j, t, h[: m + 1]))
             # new rotation annihilating h[j+1]
             denom = jnp.sqrt(h[j] ** 2 + h[j + 1] ** 2)
             csj = jnp.where(denom > tiny, h[j] / jnp.maximum(denom, tiny), 1.0)
@@ -196,6 +239,7 @@ def gmres(ops: Ops, b, x0, cfg: StoppingConfig, krylov_dim: int = 100, history_l
             g = c.g.at[j + 1].set(-snj * c.g[j]).at[j].set(csj * c.g[j])
             return _Inner(
                 V=V,
+                v=jnp.where(live, vrow.reshape(-1)[:n], c.v),
                 H=jnp.where(live, c.H.at[:, j].set(h[: m + 1]), c.H),
                 cs=jnp.where(live, c.cs.at[j].set(csj), c.cs),
                 sn=jnp.where(live, c.sn.at[j].set(snj), c.sn),
