@@ -312,6 +312,13 @@ def _foam_large_benches(dims):
     log(f"per-step (update+solve, steady state): {min(steps) * 1e3:.1f} ms, "
         f"iters={perf.n_iterations}, {min(steps) * 1e9 / max(perf.n_iterations, 1) / n:.3f} "
         "ns/iter/DOF incl. coefficient update")
+    slv = registry.global_registry.get_or_init("benchStep_solver", lambda: None)
+    if slv is not None and getattr(slv, "last_timings", None):
+        split = ", ".join(f"{k} {v * 1e3:.1f} ms"
+                          for k, v in sorted(slv.last_timings.items()))
+        log(f"per-step phase split (the update term is the host->device "
+            f"coefficient upload — tunnel-bound here, PCIe-class on a "
+            f"production part): {split}")
 
     # (b) GKOCG + Multigrid (precond TTL models the reference `caching` key)
     amg_controls = {"solver": "GKOCG", **base,

@@ -463,6 +463,10 @@ class FoamSolver:
             res = fn(self.matrix, pc_state, b_dev, x0, params)
             jax.block_until_ready(res.x)
         solve_t = self.timings["solve"]
+        # keep the last solve's phase breakdown inspectable (bench prints
+        # the update/solve split: the steady-state step cost on tunneled
+        # devices is dominated by the coefficient upload, not the solve)
+        self.last_timings = dict(self.timings)
         self.timings.clear()
 
         # ONE batched scalar fetch (each separate float()/int() costs a full
