@@ -66,6 +66,7 @@ def lib():
         p64 = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
         p32 = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
         pf = np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS")
+        pf32 = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
         L.ogl_init_local_sparsity.argtypes = [i64, i64, ctypes.c_int, p64, p64, p32, p32, p32]
         L.ogl_init_local_sparsity.restype = None
         L.ogl_ilu0.argtypes = [i64, p64, p32, pf]
@@ -77,8 +78,8 @@ def lib():
         L.ogl_sort_coo.argtypes = [i64, i64, p64, p64, p32, p32, p32]
         L.ogl_sort_coo.restype = None
         pu8 = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
-        L.ogl_isai_build.argtypes = [i64, p64, p32, pf, p64, p32, i64,
-                                     p32, pu8, pf, pf]
+        L.ogl_isai_build.argtypes = [i64, p64, p32, pf32, p64, p32, i64,
+                                     p32, pu8, pf32]
         L.ogl_isai_build.restype = None
         L.ogl_ilut.argtypes = [i64, p64, p32, pf, f64, i64, i64, p32, p32, pf, pf]
         L.ogl_ilut.restype = i64
@@ -149,24 +150,25 @@ def pgm_aggregate(n, indptr, cols, absvals):
 
 
 def isai_build(n, a_indptr, a_cols, a_vals, s_indptr, s_cols, k):
-    """Batched ISAI extraction: (J (n,k) int32, valid (n,k) bool,
-    G (n,k,k) f64, e (n,k) f64) or None when unavailable."""
+    """Batched ISAI extract-and-solve: (J (n,k) int32, valid (n,k) bool,
+    M (n,k) f32 — the solved approximate-inverse rows) or None when
+    unavailable.  The k x k local systems are solved inside the C++ call:
+    materialising the (n,k,k) batch and looping LAPACK over it was the
+    GISAI setup's dominant cost (and its largest allocation) at 1M DOF."""
     L = lib()
     if L is None:
         return None
     a_indptr = np.ascontiguousarray(a_indptr, np.int64)
     a_cols = np.ascontiguousarray(a_cols, np.int32)
-    a_vals = np.ascontiguousarray(a_vals, np.float64)
+    a_vals = np.ascontiguousarray(a_vals, np.float32)
     s_indptr = np.ascontiguousarray(s_indptr, np.int64)
     s_cols = np.ascontiguousarray(s_cols, np.int32)
     J = np.empty((n, k), np.int32)
     valid = np.empty((n, k), np.uint8)
-    G = np.empty((n, k, k), np.float64)
-    e = np.empty((n, k), np.float64)
+    M = np.empty((n, k), np.float32)
     L.ogl_isai_build(n, a_indptr, a_cols, a_vals, s_indptr, s_cols, k,
-                     J.reshape(-1), valid.reshape(-1), G.reshape(-1),
-                     e.reshape(-1))
-    return J, valid.astype(bool), G, e
+                     J.reshape(-1), valid.reshape(-1), M.reshape(-1))
+    return J, valid.astype(bool), M
 
 
 def ilut_triples(n, indptr, cols, vals, drop_tol=1e-4, fill_factor=10.0):

@@ -220,34 +220,41 @@ void ogl_sort_coo(int64_t nnz, int64_t n, const int64_t* in_rows,
   }
 }
 
-// ISAI batch extraction (setup of ogl_tpu.precond.isai; cf. Ginkgo
+// ISAI batch extract-and-solve (setup of ogl_tpu.precond.isai; cf. Ginkgo
 // preconditioner::Isai at reference Preconditioner.H:226-259): for each row
-// i with support J_i (pattern S, k-padded), fill G[i] = A[J_i, J_i] with
-// identity rows/cols on padding, the padded column sets J, validity mask,
-// and unit-vector rhs e.  O(n * k * (row_nnz + k)).
+// i with support J_i (pattern S, k-padded), build G = A[J_i, J_i] with
+// identity rows/cols on padding and solve G^T m = e_i IN PLACE (Gaussian
+// elimination with partial pivoting on the k x k local system) — emitting
+// only the solved M rows (n, k).  Solving here instead of returning the
+// (n, k, k) batch removes the setup's largest allocation (392 MB at 1M
+// DOF, k=7) and a LAPACK-per-row python loop.  Singular or diagonal-less
+// local systems fall back to the identity action m = e_i.
+// O(n * (k * row_nnz + k^3)).
 void ogl_isai_build(int64_t n, const int64_t* a_indptr, const int32_t* a_cols,
-                    const double* a_vals, const int64_t* s_indptr,
+                    const float* a_vals, const int64_t* s_indptr,
                     const int32_t* s_cols, int64_t k, int32_t* J,
-                    uint8_t* valid, double* G, double* e) {
-  std::vector<double> work(n, 0.0);
+                    uint8_t* valid, float* M) {
+  std::vector<float> work(n, 0.0f);
   std::vector<uint8_t> in_row(n, 0);
+  std::vector<double> H(k * k), rhs(k);  // local solves in f64: free here
   for (int64_t i = 0; i < n; ++i) {
     const int64_t ks = s_indptr[i], ke = s_indptr[i + 1];
     const int64_t ki = ke - ks;
     int32_t* Ji = J + i * k;
     uint8_t* vi = valid + i * k;
-    double* Gi = G + i * k * k;
-    double* ei = e + i * k;
+    float* Mi = M + i * k;
+    int64_t pos = 0;  // slot of column i (the unit-rhs position)
     for (int64_t a = 0; a < k; ++a) {
       Ji[a] = (a < ki) ? s_cols[ks + a] : static_cast<int32_t>(i);
       vi[a] = a < ki;
-      ei[a] = 0.0;
+      rhs[a] = 0.0;
+      if (vi[a] && Ji[a] == static_cast<int32_t>(i)) pos = a;
     }
-    // G rows: row a of G = A[J_a, J_b]
+    rhs[pos] = 1.0;
+    // H = G^T built directly: H[b*k+a] = G[a][b] = A[J_a, J_b]
     for (int64_t a = 0; a < k; ++a) {
-      double* Ga = Gi + a * k;
       if (!vi[a]) {
-        for (int64_t b = 0; b < k; ++b) Ga[b] = (a == b) ? 1.0 : 0.0;
+        for (int64_t b = 0; b < k; ++b) H[b * k + a] = (a == b) ? 1.0 : 0.0;
         continue;
       }
       const int64_t ra = Ji[a];
@@ -257,16 +264,54 @@ void ogl_isai_build(int64_t n, const int64_t* a_indptr, const int32_t* a_cols,
       }
       for (int64_t b = 0; b < k; ++b) {
         if (!vi[b]) {
-          Ga[b] = (a == b) ? 1.0 : 0.0;
+          H[b * k + a] = (a == b) ? 1.0 : 0.0;
         } else {
-          Ga[b] = in_row[Ji[b]] ? work[Ji[b]] : 0.0;
+          H[b * k + a] = in_row[Ji[b]] ? work[Ji[b]] : 0.0;
         }
       }
       for (int64_t p = a_indptr[ra]; p < a_indptr[ra + 1]; ++p) {
         work[a_cols[p]] = 0.0;
         in_row[a_cols[p]] = 0;
       }
-      if (Ji[a] == static_cast<int32_t>(i)) ei[a] = 1.0;
+    }
+    // diagonal-less row (padded Schwarz shards): identity action
+    bool ok = H[pos * k + pos] != 0.0;
+    if (ok) {
+      // in-place GE with partial pivoting on H, rhs
+      for (int64_t c = 0; c < k && ok; ++c) {
+        int64_t piv = c;
+        double best = std::abs(H[c * k + c]);
+        for (int64_t r2 = c + 1; r2 < k; ++r2) {
+          const double v = std::abs(H[r2 * k + c]);
+          if (v > best) { best = v; piv = r2; }
+        }
+        if (best < 1e-30) { ok = false; break; }
+        if (piv != c) {
+          for (int64_t b = c; b < k; ++b) std::swap(H[c * k + b], H[piv * k + b]);
+          std::swap(rhs[c], rhs[piv]);
+        }
+        const double inv = 1.0 / H[c * k + c];
+        for (int64_t r2 = c + 1; r2 < k; ++r2) {
+          const double f = H[r2 * k + c] * inv;
+          if (f == 0.0) continue;
+          for (int64_t b = c; b < k; ++b) H[r2 * k + b] -= f * H[c * k + b];
+          rhs[r2] -= f * rhs[c];
+        }
+      }
+    }
+    if (ok) {
+      for (int64_t c = k - 1; c >= 0; --c) {
+        double acc = rhs[c];
+        for (int64_t b = c + 1; b < k; ++b) acc -= H[c * k + b] * rhs[b];
+        rhs[c] = acc / H[c * k + c];
+      }
+      for (int64_t a = 0; a < k; ++a)
+        Mi[a] = vi[a] ? static_cast<float>(rhs[a]) : 0.0f;
+    } else {
+      for (int64_t a = 0; a < k; ++a) Mi[a] = 0.0f;
+      Mi[pos] = 1.0f;
+      for (int64_t a = 0; a < k; ++a) vi[a] = 0;
+      vi[pos] = 1;
     }
   }
 }

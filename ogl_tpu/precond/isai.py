@@ -59,12 +59,21 @@ def isai_triples(coo: Coo, sparsity_power: int = 1):
 
     from ogl_tpu import native
 
-    a = sp.csr_matrix((vals.astype(np.float64), (rows, cols)), shape=(n, n))
+    # f32 end-to-end: the extraction's G tensor (n, k, k) is the setup's
+    # largest allocation, and an approximate inverse gains nothing from
+    # f64 (Ginkgo extracts in value_type precision)
+    a = sp.csr_matrix((vals.astype(np.float32), (rows, cols)), shape=(n, n))
     a.sort_indices()
     nat = native.isai_build(n, a.indptr.astype(np.int64), a.indices, a.data,
                             s.indptr.astype(np.int64), s.indices, k)
     if nat is not None:
-        J, valid, G, e = nat
+        # native path solved the k x k systems in place: assemble directly
+        J, valid, m_rows = nat
+        m_rows = m_rows.astype(vals.dtype, copy=False)
+        mrows_all = np.repeat(np.arange(n, dtype=np.int32)[:, None], k, axis=1)
+        vmask = valid.reshape(-1)
+        return (mrows_all.reshape(-1)[vmask], J.reshape(-1)[vmask],
+                m_rows.reshape(-1)[vmask])
     else:
         # padded per-row column sets J_i (pad with the row itself; padded
         # positions get identity rows/cols in G so they solve to 0 coupling)
@@ -87,12 +96,12 @@ def isai_triples(coo: Coo, sparsity_power: int = 1):
         idx = np.searchsorted(keys_sorted, q)
         idx = np.clip(idx, 0, len(keys_sorted) - 1)
         hit = keys_sorted[idx] == q
-        G = np.where(hit, vals_sorted[idx], 0.0).reshape(n, k, k)
+        G = np.where(hit, vals_sorted[idx], 0.0).reshape(n, k, k).astype(np.float32)
         pad = ~valid
         eye = np.eye(k, dtype=bool)[None]
         G = np.where((pad[:, :, None] | pad[:, None, :]) & ~eye, 0.0, G)
         G = np.where(pad[:, :, None] & eye, 1.0, G)
-        e = np.zeros((n, k))
+        e = np.zeros((n, k), np.float32)
         pos = np.argmax(J == np.arange(n)[:, None], axis=1)
         e[np.arange(n), pos] = 1.0
 
@@ -104,7 +113,7 @@ def isai_triples(coo: Coo, sparsity_power: int = 1):
     pos = np.argmax(J == np.arange(n)[:, None], axis=1)
     bad = (G[np.arange(n), pos, pos] == 0.0) | ~np.any(e != 0.0, axis=1)
     if bad.any():
-        G[bad] = np.eye(k)
+        G[bad] = np.eye(k, dtype=G.dtype)
         e[bad] = 0.0
         e[bad, pos[bad]] = 1.0
         valid = valid.copy()
