@@ -134,10 +134,13 @@ def pack_fast(rows, cols, vals, n: int, max_planes: int = 48,
               vals=vals, shape=(n, n))
     diffs = cols - rows
     # cheap pre-check: distinct offsets bounded without a full unique —
-    # sample first, full unique only if the sample looks bounded
+    # sample first; confirm with a presence-table count (no nnz sort)
     sample = np.unique(diffs[:: max(1, len(diffs) // 65536)])
-    if len(sample) <= 64 and len(np.unique(diffs)) <= 64:
-        return coo_to_dia(coo)
+    if len(sample) <= 64:
+        present = np.zeros(2 * n - 1, np.bool_) if n else np.zeros(1, np.bool_)
+        present[diffs + (n - 1)] = True
+        if int(present.sum()) <= 64:
+            return coo_to_dia(coo)
     try:
         from ogl_tpu.kernels.gdia import gdia_from_coo
 

@@ -131,10 +131,13 @@ def build_hierarchy(coo: Coo, max_levels: int, min_coarse_rows: int,
                     dense_coarse_max: int = 4096):
     import scipy.sparse as sp
 
-    rows = np.asarray(jax.device_get(coo.rows)).astype(np.int64)
-    cols = np.asarray(jax.device_get(coo.cols)).astype(np.int64)
-    vals = np.asarray(jax.device_get(coo.vals)).astype(np.float64)
-    dtype = np.asarray(jax.device_get(coo.vals)).dtype
+    # keep the container's own dtypes end-to-end: the f64/int64 round-trip
+    # copied every array twice and doubled the hierarchy's memory traffic
+    # (a preconditioner setup gains nothing from f64 Galerkin sums)
+    rows = np.asarray(jax.device_get(coo.rows))
+    cols = np.asarray(jax.device_get(coo.cols))
+    vals = np.asarray(jax.device_get(coo.vals))
+    dtype = vals.dtype
     a = sp.csr_matrix((vals, (rows, cols)), shape=coo.shape)
     natural = aggregation == "natural"
 
@@ -271,8 +274,11 @@ def _ell_of(a_csr, dtype):
         vals=a.data.astype(dtype, copy=False),
         shape=a.shape,
     )
-    diffs = coo.cols.astype(np.int64) - coo.rows.astype(np.int64)
-    n_offs = len(np.unique(diffs))
+    # distinct-offset count via presence table (no nnz sort)
+    diffs = np.subtract(coo.cols, coo.rows, dtype=np.int64)
+    present = np.zeros(2 * a.shape[0] - 1, np.bool_)
+    present[diffs + (a.shape[0] - 1)] = True
+    n_offs = int(present.sum())
     if n_offs <= 64:
         return coo_to_dia(coo)
     try:
