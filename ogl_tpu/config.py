@@ -139,6 +139,19 @@ class SolverConfig:
     # Sell on TPU), the matrix is auto-packed into the fastest representable
     # format (Dia -> Gdia -> Ell) instead of the reference default Coo
     matrix_format_explicit: bool = True
+    # GKOIR `inner` sub-dictionary (reference GKOIR.H:47-52 requires
+    # subDict("inner") and builds an inner CG with its OWN OpenFOAM
+    # stopping criterion).  None keeps the preconditioned-Richardson
+    # behaviour (gko::solver::Ir's default identity inner solver).
+    inner_stopping: StoppingConfig | None = None
+    # storage precision of the INNER operator ("default" = solver dtype,
+    # or "bfloat16"): mixed-precision defect correction — the outer
+    # Richardson computes exact f32 residuals against the full-precision
+    # matrix, so the solve converges to f32 accuracy while the inner CG
+    # streams a half-width operator (TPU HBM-bandwidth lever; no
+    # reference analogue — Ginkgo's storage_optimization is commented out
+    # in GKOIR.H:92-93)
+    inner_precision: str = "default"
 
 
 _BOOL = {"true": True, "yes": True, "on": True, "1": True,
@@ -206,6 +219,29 @@ def parse_controls(controls: dict[str, Any]) -> SolverConfig:
     if fmt not in MATRIX_FORMATS:
         raise ValueError(f"matrixFormat {fmt!r} not in {MATRIX_FORMATS}")
 
+    # GKOIR inner-solver sub-dict (reference GKOIR.H:47-52): its own full
+    # stopping-key set, plus the TPU-only `precision` storage override
+    inner = g("inner", None)
+    inner_stopping = None
+    inner_precision = "default"
+    if isinstance(inner, dict):
+        ig = inner.get
+        inner_stopping = StoppingConfig(
+            tolerance=float(ig("tolerance", 1e-6)),
+            rel_tol=float(ig("relTol", 1e-6)),
+            min_iter=int(ig("minIter", 0)),
+            max_iter=int(ig("maxIter", 1000)),
+            adapt_min_iter=False,  # adaptation state belongs to the outer
+            relaxation_factor=float(ig("relaxationFactor", 0.6)),
+            res_norm_eval=float(ig("resNormEval", 0.1)),
+            norm_eval_limit=int(ig("normEvalLimit", 100)),
+            frequency=int(ig("evalFrequency", 1)),
+        )
+        inner_precision = str(ig("precision", "default"))
+        if inner_precision not in ("default", "float32", "bfloat16"):
+            raise ValueError(
+                f"inner precision {inner_precision!r}: use default|float32|bfloat16")
+
     return SolverConfig(
         solver=solver,
         executor=str(g("executor", "tpu")),
@@ -226,4 +262,6 @@ def parse_controls(controls: dict[str, Any]) -> SolverConfig:
         regenerate=_as_bool(g("regenerate", False)),
         dist_local_format=str(g("distLocalFormat", "auto")),
         matrix_format_explicit="matrixFormat" in controls,
+        inner_stopping=inner_stopping,
+        inner_precision=inner_precision,
     )

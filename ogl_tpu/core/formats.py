@@ -50,6 +50,7 @@ __all__ = [
     "coo_to_sell",
     "coo_to_hybrid",
     "with_values",
+    "cast_values",
     "ValueMap",
     "value_map",
 ]
@@ -507,6 +508,19 @@ def with_values(m, vals: Array):
             coo=dataclasses.replace(m.coo, vals=vals[esize:]),
         )
     return dataclasses.replace(m, vals=vals)
+
+
+def cast_values(m, dtype):
+    """Same-sparsity matrix with every floating leaf cast to `dtype`
+    (index arrays untouched).  Works for any format pytree — used for
+    reduced-precision operator storage (e.g. the bfloat16 inner operator
+    of mixed-precision GKOIR): kernels accumulate in f32, so only the
+    stored A-stream narrows."""
+    return jax.tree_util.tree_map(
+        lambda l: l.astype(dtype) if jnp.issubdtype(
+            jnp.asarray(l).dtype, jnp.floating) else l,
+        m,
+    )
 
 
 @_pytree

@@ -383,6 +383,56 @@ class FoamSolver:
 
                 return run_fused
 
+        # GKOIR with an `inner` sub-dict: inner CG with its own OpenFOAM
+        # criterion (reference create_default, GKOIR.H:58-78), optionally
+        # streaming a reduced-precision operator (mixed-precision defect
+        # correction — the outer residual uses the full-precision matrix,
+        # so the solve still converges to solver-dtype accuracy)
+        if name == "GKOIR" and self.cfg.inner_stopping is not None:
+            inner_params = stopping.StoppingParams.of(self.cfg.inner_stopping)
+            idt = {"bfloat16": jnp.bfloat16,
+                   "float32": jnp.float32}.get(self.cfg.inner_precision)
+            kern = None
+            if (
+                self.cfg.fused_cg
+                and isinstance(self.matrix, formats.Dia)
+                and diag_pc
+                and self.dtype == jnp.float32
+                and jax.default_backend() == "tpu"
+                and n >= (1 << 15)
+            ):
+                from ogl_tpu.kernels.fused import CgKernels
+
+                try:
+                    kern = CgKernels(n, self.matrix.offsets)
+                except ValueError:
+                    kern = None
+
+            def run_ir(mat, pc_state, b, x0, sp):
+                if kern is not None:
+                    from ogl_tpu.solve.cg_fused import cg_fused
+
+                    data3 = kern.pack_values(mat, dtype=idt)
+                    invd = pc_state if pcname == "BJ" else None
+
+                    def inner(r):
+                        return cg_fused(kern, data3, r, jnp.zeros_like(r),
+                                        inner_params, invd=invd).x
+                else:
+                    im = formats.cast_values(mat, idt) if idt is not None else mat
+                    iops = single_device_ops(
+                        spmv.matvec(im), n,
+                        precond=pc_apply(pc_state) if pc_apply is not None else None,
+                    )
+
+                    def inner(r):
+                        return cg(iops, r, jnp.zeros_like(r), inner_params).x
+
+                oops = single_device_ops(spmv.matvec(mat), n)
+                return ir(oops, b, x0, sp, inner_solve=inner, **kw)
+
+            return run_ir
+
         def run(mat, pc_state, b, x0, sp):
             ops = single_device_ops(
                 spmv.matvec(mat), n,

@@ -184,3 +184,23 @@ def test_fused_cg_with_framed_amg():
     assert bool(res_f.converged) and bool(res_r.converged)
     assert abs(int(res_f.iters) - int(res_r.iters)) <= 1
     np.testing.assert_allclose(np.asarray(res_f.x), x_true, atol=5e-2)
+
+
+def test_fused_inner_ir_bf16_interpret():
+    """Mixed-precision GKOIR shape on the fused kernels: inner CG streams
+    a bfloat16-packed data3 (kernels accumulate f32 in-kernel), outer
+    Richardson computes exact f32 residuals — converges to f32 tolerance."""
+    from ogl_tpu.solve.ir import ir
+
+    coo, mat, b, x_true = _setup((128, 8))
+    kern, _ = make_cg_kernels(mat, tile=16, interpret=True)
+    data3 = kern.pack_values(mat, dtype=jnp.bfloat16)
+    inner_cfg = StoppingConfig(tolerance=1e-2, rel_tol=0.0, max_iter=200)
+    outer_cfg = StoppingConfig(tolerance=1e-6, rel_tol=0.0, max_iter=50)
+    ops = single_device_ops(spmv.matvec(mat), mat.shape[0])
+    res = ir(ops, b, jnp.zeros_like(b), outer_cfg,
+             inner_solve=lambda r: cg_fused(
+                 kern, data3, r, jnp.zeros_like(r), inner_cfg).x)
+    assert bool(res.converged)
+    assert float(res.final_res_norm) < 1e-6
+    np.testing.assert_allclose(np.asarray(res.x), x_true, atol=5e-3)

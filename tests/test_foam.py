@@ -427,3 +427,49 @@ def test_log_parsing_and_validation(capsys):
     with _pt.raises(AssertionError):
         logs.validate_log("GKOCG:  Solving for p, Initial residual = 1, "
                           "Final residual = 2, No Iterations 5", "p")
+
+
+def test_ir_inner_cg():
+    """GKOIR with an `inner` sub-dict runs an inner CG with its own
+    OpenFOAM criterion (reference create_default, GKOIR.H:58-78): far
+    fewer outer iterations than preconditioned Richardson."""
+    m, b, x_true = _problem()
+    base = {"solver": "GKOIR", "executor": "reference", "tolerance": 1e-9,
+            "relTol": 0, "maxIter": 3000, "dtype": "float64"}
+    _, perf_rich = foam.solve("pIrPlain", m, b, {**base, "preconditioner": "BJ"})
+    x, perf = foam.solve("pIrInner", m, b, {
+        **base, "inner": {"tolerance": 1e-2, "relTol": 0, "maxIter": 200}})
+    assert perf.converged
+    np.testing.assert_allclose(np.asarray(x), x_true, atol=1e-6)
+    assert perf.final_residual < 1e-9
+    # each outer step removes ~2 orders of magnitude: outer count is tiny
+    assert perf.n_iterations < perf_rich.n_iterations / 4
+
+
+def test_ir_inner_bf16_defect_correction():
+    """Mixed precision: a bfloat16-packed inner operator still converges
+    the OUTER iteration to f32 accuracy — the outer residual is computed
+    against the full-precision matrix (defect correction)."""
+    m, b, x_true = _problem()
+    x, perf = foam.solve("pIrBf16", m, b, {
+        "solver": "GKOIR", "executor": "reference", "tolerance": 1e-6,
+        "relTol": 0, "maxIter": 3000, "dtype": "float32",
+        "inner": {"tolerance": 1e-2, "relTol": 0, "maxIter": 200,
+                  "precision": "bfloat16"}})
+    assert perf.converged
+    assert perf.final_residual < 1e-6  # f32 tolerance despite bf16 inner
+    np.testing.assert_allclose(np.asarray(x), x_true, atol=2e-3)
+
+
+def test_parse_inner_controls():
+    cfg = parse_controls({"solver": "GKOIR",
+                          "inner": {"tolerance": 1e-3, "maxIter": 77,
+                                    "precision": "bfloat16"}})
+    assert cfg.inner_stopping is not None
+    assert cfg.inner_stopping.tolerance == 1e-3
+    assert cfg.inner_stopping.max_iter == 77
+    assert cfg.inner_stopping.adapt_min_iter is False
+    assert cfg.inner_precision == "bfloat16"
+    assert parse_controls({"solver": "GKOIR"}).inner_stopping is None
+    with pytest.raises(ValueError, match="precision"):
+        parse_controls({"solver": "GKOIR", "inner": {"precision": "fp8"}})
