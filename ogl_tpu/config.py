@@ -101,6 +101,14 @@ class PrecondConfig:
     # Jacobi smoother sweeps per pre/post smooth (reference smoother_gen:
     # 2 IR iterations, Preconditioner.H:300-312)
     smoother_sweeps: int = 2
+    # storage precision of the preconditioner STATE ("default" = container
+    # dtype, or "bfloat16"): a preconditioner only steers the Krylov
+    # iteration, so narrowing its stored operator halves its HBM stream at
+    # the cost of (at most) a few extra outer iterations.  The TPU analogue
+    # of Ginkgo's block-Jacobi storage_optimization
+    # (precision_reduction::autodetect), which the reference leaves
+    # commented out (GKOIR.H:92-93).
+    value_precision: str = "default"
 
 
 @dataclasses.dataclass(frozen=True)
@@ -211,7 +219,12 @@ def parse_controls(controls: dict[str, Any]) -> SolverConfig:
             coarsening_rate=int(pg("coarseningRate", 8)),
             coarse_solver=str(pg("coarseSolver", "direct")),
             smoother_sweeps=int(pg("smootherSweeps", 2)),
+            value_precision=str(pg("precision", "default")),
         )
+        if precond.value_precision not in ("default", "float32", "bfloat16"):
+            raise ValueError(
+                f"preconditioner precision {precond.value_precision!r}: "
+                "use default|float32|bfloat16")
     else:
         precond = PrecondConfig(name=str(pc))
 

@@ -358,6 +358,20 @@ def build_schwarz(cfg, shards, n_local: int, dtype):
     shards: per-shard local-block COO triples (host rows, cols, vals).
     Returns (apply_fn, state_stack) for dist_solve's `precond=`.
     """
+    built = _build_schwarz_impl(cfg, shards, n_local, dtype)
+    if built is not None and cfg.value_precision in ("float32", "bfloat16"):
+        # reduced-precision state (fvSolution key `precision`) — same
+        # trade as the single-device path (precond.build): the Schwarz
+        # apply accumulates against the f32 residual, only the stored
+        # per-shard operators narrow
+        from ogl_tpu.core.formats import cast_values
+
+        apply_fn, state = built
+        return apply_fn, cast_values(state, jnp.dtype(cfg.value_precision))
+    return built
+
+
+def _build_schwarz_impl(cfg, shards, n_local: int, dtype):
     name = cfg.name
     if name == "none":
         return None

@@ -80,6 +80,23 @@ def build(cfg: PrecondConfig, coo: Coo, verbose: int = 0) -> "PrecondOp":
         (Preconditioner.H:201-214, 317-322: no with_approximate_select /
         zero-guess call); we reproduce the log-only behavior.
     """
+    op = _build_impl(cfg, coo, verbose)
+    if cfg.value_precision in ("float32", "bfloat16") and cfg.name != "none":
+        # reduced-precision STATE (fvSolution key `precision`): every
+        # floating leaf of the state pytree narrows; apply functions
+        # accumulate against the f32 residual (XLA promotes bf16·f32),
+        # so only the stored operator stream shrinks.  The AMG fused
+        # smoothers already pack bf16 coefficient blocks; this extends
+        # the same trade to every preconditioner.
+        import jax.numpy as jnp
+
+        from ogl_tpu.core.formats import cast_values
+
+        op.state = cast_values(op.state, jnp.dtype(cfg.value_precision))
+    return op
+
+
+def _build_impl(cfg: PrecondConfig, coo: Coo, verbose: int) -> "PrecondOp":
     name = cfg.name
     if not cfg.skip_sorting and name != "none":
         import numpy as np

@@ -197,15 +197,44 @@ def test_dist_single_device_iteration_parity():
     m, a, b, x_true = _problem((24, 24))
     controls = {"solver": "GKOCG", "tolerance": 1e-8, "relTol": 0,
                 "maxIter": 900, "dtype": "float64", "adaptMinIter": True}
+    def _pin_cost(key):
+        # the adapted check frequency derives from the MEASURED residual-
+        # eval cost ratio; pin it so load spikes on a 1-core CI box can't
+        # skew the two paths differently (the r2 drift this test guards
+        # against was algorithmic — a wrongly-measured ratio by 4 orders
+        # of magnitude — which a pinned equal ratio still exposes via
+        # prev_solve_iters feeding minIter)
+        slv = registry.global_registry.get_or_init(key, lambda: None)
+        slv._res_eval_time = 1.0
+        slv.props.prev_rel_res_cost = 30.0
+
     iters_single, iters_dist = [], []
     for step in range(3):
         _, p1 = foam.solve("pparity", m, b, controls if step == 0 else {})
+        _pin_cost("pparity_solver")
         iters_single.append(p1.n_iterations)
     mesh1 = Mesh(np.array(jax.devices()[:1]), ("x",))
     for step in range(3):
         _, p2 = foam.solve_distributed("pparity_d", m, b,
                                        controls if step == 0 else {},
                                        mesh=mesh1 if step == 0 else None)
+        _pin_cost("pparity_d_dist_solver")
         iters_dist.append(p2.n_iterations)
     for s, d in zip(iters_single, iters_dist):
         assert abs(s - d) <= 2, (iters_single, iters_dist)
+
+
+def test_dist_foam_schwarz_bf16_state():
+    """`precision bfloat16` narrows the per-shard Schwarz state; the solve
+    still converges to full tolerance (the residual uses the exact A)."""
+    m, a, b, x_true = _problem((16, 16))
+    base = {"solver": "GKOCG", "tolerance": 1e-8, "relTol": 0,
+            "maxIter": 600, "dtype": "float32"}
+    xf, pf = foam.solve_distributed("bfP32", m, b, {
+        **base, "preconditioner": {"preconditioner": "ILU"}})
+    xb, pb = foam.solve_distributed("bfP16", m, b, {
+        **base, "preconditioner": {"preconditioner": "ILU",
+                                   "precision": "bfloat16"}})
+    assert pb.converged
+    np.testing.assert_allclose(xb, x_true, atol=5e-4)
+    assert pb.n_iterations <= int(pf.n_iterations * 1.5) + 8

@@ -4,6 +4,7 @@ convergence intact.  Mirrors the reference's integration matrix
 {none, BJ, GISAI, ILU} × solvers (test/integration.yaml:29-87), extended
 with IC/ICT/ILUT/ISAI/Multigrid."""
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -262,3 +263,25 @@ def test_skip_sorting_false_sorts_input():
         for a, b in zip(jax.tree_util.tree_leaves(ref.state),
                         jax.tree_util.tree_leaves(got.state)):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+@pytest.mark.parametrize("name", ALL_NAMES)
+def test_precond_bf16_state(poisson, name):
+    """`precision bfloat16`: every floating state leaf narrows, the solve
+    still converges to the (full-precision) tolerance, and the iteration
+    count stays close to the f32 preconditioner's."""
+    coo, a, b, x_true = poisson
+    coof = formats.Coo(rows=coo.rows, cols=coo.cols,
+                       vals=jnp.asarray(coo.vals, jnp.float32), shape=coo.shape)
+    bf = jnp.asarray(b, jnp.float32)
+    base, _ = _iters(coof, bf, precond.build(PrecondConfig(name=name), coof))
+    op = precond.build(PrecondConfig(name=name, value_precision="bfloat16"), coof)
+    fl = [l for l in jax.tree_util.tree_leaves(op.state)
+          if jnp.issubdtype(jnp.asarray(l).dtype, jnp.floating)]
+    assert fl and all(l.dtype == jnp.bfloat16 for l in fl)
+    it, res = _iters(coof, bf, op)
+    # a preconditioner only steers the iteration: convergence is checked
+    # against the full-precision residual, so accuracy is unchanged and
+    # the rounding costs at most a few extra iterations
+    assert it <= int(base * 1.5) + 8
+    np.testing.assert_allclose(np.asarray(res.x), x_true, atol=5e-3)
