@@ -473,3 +473,37 @@ def test_parse_inner_controls():
     assert parse_controls({"solver": "GKOIR"}).inner_stopping is None
     with pytest.raises(ValueError, match="precision"):
         parse_controls({"solver": "GKOIR", "inner": {"precision": "fp8"}})
+
+
+def test_fv_solution_text_inner_and_precision():
+    """The fvSolution TEXT surface round-trips the GKOIR `inner` sub-dict
+    and the `precision` knobs into the parsed config."""
+    text = """
+    solvers
+    {
+        p
+        {
+            solver          GKOIR;
+            executor        cpu;
+            tolerance       1e-06;
+            inner
+            {
+                tolerance   1e-02;
+                maxIter     150;
+                precision   bfloat16;
+            }
+            preconditioner
+            {
+                preconditioner  Multigrid;
+                precision       bfloat16;
+            }
+        }
+    }
+    """
+    controls = dictionary.solver_controls(dictionary.parse(text), "p")
+    cfg = parse_controls(controls)
+    assert cfg.inner_stopping.tolerance == 1e-2
+    assert cfg.inner_stopping.max_iter == 150
+    assert cfg.inner_precision == "bfloat16"
+    assert cfg.precond.name == "Multigrid"
+    assert cfg.precond.value_precision == "bfloat16"
