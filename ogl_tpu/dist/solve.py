@@ -190,7 +190,8 @@ def dist_solve(
 def make_dist_solve_fn(dm: DistMatrix, mesh: Mesh, axis: str = "x",
                        solver: str = "GKOCG", precond_builder=None,
                        pc_apply=None, krylov_dim: int = 100,
-                       history_len: int = 0):
+                       history_len: int = 0, inner_params=None,
+                       inner_precision: str = "default"):
     """Build ONCE the jitted shard_map program for distributed solves.
 
     The returned fn(local_stack, halo_stack, b_stack, x0_stack,
@@ -221,7 +222,34 @@ def make_dist_solve_fn(dm: DistMatrix, mesh: Mesh, axis: str = "x",
         else:
             pc = None
         ops = dist_ops(local_m, halo_t, plan, global_n, axis, precond=pc)
-        res = solve_fn(ops, b, x0, sp, **kw)
+        if solver == "GKOIR" and inner_params is not None:
+            # inner CG with its own OpenFOAM criterion (reference
+            # create_default, GKOIR.H:58-78), distributed: the inner matvec
+            # still halo-exchanges and psums over the mesh; the Schwarz
+            # preconditioner steers the INNER iteration.  With
+            # inner_precision bfloat16 the inner streams half-width local
+            # and halo operators; the outer residual uses full precision
+            # (mixed-precision defect correction, cf. foam/solver.py).
+            idt = {"bfloat16": jnp.bfloat16,
+                   "float32": jnp.float32}.get(inner_precision)
+            if idt is not None:
+                from ogl_tpu.core.formats import cast_values
+
+                i_ops = dist_ops(
+                    cast_values(local_m, idt),
+                    (halo_t[0], halo_t[1], halo_t[2].astype(idt)),
+                    plan, global_n, axis, precond=pc)
+            else:
+                i_ops = ops
+            o_ops = dist_ops(local_m, halo_t, plan, global_n, axis)
+
+            def inner(r):
+                return cg(i_ops, r, jnp.zeros_like(r), inner_params).x
+
+            res = ir(o_ops, b, x0, sp, inner_solve=inner,
+                     history_len=kw.get("history_len", 0))
+        else:
+            res = solve_fn(ops, b, x0, sp, **kw)
         hist = res.history if res.history is not None else jnp.zeros((1,), b.dtype)
         return (
             res.x[None],

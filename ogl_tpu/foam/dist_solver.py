@@ -331,14 +331,20 @@ class DistFoamSolver:
             solver_name = "GKOIR" if cfg.solver == "GKOMultigrid" else cfg.solver
             hist_len = (cfg.stopping.max_iter + cfg.stopping.frequency
                         if cfg.export else 0)
-            key = ("general", solver_name, hist_len > 0)
+            inner_params = (stopping.StoppingParams.of(cfg.inner_stopping)
+                            if cfg.solver == "GKOIR"
+                            and cfg.inner_stopping is not None else None)
+            key = ("general", solver_name, hist_len > 0,
+                   inner_params is not None)
             if key not in self._compiled:
                 from ogl_tpu.dist.solve import make_dist_solve_fn
 
                 self._compiled[key] = make_dist_solve_fn(
                     dm, self.mesh, solver=solver_name,
                     pc_apply=self._precond[0] if self._precond else None,
-                    krylov_dim=cfg.krylov_dim, history_len=hist_len)
+                    krylov_dim=cfg.krylov_dim, history_len=hist_len,
+                    inner_params=inner_params,
+                    inner_precision=cfg.inner_precision)
             x_stack, res = self._compiled[key](
                 dm.local, dm.halo, bs, x0, sp,
                 self._precond[1] if self._precond else ())
@@ -485,7 +491,10 @@ class DistFoamSolver:
                 x0.astype(jnp.float32), invd, sp)
             x_stack = res.x
         else:
-            key = ("general", cfg.solver, False)
+            inner_params = (stopping.StoppingParams.of(cfg.inner_stopping)
+                            if cfg.solver == "GKOIR"
+                            and cfg.inner_stopping is not None else None)
+            key = ("general", cfg.solver, False, inner_params is not None)
             if key not in self._compiled:
                 from ogl_tpu.dist.solve import make_dist_solve_fn
 
@@ -494,7 +503,9 @@ class DistFoamSolver:
                 self._compiled[key] = make_dist_solve_fn(
                     dm, self.mesh, solver=solver_name,
                     pc_apply=self._precond[0] if self._precond else None,
-                    krylov_dim=cfg.krylov_dim, history_len=0)
+                    krylov_dim=cfg.krylov_dim, history_len=0,
+                    inner_params=inner_params,
+                    inner_precision=cfg.inner_precision)
             x_stack, res = self._compiled[key](
                 dm.local, dm.halo, bs, x0, sp,
                 self._precond[1] if self._precond else ())

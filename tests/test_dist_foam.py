@@ -238,3 +238,22 @@ def test_dist_foam_schwarz_bf16_state():
     assert pb.converged
     np.testing.assert_allclose(xb, x_true, atol=5e-4)
     assert pb.n_iterations <= int(pf.n_iterations * 1.5) + 8
+
+
+def test_dist_foam_ir_inner_bf16():
+    """Distributed GKOIR with an `inner` sub-dict: the inner CG halo-
+    exchanges and psums over the mesh under its own criterion; with
+    `precision bfloat16` the inner streams half-width local+halo operators
+    while the outer converges to f32 tolerance."""
+    m, a, b, x_true = _problem((16, 16))
+    base = {"solver": "GKOIR", "tolerance": 1e-6, "relTol": 0,
+            "maxIter": 900, "dtype": "float32"}
+    _, p_rich = foam.solve_distributed("dIrPlain", m, b, {
+        **base, "preconditioner": "BJ"})
+    xi, pi = foam.solve_distributed("dIrInner", m, b, {
+        **base, "preconditioner": "BJ",
+        "inner": {"tolerance": 1e-2, "maxIter": 300, "precision": "bfloat16"}})
+    assert pi.converged
+    assert pi.final_residual < 1e-6
+    np.testing.assert_allclose(xi, x_true, atol=1e-3)
+    assert pi.n_iterations * 4 < p_rich.n_iterations
