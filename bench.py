@@ -354,7 +354,30 @@ def _foam_large_benches(dims):
     except Exception as e:
         log(f"dist bench failed: {type(e).__name__}: {e}")
 
-    # (d) GKOGMRES + GISAI
+    # (d) mixed-precision GKOIR: outer f32 Richardson, inner CG streaming a
+    # bfloat16-packed operator (defect correction — converges to the f32
+    # tolerance; the inner rides the merged-kernel path with half the
+    # A-read bytes).  Compared against the unpreconditioned CG above.
+    try:
+        ir_controls = {"solver": "GKOIR", **base,
+                       "inner": {"tolerance": 1e-2, "relTol": 0,
+                                 "maxIter": 600, "precision": "bfloat16"}}
+        t0 = time.perf_counter()
+        _, perf = foam.solve("benchIrBf16", m, b, ir_controls)
+        log(f"GKOIR inner-bf16: first solve {time.perf_counter() - t0:.1f}s, "
+            f"outer iters={perf.n_iterations}")
+        ts = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            _, perf = foam.solve("benchIrBf16", m, b, ir_controls)
+            ts.append(time.perf_counter() - t0)
+        log(f"GKOIR inner-bf16 steady: {min(ts) * 1e3:.1f} ms, outer "
+            f"iters={perf.n_iterations}, converged={perf.converged}, "
+            f"final={perf.final_residual:.2e}")
+    except Exception as e:
+        log(f"GKOIR inner-bf16 bench failed: {type(e).__name__}: {e}")
+
+    # (e) GKOGMRES + GISAI
     gmres_controls = {"solver": "GKOGMRES", **base,
                       "preconditioner": {"preconditioner": "GISAI",
                                          "sparsityPower": 1, "caching": 30}}
