@@ -139,37 +139,45 @@ def main():
         flops=roofline.spmv_flops(rmat),
     )
     # Denominator: the spec-table peak can misdescribe the device actually
-    # behind a tunneled backend (the "TPU v5 lite" here sustains dense
-    # STREAM-triad ABOVE the v5e table number).  A roofline fraction is
-    # only defensible against a peak this same harness can demonstrate:
-    # use max(spec, measured dense-streaming), calibrated once and cached.
+    # behind a tunneled backend, and a STREAM-triad (2 reads : 1 write)
+    # under-measures what HBM sustains for the SpMV's READ-dominant mix
+    # (a 7-diagonal DIA iteration is ~8 reads : 1 write) — the r2/r3
+    # ">100% of peak" artifacts.  A roofline fraction is only defensible
+    # against a peak this same harness demonstrates with dense streaming
+    # of the SAME traffic mix: use max(spec, triad, read-dominant),
+    # calibrated once and cached.
     eff_peak = r.peak_gbps
     if on_tpu:
         speak_cache = os.path.join(
             os.path.dirname(os.path.abspath(__file__)),
             ".bench_cache_streampeak.json")
-        mpeak = None
+        mpeak = rpeak = None
         if os.path.exists(speak_cache):
             with open(speak_cache) as f:
                 d = json.load(f)
             if d.get("device_kind") == dev.device_kind:
                 mpeak = float(d["stream_gbps"])
-        if mpeak is None:
+                rpeak = d.get("read_gbps")
+        if mpeak is None or rpeak is None:
             try:
                 t0 = time.perf_counter()
                 mpeak = roofline.measure_stream_peak()
-                log(f"stream-peak calibration: {mpeak:.0f} GB/s "
+                rpeak = roofline.measure_read_peak()
+                log(f"stream-peak calibration: triad {mpeak:.0f} GB/s, "
+                    f"read-dominant {rpeak:.0f} GB/s "
                     f"({time.perf_counter() - t0:.0f}s, cached)")
                 with open(speak_cache, "w") as f:
                     json.dump({"device_kind": dev.device_kind,
-                               "stream_gbps": mpeak}, f)
+                               "stream_gbps": mpeak,
+                               "read_gbps": rpeak}, f)
             except Exception as e:  # calibration must never kill the metric
                 log(f"stream-peak calibration failed ({type(e).__name__}: "
                     f"{e}); denominator falls back to the spec table")
-                mpeak = 0.0
-        eff_peak = max(eff_peak, mpeak)
-        log(f"peak: spec {r.peak_gbps:.0f} GB/s, measured stream "
-            f"{mpeak:.0f} GB/s -> denominator {eff_peak:.0f} GB/s")
+                mpeak, rpeak = mpeak or 0.0, rpeak or 0.0
+        eff_peak = max(eff_peak, mpeak, rpeak or 0.0)
+        log(f"peak: spec {r.peak_gbps:.0f} GB/s, measured triad "
+            f"{mpeak:.0f} GB/s, read-dominant {rpeak or 0:.0f} GB/s "
+            f"-> denominator {eff_peak:.0f} GB/s")
     frac = r.gbps / eff_peak
     log(f"SpMV (n={rmat.shape[0]:,}): {r.seconds * 1e6:.1f} µs, "
         f"{r.gbps:.1f} GB/s ({100 * frac:.1f}% of {eff_peak:.0f} GB/s)")

@@ -42,6 +42,11 @@ def test_stream_peak_runs():
     assert bw > 0 and np.isfinite(bw)
 
 
+def test_read_peak_runs():
+    bw = roofline.measure_read_peak(read_streams=3, rows=256, chain_len=50)
+    assert bw > 0 and np.isfinite(bw)
+
+
 def test_sell_bytes_tracks_buckets():
     """spmv_bytes for SELL must use the bucketed footprint, not a
     global-max-width product."""
