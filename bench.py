@@ -324,9 +324,17 @@ def _foam_large_benches(dims):
     if slv is not None and getattr(slv, "last_timings", None):
         split = ", ".join(f"{k} {v * 1e3:.1f} ms"
                           for k, v in sorted(slv.last_timings.items()))
-        log(f"per-step phase split (the update term is the host->device "
-            f"coefficient upload — tunnel-bound here, PCIe-class on a "
-            f"production part): {split}")
+        log(f"per-step phase split (dispatches are async, so the blocking "
+            f"'solve' phase absorbs the queued host->device coefficient "
+            f"upload — tunnel-bound here, PCIe-class on a production "
+            f"part): {split}")
+    if slv is not None:
+        dt = slv.time_device_solve()
+        it = max(perf.n_iterations, 1)
+        log(f"per-step device-only solve (resident state, incl. one "
+            f"dispatch round trip): {dt * 1e3:.1f} ms, "
+            f"{dt * 1e6 / it:.1f} µs/iter, {dt * 1e9 / it / n:.4f} ns/iter/DOF"
+            f" — the step above minus this is upload/host cost")
 
     # (b) GKOCG + Multigrid (precond TTL models the reference `caching` key)
     amg_controls = {"solver": "GKOCG", **base,
@@ -359,6 +367,13 @@ def _foam_large_benches(dims):
             ts.append(time.perf_counter() - t0)
         log(f"dist GKOCG steady: {min(ts) * 1e3:.1f} ms, "
             f"iters={perf.n_iterations}, converged={perf.converged}")
+        dslv = registry.global_registry.get_or_init(
+            "benchDist_dist_solver", lambda: None)
+        if dslv is not None:
+            dt = dslv.time_device_solve()
+            it = max(perf.n_iterations, 1)
+            log(f"dist device-only solve (resident state): {dt * 1e3:.1f} ms,"
+                f" {dt * 1e6 / it:.1f} µs/iter")
     except Exception as e:
         log(f"dist bench failed: {type(e).__name__}: {e}")
 

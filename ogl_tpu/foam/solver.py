@@ -154,6 +154,7 @@ class FoamSolver:
         self._precond_op = None
         self._compiled = {}
         self._res_eval_time: float | None = None
+        self._redispatch = None
         self.props = registry.global_registry.properties(field_name)
         self.timings = common.Timings()
 
@@ -442,6 +443,27 @@ class FoamSolver:
 
         return run
 
+    def time_device_solve(self, reps: int = 3) -> float:
+        """Wall-time of ONE re-dispatch of the last solve's compiled program
+        on already-resident device state: no coefficient/RHS uploads, no
+        host setup — the device solve plus a single dispatch round trip.
+
+        A steady-state step additionally pays the (asynchronous)
+        host->device uploads, whose completion lands in whichever phase
+        blocks first; on tunneled/remote parts those dominate the step wall
+        clock, so the per-phase `timings` alone misattribute them.  This is
+        the honest 'solve' term of the split (cf. the reference's pure
+        solver->apply timing, lduLduBase.H:267-276)."""
+        if self._redispatch is None:
+            raise RuntimeError("no solve has run yet")
+        jax.block_until_ready(self._redispatch())  # settle any queued work
+        best = float("inf")
+        for _ in range(max(reps, 1)):
+            t0 = time.perf_counter()
+            jax.block_until_ready(self._redispatch())
+            best = min(best, time.perf_counter() - t0)
+        return best
+
     def solve(self, m: ldu.LduMatrix, b, psi=None, time_value: str | None = None) -> tuple[Any, SolverPerformance]:
         """One solve: returns (x, SolverPerformance).  `psi` is the initial
         guess (used when updateInitGuess, like the reference's dist_x).
@@ -513,6 +535,12 @@ class FoamSolver:
             res = fn(self.matrix, pc_state, b_dev, x0, params)
             jax.block_until_ready(res.x)
         solve_t = self.timings["solve"]
+        # NOTE on attribution: dispatches above (value upload, b upload)
+        # are asynchronous, so the first phase that blocks — this one —
+        # absorbs their completion.  time_device_solve() isolates the
+        # compiled solve on settled state.
+        _mat, _ps, _bd, _x0, _pp = self.matrix, pc_state, b_dev, x0, params
+        self._redispatch = lambda: fn(_mat, _ps, _bd, _x0, _pp).x
         # keep the last solve's phase breakdown inspectable (bench prints
         # the update/solve split: the steady-state step cost on tunneled
         # devices is dominated by the coefficient upload, not the solve)
