@@ -336,6 +336,20 @@ def _foam_large_benches(dims):
             f"{dt * 1e6 / it:.1f} µs/iter, {dt * 1e9 / it / n:.4f} ns/iter/DOF"
             f" — the step above minus this is upload/host cost")
 
+    # delta-update steady state: only the DIAG changes (the transient-CFD
+    # common case — fixed mesh + constant transport coefficients keep the
+    # off-diagonal blocks constant while ddt terms move diag/RHS); the
+    # per-block compare skips the unchanged uploads
+    steps = []
+    for i in range(3):
+        m2 = dc.replace(m, diag=m.diag * (1.0 + 1e-7 * (i + 1)))
+        t0 = time.perf_counter()
+        _, perf = foam.solve("benchStep", m2, b, {"solver": "GKOCG", **base})
+        steps.append(time.perf_counter() - t0)
+    up = getattr(slv, "last_blocks_uploaded", None) if slv is not None else None
+    log(f"per-step diag-only change (delta upload {up}): "
+        f"{min(steps) * 1e3:.1f} ms, iters={perf.n_iterations}")
+
     # (b) GKOCG + Multigrid (precond TTL models the reference `caching` key)
     amg_controls = {"solver": "GKOCG", **base,
                     "preconditioner": {"preconditioner": "Multigrid",

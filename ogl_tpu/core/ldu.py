@@ -270,9 +270,14 @@ def _assemble_from_src(src, permute, scale):
     return scale * jnp.take(src, permute, axis=0)
 
 
-def _host_src(sp: LduSparsity, m: LduMatrix, dtype):
-    """Concatenate the raw LDU blocks on the host (a memcpy — the
-    reference's bulk copy, HostMatrix.C:684-692)."""
+def _host_blocks(sp: LduSparsity, m: LduMatrix, dtype) -> list:
+    """The raw LDU source blocks [upper, (lower,) diag, (-local_iface)] as
+    separate host arrays, in _host_src's concatenation order.  Kept split
+    so consumers can upload only the blocks whose values changed since the
+    previous step (delta updates): in transient CFD the off-diagonal
+    (Laplacian) coefficients are often constant while only diag/RHS carry
+    the time-step terms, and the host->device coefficient upload dominates
+    the steady-state step cost."""
     parts = [np.asarray(m.upper, dtype)]
     if not sp.symmetric:
         parts.append(np.asarray(m.lower, dtype))
@@ -280,7 +285,22 @@ def _host_src(sp: LduSparsity, m: LduMatrix, dtype):
     if sp.n_local_iface:
         parts.append(-np.concatenate(
             [np.asarray(li.coeffs, dtype) for li in m.local_interfaces]))
-    return np.concatenate(parts)
+    return parts
+
+
+def _host_src(sp: LduSparsity, m: LduMatrix, dtype):
+    """Concatenate the raw LDU blocks on the host (a memcpy — the
+    reference's bulk copy, HostMatrix.C:684-692)."""
+    parts = _host_blocks(sp, m, dtype)
+    return np.concatenate(parts) if len(parts) > 1 else np.asarray(parts[0])
+
+
+@partial(jax.jit, donate_argnums=())
+def _assemble_from_blocks(blocks, permute, scale):
+    """Device-side concat of the (persistently resident) source blocks +
+    the row-major gather — the delta-update twin of _assemble_from_src."""
+    src = jnp.concatenate(blocks) if len(blocks) > 1 else blocks[0]
+    return scale * jnp.take(src, permute, axis=0)
 
 
 def assemble_coeffs_host_src(sp: LduSparsity, m: LduMatrix, dtype, scale=1.0):

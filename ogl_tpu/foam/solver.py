@@ -151,6 +151,9 @@ class FoamSolver:
         self._value_map = None
         self._coo_host_cache = None
         self._src_host = None
+        self._blocks_host = None  # raw LDU source blocks of the last update
+        self._blocks_prev = None  # private copies backing the delta compare
+        self._blocks_dev = None   # HBM-resident per-block uploads
         self._precond_op = None
         self._compiled = {}
         self._res_eval_time: float | None = None
@@ -223,11 +226,13 @@ class FoamSolver:
                 self._reorder = None
         if first or self.cfg.update_sys_matrix:
             with common.timed("update_local_matrix", self.cfg.verbose, self.field, self.timings):
-                # one bulk host concat (the reference's bulk copy,
-                # HostMatrix.C:684-692); the row-major gather happens where
-                # the values are consumed (host for conversions, device for
-                # the steady-state update)
-                self._src_host = ldu._host_src(self.sparsity, m, self.dtype)
+                # the raw LDU blocks stay SPLIT (the reference bulk-copies
+                # them contiguously, HostMatrix.C:684-692): the steady-state
+                # device path uploads only blocks whose values changed, and
+                # host consumers concat lazily (src_host); the row-major
+                # gather happens where the values are consumed
+                self._blocks_host = ldu._host_blocks(self.sparsity, m, self.dtype)
+                self._src_host = None  # lazy concat for host consumers
                 self._coo_host_cache = None  # invalidate lazy host values
                 self._n = m.n
             if first or self.matrix is None or self.cfg.regenerate:
@@ -250,12 +255,52 @@ class FoamSolver:
                         if self._reorder is not None else None)
                 with common.timed("update_device_values", self.cfg.verbose,
                                   self.field, self.timings):
-                    vals_dev = ldu._assemble_from_src(
-                        jnp.asarray(self._src_host), self._permute_dev,
-                        jnp.asarray(self.cfg.scaling, self._src_host.dtype))
+                    blocks_dev = self._upload_changed_blocks()
+                    vals_dev = ldu._assemble_from_blocks(
+                        blocks_dev, self._permute_dev,
+                        jnp.asarray(self.cfg.scaling, self.dtype))
                     if self._entry_order_dev is not None:
                         vals_dev = jnp.take(vals_dev, self._entry_order_dev, axis=0)
                     self.matrix = self._value_map.update(self.matrix, vals_dev)
+
+    def src_host(self) -> np.ndarray:
+        """The concatenated raw LDU source vector of the LAST update (lazy:
+        host consumers — format conversion, factorisation, export — pay the
+        concat only when they actually read values)."""
+        if self._src_host is None:
+            b = self._blocks_host
+            self._src_host = np.concatenate(b) if len(b) > 1 else np.asarray(b[0])
+        return self._src_host
+
+    def _upload_changed_blocks(self) -> tuple:
+        """Delta coefficient upload: per-block compare against the previous
+        step's values; only changed blocks cross the host->device boundary.
+        In transient CFD the off-diagonal blocks are often constant (fixed
+        mesh, constant transport coefficients) while diag/RHS carry the
+        time-step terms, and this upload dominates the steady-state step —
+        the reference always re-copies everything (HostMatrix.C:684-692).
+        np.array_equal early-exits on changed blocks, so the compare is
+        cheap exactly when it does not pay off."""
+        nb = len(self._blocks_host)
+        if self._blocks_prev is None or len(self._blocks_prev) != nb:
+            self._blocks_prev = [None] * nb
+            self._blocks_dev = [None] * nb
+        out = []
+        uploaded = 0
+        for i, blk in enumerate(self._blocks_host):
+            prev = self._blocks_prev[i]
+            dev = self._blocks_dev[i]
+            if (dev is None or prev is None or prev.shape != blk.shape
+                    or not np.array_equal(prev, blk)):
+                dev = jnp.asarray(blk)
+                self._blocks_dev[i] = dev
+                # private copy: a caller mutating its LDU arrays in place
+                # must not alias the compare baseline
+                self._blocks_prev[i] = np.array(blk)
+                uploaded += 1
+            out.append(dev)
+        self.last_blocks_uploaded = (uploaded, nb)
+        return tuple(out)
 
     def coo_host(self) -> formats.Coo:
         """Host-side COO of the CURRENT coefficients (lazy: the row-major
@@ -263,7 +308,7 @@ class FoamSolver:
         conversion, preconditioner factorisation, export)."""
         if self._coo_host_cache is None:
             scale = self.cfg.scaling
-            vals = self._src_host[np.asarray(self.sparsity.permute)]
+            vals = self.src_host()[np.asarray(self.sparsity.permute)]
             if scale != 1.0:
                 vals = vals * np.asarray(scale, vals.dtype)
             if self._reorder is not None:

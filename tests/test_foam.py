@@ -166,6 +166,57 @@ def test_coefficient_update_changes_solution():
     assert perf2.converged
 
 
+def test_delta_block_upload():
+    """Steady-state delta uploads: only changed LDU blocks cross the
+    host->device boundary (unchanged blocks are compared equal and their
+    HBM-resident upload is reused), and the solve still sees exactly the
+    current coefficients."""
+    import dataclasses
+
+    from ogl_tpu import registry
+
+    m, b, x_true = _problem()
+    controls = {
+        "solver": "GKOCG", "executor": "reference", "tolerance": 1e-10,
+        "relTol": 0, "maxIter": 500, "dtype": "float64",
+    }
+    x1, _ = foam.solve("pDelta", m, b, controls)
+    np.testing.assert_allclose(np.asarray(x1), x_true, atol=1e-6)
+    slv = registry.global_registry.get_or_init("pDelta_solver", lambda: None)
+
+    # step 2: first delta-tracked step seeds the baseline (all blocks up);
+    # step 2b: identical coefficients — nothing crosses the boundary
+    foam.solve("pDelta", dataclasses.replace(m), b, {})
+    assert slv.last_blocks_uploaded == (2, 2)  # (uploaded, total[upper,diag])
+    foam.solve("pDelta", dataclasses.replace(m), b, {})
+    assert slv.last_blocks_uploaded == (0, 2)
+
+    # step 3: diag-only change — exactly one block uploads, solution exact
+    m3 = dataclasses.replace(m, diag=m.diag + 1.0)
+    x3, perf3 = foam.solve("pDelta", m3, b, {})
+    assert slv.last_blocks_uploaded == (1, 2)
+    assert perf3.converged
+    a3 = _dense_of(m3)
+    np.testing.assert_allclose(
+        np.asarray(x3), np.linalg.solve(a3, np.asarray(b)), atol=1e-6)
+
+    # step 4: off-diagonal change — upper uploads too
+    m4 = dataclasses.replace(m3, upper=m3.upper * 1.5)
+    x4, perf4 = foam.solve("pDelta", m4, b, {})
+    assert slv.last_blocks_uploaded[0] >= 1
+    assert perf4.converged
+    a4 = _dense_of(m4)
+    np.testing.assert_allclose(
+        np.asarray(x4), np.linalg.solve(a4, np.asarray(b)), atol=1e-6)
+
+
+def _dense_of(m):
+    from ogl_tpu.core import formats as _f
+    from ogl_tpu.core import ldu as _l
+
+    return np.asarray(_f.to_dense(_l.ldu_to_coo_host(m, dtype=np.float64)))
+
+
 def test_export_writes_mtx(tmp_path):
     m, b, _ = _problem((6, 6))
     cwd = os.getcwd()
