@@ -103,22 +103,41 @@ def build_halo_plan(iface_lists, halo_size: int) -> HaloPlan:
     )
 
 
-def _rank_sources(m: ldu_mod.LduMatrix, dtype):
-    """The rank's source-value vector [upper | (lower) | diag |
-    -local_iface | -proc_iface] (signs applied; reference HostMatrix.C:204
-    negates interface bouCoeffs).  The local prefix is the shared
-    single-device layout (ldu._host_src) so the two paths cannot drift."""
+def _rank_source_blocks(m: ldu_mod.LduMatrix, dtype) -> list:
+    """The rank's source blocks [upper, (lower,) diag, (-local_iface,)
+    (-proc_iface)] (signs applied; reference HostMatrix.C:204 negates
+    interface bouCoeffs).  The local prefix is the shared single-device
+    layout (ldu._host_blocks) so the two paths cannot drift; blocks stay
+    split so steady-state updates can upload only changed ones."""
     sp_stub = ldu_mod.LduSparsity(
         n=m.n, n_faces=m.n_faces, symmetric=m.symmetric,
         rows=np.zeros(0, np.int32), cols=np.zeros(0, np.int32),
         permute=np.zeros(0, np.int32),
         n_local_iface=sum(len(li.rows) for li in m.local_interfaces),
     )
-    parts = [ldu_mod._host_src(sp_stub, m, dtype)]
+    parts = ldu_mod._host_blocks(sp_stub, m, dtype)
     if m.proc_interfaces:
         parts.append(-np.concatenate([np.asarray(pi.coeffs, dtype)
                                       for pi in m.proc_interfaces]))
-    return np.concatenate(parts) if len(parts) > 1 else parts[0]
+    return parts
+
+
+def _rank_sources(m: ldu_mod.LduMatrix, dtype):
+    """Concatenated _rank_source_blocks (the construction-time layout)."""
+    parts = _rank_source_blocks(m, dtype)
+    return np.concatenate(parts) if len(parts) > 1 else np.asarray(parts[0])
+
+
+@partial(jax.jit, static_argnames=("src_size",))
+def _stack_src_blocks(blocks, *, src_size):
+    """Per-rank tuples of (HBM-resident, delta-uploaded) source blocks ->
+    the padded (P, S+1) source stack, entirely on device (the trailing
+    slot stays 0: it is the parking slot pad gathers read)."""
+    rows = []
+    for blks in blocks:
+        src = jnp.concatenate(blks) if len(blks) > 1 else blks[0]
+        rows.append(jnp.pad(src, (0, src_size + 1 - src.shape[0])))
+    return jnp.stack(rows)
 
 
 @partial(jax.jit, static_argnames=("local_shape",))
@@ -234,10 +253,15 @@ class DistAssembler:
         """Per-shard local-block COO triples with CURRENT values (host) —
         what the Schwarz preconditioner setup factorises, the reference's
         dist_A->get_local_matrix() (Preconditioner.H:62-66).  Reuses the
-        source vectors computed by the most recent update/_src_stack of the
-        same step instead of re-concatenating every block."""
-        srcs = getattr(self, "_srcs_cache", None)
-        if srcs is None or len(srcs) != len(self._sp):
+        source blocks gathered by the most recent update of the same step
+        instead of re-concatenating every block."""
+        blks = getattr(self, "_blocks_cache", None)
+        if blks is not None and len(blks) == len(self._sp):
+            srcs = [np.concatenate(b) if len(b) > 1 else np.asarray(b[0])
+                    for b in blks]
+            if self.scale != 1.0:  # cached blocks are raw; _sources scales
+                srcs = [s * np.asarray(self.scale, s.dtype) for s in srcs]
+        else:
             srcs = [self._sources(m) for m in ranks]
         out = []
         for sp, src in zip(self._sp, srcs):
@@ -245,35 +269,59 @@ class DistAssembler:
                         src[sp.permute]))
         return out
 
-    def _src_stack(self, ranks) -> np.ndarray:
-        """Bulk-pack the raw per-rank LDU blocks into the padded (P, S+1)
-        source stack (host memcpy only; the trailing slot stays 0).
-        Validates that each rank's source length matches construction —
-        a changed face count means the sparsity changed and the cached
-        permute tables would silently gather stale positions."""
-        out = np.zeros((len(ranks), self._src_size + 1), self.dtype)
-        srcs = []
+    def _upload_changed_blocks(self, ranks) -> tuple:
+        """Delta coefficient upload, per (rank, block): only source blocks
+        whose values changed since the previous step cross the host->device
+        boundary (cf. FoamSolver._upload_changed_blocks — the single-device
+        twin); unchanged blocks reuse their HBM-resident upload.  Validates
+        that each rank's source length matches construction — a changed
+        face count means the sparsity changed and the cached permute tables
+        would silently gather stale positions."""
+        blks_host = []
         for i, m in enumerate(ranks):
-            src = self._sources(m)
-            if len(src) != self._src_lens[i]:
+            b = _rank_source_blocks(m, self.dtype)
+            if sum(len(x) for x in b) != self._src_lens[i]:
                 raise ValueError(
-                    f"rank {i}: source length {len(src)} != "
+                    f"rank {i}: source length {sum(len(x) for x in b)} != "
                     f"{self._src_lens[i]} at construction — the sparsity "
                     "changed; rebuild the DistAssembler")
-            out[i, : len(src)] = src
-            srcs.append(src)
-        self._srcs_cache = srcs  # reused by shard_triples in the same step
-        return out
+            blks_host.append(b)
+        if getattr(self, "_blk_prev", None) is None or \
+                len(self._blk_prev) != len(blks_host):
+            self._blk_prev = [[None] * len(b) for b in blks_host]
+            self._blk_dev = [[None] * len(b) for b in blks_host]
+        uploaded = total = 0
+        out = []
+        for i, blks in enumerate(blks_host):
+            row = []
+            for j, blk in enumerate(blks):
+                prev = self._blk_prev[i][j]
+                dev = self._blk_dev[i][j]
+                if (dev is None or prev is None or prev.shape != blk.shape
+                        or not np.array_equal(prev, blk)):
+                    dev = jnp.asarray(blk)
+                    self._blk_dev[i][j] = dev
+                    self._blk_prev[i][j] = np.array(blk)  # private baseline
+                    uploaded += 1
+                row.append(dev)
+                total += 1
+            out.append(tuple(row))
+        self.last_blocks_uploaded = (uploaded, total)
+        self._blocks_cache = blks_host  # raw blocks; shard_triples re-scales
+        return tuple(out)
 
     def update(self, ranks, scale=1.0) -> DistMatrix:
         """Steady-state coefficient update: same sparsity, new values — the
         distributed analogue of update_local_matrix_data /
         update_non_local_matrix_data + the device value overwrite
-        (HostMatrix.C:593-732, CsrMatrixWrapper.H:74-136)."""
-        src = jnp.asarray(self._src_stack(ranks))
+        (HostMatrix.C:593-732, CsrMatrixWrapper.H:74-136).  The blocks stay
+        raw on the host; `scaling` is folded into the device gather."""
+        blocks = self._upload_changed_blocks(ranks)
+        src = _stack_src_blocks(blocks, src_size=self._src_size)
         local_vals, halo_vals = _assemble_values(
             src, self._perm_local, self._dest_local, self._perm_halo,
-            jnp.asarray(scale, src.dtype), local_shape=self._local_shape,
+            jnp.asarray(self.scale * scale, self.dtype),
+            local_shape=self._local_shape,
         )
         dm = self.dm
         if isinstance(dm.local, DiaStack):

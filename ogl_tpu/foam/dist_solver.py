@@ -89,6 +89,10 @@ class DistFoamSolver:
 
     def _ranks_of(self, m):
         if isinstance(m, ldu_mod.LduMatrix):
+            if self.n_parts == 1 and not m.proc_interfaces:
+                # a 1-part decomposition is the matrix itself; skip the
+                # (value-copying) decompose on every steady-state step
+                return [m]
             return ldu_mod.decompose(m, self.n_parts)
         return list(m)
 

@@ -46,6 +46,34 @@ def test_dist_foam_steady_state_update():
     np.testing.assert_allclose(x2, x_true / 2, atol=1e-6)
 
 
+def test_dist_foam_delta_block_upload():
+    """Per-(rank, block) delta uploads in the dist steady state: unchanged
+    source blocks stay HBM-resident, a diag-only change re-uploads exactly
+    one block per rank, and solutions track the current coefficients."""
+    m, a, b, x_true = _problem((16, 8))
+    controls = {"solver": "GKOCG", "tolerance": 1e-10, "relTol": 0,
+                "maxIter": 600, "dtype": "float64"}
+    x1, _ = foam.solve_distributed("pDdist", m, b, controls)
+    np.testing.assert_allclose(x1, x_true, atol=1e-6)
+    slv = registry.global_registry.get("pDdist_dist_solver")
+
+    # identical step after the baseline seeds: nothing crosses the boundary
+    foam.solve_distributed("pDdist", dataclasses.replace(m), b, {})
+    up1, tot = slv.assembler.last_blocks_uploaded
+    foam.solve_distributed("pDdist", dataclasses.replace(m), b, {})
+    assert slv.assembler.last_blocks_uploaded == (0, tot)
+    assert up1 in (tot, 0)  # first tracked step may seed everything
+
+    # diag-only change: exactly one block per rank re-uploads
+    m3 = dataclasses.replace(m, diag=m.diag + 1.0)
+    x3, perf3 = foam.solve_distributed("pDdist", m3, b, {})
+    up3, _ = slv.assembler.last_blocks_uploaded
+    assert up3 == slv.n_parts
+    assert perf3.converged
+    np.testing.assert_allclose(
+        x3, np.linalg.solve(a + np.eye(m.n), np.asarray(b)), atol=1e-6)
+
+
 def test_dist_foam_from_rank_list():
     m, a, b, x_true = _problem((16, 8))
     parts = ldu.decompose(m, 8)
