@@ -302,7 +302,17 @@ class DistFoamSolver:
             # scale b alongside the matrix (reference lduLduBase.H:244-252)
             # so the solution is invariant under `scaling`
             b_host = b_host * np.asarray(cfg.scaling, self.dtype)
-        bs = jnp.asarray(split_vector(dm, b_host), self.dtype)
+        prev = getattr(self, "_b_prev", None)
+        if (prev is not None and getattr(self, "_bs_dev", None) is not None
+                and prev.shape == b_host.shape
+                and np.array_equal(prev, b_host)):
+            bs = self._bs_dev  # delta: unchanged RHS stays resident
+            self.last_rhs_uploaded = False
+        else:
+            bs = jnp.asarray(split_vector(dm, b_host), self.dtype)
+            self._bs_dev = bs
+            self._b_prev = np.array(b_host)  # private compare baseline
+            self.last_rhs_uploaded = True
         if psi is not None and cfg.update_init_guess:
             x0 = jnp.asarray(split_vector(dm, np.asarray(psi)), self.dtype)
         else:

@@ -544,8 +544,17 @@ class FoamSolver:
                 # matrix (lduLduBase.H:244-252 dist_b->scale), so the
                 # solution is invariant under `scaling`
                 b_host = b_host * np.asarray(cfg.scaling, self.dtype)
-            b_dev = jnp.asarray(b_host, self.dtype)
-            self._b_dev = b_dev
+            prev = getattr(self, "_b_prev", None)
+            if (prev is not None and getattr(self, "_b_dev", None) is not None
+                    and prev.shape == b_host.shape
+                    and np.array_equal(prev, b_host)):
+                b_dev = self._b_dev  # delta: unchanged RHS stays resident
+                self.last_rhs_uploaded = False
+            else:
+                b_dev = jnp.asarray(b_host, self.dtype)
+                self._b_dev = b_dev
+                self._b_prev = np.array(b_host)  # private compare baseline
+                self.last_rhs_uploaded = True
         if psi_host is not None and cfg.update_init_guess:
             x0 = jnp.asarray(psi_host, self.dtype)
         else:

@@ -73,6 +73,12 @@ def test_dist_foam_delta_block_upload():
     np.testing.assert_allclose(
         x3, np.linalg.solve(a + np.eye(m.n), np.asarray(b)), atol=1e-6)
 
+    # unchanged RHS is delta-skipped; a changed one re-uploads
+    assert slv.last_rhs_uploaded is False
+    x4, _ = foam.solve_distributed("pDdist", m3, np.asarray(b) * 2.0, {})
+    assert slv.last_rhs_uploaded is True
+    np.testing.assert_allclose(np.asarray(x4), 2.0 * np.asarray(x3), atol=1e-5)
+
 
 def test_dist_foam_from_rank_list():
     m, a, b, x_true = _problem((16, 8))

@@ -200,14 +200,21 @@ def test_delta_block_upload():
     np.testing.assert_allclose(
         np.asarray(x3), np.linalg.solve(a3, np.asarray(b)), atol=1e-6)
 
+    # unchanged RHS is also delta-skipped; a changed one re-uploads
+    assert slv.last_rhs_uploaded is False
+    b2 = np.asarray(b) * 2.0
+    x3b, _ = foam.solve("pDelta", m3, b2, {})
+    assert slv.last_rhs_uploaded is True
+    np.testing.assert_allclose(np.asarray(x3b), 2.0 * np.asarray(x3), atol=1e-5)
+
     # step 4: off-diagonal change — upper uploads too
     m4 = dataclasses.replace(m3, upper=m3.upper * 1.5)
-    x4, perf4 = foam.solve("pDelta", m4, b, {})
+    x4, perf4 = foam.solve("pDelta", m4, b2, {})
     assert slv.last_blocks_uploaded[0] >= 1
     assert perf4.converged
     a4 = _dense_of(m4)
     np.testing.assert_allclose(
-        np.asarray(x4), np.linalg.solve(a4, np.asarray(b)), atol=1e-6)
+        np.asarray(x4), np.linalg.solve(a4, np.asarray(b2)), atol=1e-6)
 
 
 def _dense_of(m):
