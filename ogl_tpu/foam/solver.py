@@ -59,6 +59,22 @@ _FORMAT_CONVERTERS = {
 _banner_shown: set[str] = set()
 
 
+@jax.jit  # module-level: one compile per matrix STRUCTURE, shared across
+def _res_eval_chain(mat, x, b, k):  # fields/instances (a method-local jit
+    """k chained residual-norm evaluations (the stopping criterion's
+    per-check cost, timed for adaptMinIter — lduLduBase.H:287-293).  The
+    matrix rides as a traced pytree so every field with the same format
+    reuses one compiled program."""
+    mv = spmv.matvec(mat)
+
+    def body(_, c):
+        xv, s = c
+        return xv * (1.0 - 1e-30 * s), s + jnp.abs(b - mv(xv)).sum()
+
+    _, s = jax.lax.fori_loop(0, k, body, (x, jnp.zeros((), x.dtype)))
+    return s
+
+
 class SolverPerformance(NamedTuple):
     """What OpenFOAM's solverPerformance reports back into the log."""
 
@@ -612,25 +628,17 @@ class FoamSolver:
         # time the criterion evaluation, CHAINED inside one program so the
         # per-call dispatch latency (large on tunneled devices) cancels
         if self._res_eval_time is None:
-            mv = spmv.matvec(self.matrix)
-
-            @jax.jit  # ONE program, trip count traced (compile once)
-            def f(x, b, k):
-                def body(_, c):
-                    x, s = c
-                    return x * (1.0 - 1e-30 * s), s + jnp.abs(b - mv(x)).sum()
-                _, s = jax.lax.fori_loop(0, k, body, (x, jnp.zeros((), x.dtype)))
-                return s
-
             k = 129  # long chain: the extra-eval time must clear RTT jitter
-            jax.block_until_ready(f(res.x, b_dev, 1))
-            jax.block_until_ready(f(res.x, b_dev, k))
+            f = lambda kk: jax.block_until_ready(
+                _res_eval_chain(self.matrix, res.x, b_dev, kk))
+            f(1)
+            f(k)  # both trip counts warm (k is traced: one compile)
             t_short = t_long = float("inf")
             for _ in range(3):
                 t0 = time.perf_counter()
-                jax.block_until_ready(f(res.x, b_dev, 1))
+                f(1)
                 t1 = time.perf_counter()
-                jax.block_until_ready(f(res.x, b_dev, k))
+                f(k)
                 t2 = time.perf_counter()
                 t_short = min(t_short, t1 - t0)
                 t_long = min(t_long, t2 - t1)
