@@ -335,7 +335,14 @@ class MultiProcAssembler:
     def update(self, my_ranks) -> DistMatrix:
         """Steady-state coefficient update from per-process rank data: pack
         this process's source rows, stage, and run the same jit'd gathers
-        as the single-controller path (sharded in, sharded out)."""
+        as the single-controller path (sharded in, sharded out).
+
+        Delta skip: every process compares its rows against the previous
+        step; a tiny allgather agrees whether ANY process changed — if none
+        did, the whole cross-host staging collective (and the assemble
+        dispatch) is skipped and the resident DistMatrix is reused.  The
+        agreement is collective, so processes can never diverge on whether
+        staging runs."""
         rows = []
         for i, m in enumerate(my_ranks):
             src = self._sources(m)
@@ -347,6 +354,15 @@ class MultiProcAssembler:
             out = np.zeros(self._src_size + 1, self.dtype)
             out[: len(src)] = src
             rows.append(out)
+        prev = getattr(self, "_rows_prev", None)
+        changed = (prev is None or len(prev) != len(rows)
+                   or any(not np.array_equal(p, r)
+                          for p, r in zip(prev, rows)))
+        flags = _allgather_payload(np.asarray([1.0 if changed else 0.0]))
+        self.last_update_staged = bool(flags[:, 1].any())
+        if not self.last_update_staged:
+            return self.dm
+        self._rows_prev = [np.array(r) for r in rows]
         src_stack = runtime.stage_stack(rows, self.mesh)
         local_vals, halo_vals = _assemble_values(
             src_stack, self._perm_local, self._dest_local, self._perm_halo,

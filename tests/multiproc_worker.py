@@ -105,6 +105,15 @@ def main():
     for i, x_i in zip(my_idx, xs2):
         np.testing.assert_allclose(x_i, x_true[offs[i]:offs[i + 1]] / 2,
                                    atol=1e-6)
+    assert s.assembler.last_update_staged is True  # values changed: staged
+    # identical step: the delta agreement must skip the staging collective
+    # on EVERY process, and the solution must still track the operator
+    xs3, perf3 = s.solve([dataclasses.replace(r) for r in my2], my_b)
+    assert s.assembler.last_update_staged is False
+    assert perf3.converged, perf3
+    for i, x_i in zip(my_idx, xs3):
+        np.testing.assert_allclose(x_i, x_true[offs[i]:offs[i + 1]] / 2,
+                                   atol=1e-6)
     print(f"MPFOAM OK {pid} iters={perf1.n_iterations}/{perf2.n_iterations}",
           flush=True)
 
