@@ -71,13 +71,15 @@ def test_from_ranks_cg_solves():
     np.testing.assert_allclose(gather_global(dm, x), x_true, atol=1e-6)
 
 
-def test_assembler_update_is_device_side():
+@pytest.mark.parametrize("local_format", ["auto", "Ell"])
+def test_assembler_update_is_device_side(local_format):
     """Distributed steady-state coefficient update (the reference's
     update_*_matrix_data + device value overwrite): new values, same
-    plan/sparsity, correct operator — via jit'd gathers, no repacking."""
+    plan/sparsity, correct operator — via jit'd gathers, no repacking.
+    Runs for both the DiaStack fast path and the EllStack fallback."""
     m = problems.poisson_ldu((12, 8))
     parts = ldu.decompose(m, 4)
-    asm = DistAssembler(parts)
+    asm = DistAssembler(parts, local_format=local_format)
     dm = asm.dm
     import dataclasses
 
