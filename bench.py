@@ -227,6 +227,37 @@ def main():
             f"({100 * cg_bytes / tpi / 1e9 / eff_peak:.0f}% of denominator, "
             f"working set ~{ws_mb:.0f} MB){note}")
 
+    # --- beyond-VMEM CG: the 8.4M-DOF case streams every iteration from
+    # HBM (~430 MB working set), so time/iter is the honest HBM-bound
+    # figure (the 1M headline above is VMEM-resident and faster) ---------
+    if on_tpu:
+        try:
+            from ogl_tpu.kernels.fused import CgKernels
+            from ogl_tpu.solve.cg_fused import cg_fused
+
+            n8 = rmat.shape[0]
+            kern8 = CgKernels(n8, rmat.offsets)
+            data38 = kern8.pack_values(rmat)
+            rng8 = np.random.default_rng(3)
+            x8 = rng8.normal(size=n8).astype(np.float32)
+            b8 = jax.jit(rmv)(jnp.asarray(x8), *r_ops)
+            sp8 = StoppingParams.of(StoppingConfig(
+                tolerance=1e-6, rel_tol=0.0, max_iter=2000, frequency=1))
+            solve8 = jax.jit(lambda b, sp, d3: cg_fused(
+                kern8, d3, b, jnp.zeros_like(b), sp))
+            r8 = solve8(b8, sp8, data38)
+            float(r8.final_res_norm)  # compile + warm
+            t8 = max(min(_timed(lambda: float(
+                solve8(b8, sp8, data38).final_res_norm))
+                for _ in range(3)) - rtt, 1e-9)
+            it8 = int(r8.iters)
+            log(f"CG 8.4M (beyond VMEM): {it8} iters, "
+                f"converged={bool(r8.converged)}, solve {t8 * 1e3:.1f} ms, "
+                f"time/iter {t8 / max(it8, 1) * 1e6:.1f} µs, "
+                f"time/iter/DOF {t8 / max(it8, 1) * 1e9 / n8:.4f} ns")
+        except Exception as e:
+            log(f"8.4M CG bench failed: {type(e).__name__}: {e}")
+
     # --- BASELINE.json config sweep (iteration counts; stderr only) ------
     if os.environ.get("OGL_BENCH_SWEEP", "1") != "0":
         try:

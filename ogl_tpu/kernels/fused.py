@@ -393,6 +393,12 @@ class CgKernels:
         k = maxoff // LANES + 1
         self.K = -(-k // 8) * 8
         r = math.ceil(n / LANES)
+        # wide stencils (large 3-D z-strides): the x window is (T + 2K)
+        # rows, so a tile below the halo is invalid and one comparable to
+        # it spends most of its DMA traffic on window overlap — raise the
+        # requested tile until the interior is >= 2x the halo (the row-
+        # count cap below still bounds it for small problems)
+        tile = max(tile, 2 * self.K)
         self.tile = min(tile, max(self.K, 8 * math.ceil(r / 8)))
         # guarantee >= 2 interior tiles when the row count allows: a pipeline
         # with exactly one interior tile (grid=3) never completes on v5e hw

@@ -46,6 +46,24 @@ def test_fused_matches_reference_cg(dims):
     np.testing.assert_allclose(np.asarray(res_f.x), x_true, atol=5e-2)
 
 
+def test_wide_stencil_raises_tile_to_cover_halo():
+    """Large 3-D z-strides make the halo exceed the default 512-row tile
+    (8.4M-DOF 256x256x128: offset ±65536 -> K=520).  The plan must raise
+    the tile (interior >= 2x halo) instead of rejecting — the foam auto
+    path otherwise silently loses the fused route for big problems."""
+    from ogl_tpu.kernels.fused import CgKernels
+
+    n = 256 * 256 * 128
+    offs = (-65536, -256, -1, 0, 1, 256, 65536)
+    kern = CgKernels(n, offs)
+    assert kern.K == 520
+    assert kern.tile >= 2 * kern.K
+    assert kern.rp % kern.tile == 0
+    # small problems with modest offsets keep the requested tile
+    k2 = CgKernels(1 << 16, (-128, -1, 0, 1, 128))
+    assert k2.tile <= 512
+
+
 def test_fused_with_jacobi_precond():
     coo, mat, b, x_true = _setup((128, 8))
     invd = jnp.asarray((1.0 / diagonal_of(coo)).astype(np.float32))
