@@ -445,6 +445,51 @@ def _foam_large_benches(dims):
     except Exception as e:
         log(f"GKOIR inner-bf16 bench failed: {type(e).__name__}: {e}")
 
+    # (e') GKOBiCGStab + BJ at the headline size (asymmetric-solver cost
+    # on the same operator; momentum-equation proxy)
+    try:
+        bi_controls = {"solver": "GKOBiCGStab", **base,
+                       "preconditioner": {"preconditioner": "BJ",
+                                          "maxBlockSize": 1}}
+        t0 = time.perf_counter()
+        _, perf = foam.solve("benchBi", m, b, bi_controls)
+        log(f"GKOBiCGStab+BJ: first solve {time.perf_counter() - t0:.1f}s, "
+            f"iters={perf.n_iterations}")
+        ts = []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            _, perf = foam.solve("benchBi", m, b, bi_controls)
+            ts.append(time.perf_counter() - t0)
+        bslv = registry.global_registry.get_or_init(
+            "benchBi_solver", lambda: None)
+        dt = bslv.time_device_solve() if bslv is not None else float("nan")
+        log(f"GKOBiCGStab+BJ steady: {min(ts) * 1e3:.1f} ms, "
+            f"iters={perf.n_iterations}, device-only {dt * 1e3:.1f} ms "
+            f"({dt * 1e6 / max(perf.n_iterations, 1):.0f} µs/iter)")
+    except Exception as e:
+        log(f"GKOBiCGStab bench failed: {type(e).__name__}: {e}")
+
+    # (e'') coupled GKOACG: the 3-component multivector solve the reference
+    # ships dead (aborting coupled ctor, HostMatrix.C:153-156)
+    try:
+        nc = 3
+        rngc = np.random.default_rng(7)
+        bc = rngc.normal(size=(n, nc)).astype(np.float32)
+        acg_controls = dict(base)  # GKOACG is its own entry point
+        t0 = time.perf_counter()
+        _, perfc = foam.solve_coupled("benchAcg", m, bc, acg_controls)
+        log(f"GKOACG ({nc}-component coupled): first solve "
+            f"{time.perf_counter() - t0:.1f}s, iters={perfc.n_iterations}")
+        ts = []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            _, perfc = foam.solve_coupled("benchAcg", m, bc, acg_controls)
+            ts.append(time.perf_counter() - t0)
+        log(f"GKOACG steady: {min(ts) * 1e3:.1f} ms, "
+            f"iters={perfc.n_iterations}, converged={perfc.converged}")
+    except Exception as e:
+        log(f"GKOACG bench failed: {type(e).__name__}: {e}")
+
     # (e) GKOGMRES + GISAI
     gmres_controls = {"solver": "GKOGMRES", **base,
                       "preconditioner": {"preconditioner": "GISAI",

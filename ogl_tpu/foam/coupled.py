@@ -93,13 +93,11 @@ class CoupledFoamSolver(FoamSolver):
         if key not in self._compiled:
             def run(mat, pcs, Bv, X0v, sp):
                 mv = spmv.matvec(mat)
-                pc = None
-                if pc_op is not None:
-                    one = pc_op.bind(pcs)
-                    # static unroll, not vmap: preconditioner applies may
-                    # route through Pallas kernels (see solve/acg.py mvm)
-                    pc = lambda R: jnp.stack(
-                        [one(R[:, c]) for c in range(R.shape[1])], axis=1)
+                # cg_coupled takes the SINGLE-component apply and unrolls
+                # the component loop itself (its internal layout is
+                # components-as-rows; vmapping Pallas applies is not
+                # lowerable — see solve/acg.py)
+                pc = pc_op.bind(pcs) if pc_op is not None else None
                 return cg_coupled(mv, Bv, X0v, sp, precond=pc)
 
             jfn = jax.jit(run)

@@ -46,28 +46,38 @@ class _Carry(NamedTuple):
 
 def cg_coupled(mv, B, X0, cfg, precond=None) -> CoupledResult:
     """mv: (n,) -> (n,) scalar-operator SpMV; B, X0: (n, nc); cfg:
-    StoppingParams; precond: optional columnwise r -> M^-1 r (applied per
-    component with the same scalar M, the reference's BJ option)."""
+    StoppingParams; precond: optional SINGLE-component r -> M^-1 r (the
+    same scalar M applied per component, the reference's BJ option).
+
+    Internal layout is (nc, n) — components as ROWS: an (n, nc) block with
+    nc ~ 3 puts 3 useful lanes in every (8, 128) tile (~42x padded
+    traffic/ALU), and every per-component kernel launch needs an X[:, c]
+    column extract, which is a full relayout pass.  Row-major components
+    make elementwise recurrences dense and component slices contiguous
+    (measured ~4.1 -> ~0.5 ms/iter at 1M x 3).  The API stays (n, nc) —
+    one transpose in, one out."""
     dtype = B.dtype
     n, nc = B.shape
 
-    def mvm(X):
+    def mvm(X):  # X: (nc, n)
         # static unroll over the (few) components: vmapping the Pallas
         # matvec is not lowerable (manual-DMA HBM block specs can't take a
         # batch dim), and nc separate kernel launches pipeline fine
-        return jnp.stack([mv(X[:, c]) for c in range(nc)], axis=1)
+        return jnp.stack([mv(X[c]) for c in range(nc)], axis=0)
 
-    pc = (lambda R: R) if precond is None else precond
+    pc = (lambda R: R) if precond is None else (
+        lambda R: jnp.stack([precond(R[c]) for c in range(nc)], axis=0))
 
-    X0 = jnp.asarray(X0, dtype)
-    R0 = B - mvm(X0)
+    Bc = jnp.asarray(B, dtype).T
+    X0 = jnp.asarray(X0, dtype).T  # (nc, n)
+    R0 = Bc - mvm(X0)
 
     # per-component OpenFOAM norm factor (StoppingCriterion.C:32-69)
-    xavg = jnp.mean(X0, axis=0)  # (nc,)
-    axref = mvm(jnp.broadcast_to(xavg, (n, nc)))
-    b_sub = B - axref
-    nf = jnp.sum(jnp.abs(R0 - b_sub) + jnp.abs(b_sub), axis=0) + stopping.small_of(dtype)
-    rn0 = jnp.sum(jnp.abs(R0), axis=0) / nf
+    xavg = jnp.mean(X0, axis=1)  # (nc,)
+    axref = mvm(jnp.broadcast_to(xavg[:, None], (nc, n)))
+    b_sub = Bc - axref
+    nf = jnp.sum(jnp.abs(R0 - b_sub) + jnp.abs(b_sub), axis=1) + stopping.small_of(dtype)
+    rn0 = jnp.sum(jnp.abs(R0), axis=1) / nf
     hit0 = (rn0 < cfg.tolerance) | jnp.logical_and(
         cfg.rel_tol > 0, rn0 < cfg.rel_tol * rn0)
 
@@ -75,7 +85,7 @@ def cg_coupled(mv, B, X0, cfg, precond=None) -> CoupledResult:
     zero_it = jnp.zeros((nc,), jnp.int32)
 
     init = _Carry(
-        X=X0, R=R0, P=jnp.zeros_like(B),
+        X=X0, R=R0, P=jnp.zeros_like(Bc),
         rho_old=jnp.ones((nc,), dtype),
         it=jnp.asarray(0, jnp.int32),
         done=hit0, iters_at=zero_it,
@@ -91,7 +101,7 @@ def cg_coupled(mv, B, X0, cfg, precond=None) -> CoupledResult:
         # to the matvec, and lax.cond would copy the (n, nc) carry blocks
         # through both branches every iteration.
         fire = stopping.would_check(cfg, c.it)
-        rn_now = jnp.sum(jnp.abs(c.R), axis=0) / nf
+        rn_now = jnp.sum(jnp.abs(c.R), axis=1) / nf
         hit = (rn_now < cfg.tolerance) | jnp.logical_and(
             cfg.rel_tol > 0, rn_now < cfg.rel_tol * c.init_rn)
         hit = (hit | (c.it >= cfg.max_iter)) & fire
@@ -104,14 +114,14 @@ def cg_coupled(mv, B, X0, cfg, precond=None) -> CoupledResult:
 
         # per-component freezing is already mask-based (`live`); running the
         # update on the all-done exit iteration changes nothing reported
-        live = (~c.done).astype(dtype)  # (nc,)
+        live = (~c.done).astype(dtype)[:, None]  # (nc, 1)
         Z = pc(c.R)
-        rho = jnp.sum(c.R * Z, axis=0)
-        beta = jnp.where(c.it == 0, jnp.zeros((), dtype), rho / c.rho_old)
-        P = jnp.where(c.done, c.P, Z + beta * c.P)
+        rho = jnp.sum(c.R * Z, axis=1)
+        beta = jnp.where(c.it == 0, jnp.zeros((nc,), dtype), rho / c.rho_old)
+        P = jnp.where(c.done[:, None], c.P, Z + beta[:, None] * c.P)
         Q = mvm(P)
-        delta = jnp.sum(P * Q, axis=0)
-        alpha = live * rho / jnp.where(delta == 0, 1.0, delta)
+        delta = jnp.sum(P * Q, axis=1)
+        alpha = (rho / jnp.where(delta == 0, 1.0, delta))[:, None] * live
         return c._replace(
             X=c.X + alpha * P,
             R=c.R - alpha * Q,
@@ -125,7 +135,7 @@ def cg_coupled(mv, B, X0, cfg, precond=None) -> CoupledResult:
     sat = (out.rn < cfg.tolerance) | jnp.logical_and(
         cfg.rel_tol > 0, out.rn < cfg.rel_tol * out.init_rn)
     return CoupledResult(
-        X=out.X,
+        X=out.X.T,  # back to the (n, nc) API layout
         iters=iters,
         init_res_norm=out.init_rn,
         final_res_norm=out.rn,
