@@ -160,6 +160,14 @@ class FoamSolver:
         self.cfg = controls if isinstance(controls, SolverConfig) else parse_controls(controls)
         common.ensure_compilation_cache()
         self.device = _device_for(self.cfg.executor)
+        # fire-and-forget tiny transfer: the FIRST device op in a process
+        # pays the one-time backend/tunnel bring-up (seconds on remote
+        # parts); issuing it here lets it overlap the host-side sparsity/
+        # format setup instead of stalling the first upload
+        try:
+            jax.device_put(np.zeros(1, np.float32), self.device)
+        except Exception:
+            pass
         self.dtype = jnp.dtype(self.cfg.dtype)
         self.sparsity: ldu.LduSparsity | None = None
         self.matrix = None
