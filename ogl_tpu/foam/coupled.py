@@ -77,7 +77,16 @@ class CoupledFoamSolver(FoamSolver):
                 psi = psi[self._reorder[0]]
         if cfg.scaling != 1.0:
             B = B * np.asarray(cfg.scaling, self.dtype)
-        B_dev = jnp.asarray(B, self.dtype)
+        prev = getattr(self, "_B_prev", None)
+        if (prev is not None and getattr(self, "_B_dev", None) is not None
+                and prev.shape == B.shape and np.array_equal(prev, B)):
+            B_dev = self._B_dev  # delta: unchanged source stays resident
+            self.last_rhs_uploaded = False
+        else:
+            B_dev = jnp.asarray(B, self.dtype)
+            self._B_dev = B_dev
+            self._B_prev = np.array(B)  # private compare baseline
+            self.last_rhs_uploaded = True
         if psi is not None and cfg.update_init_guess:
             X0 = jnp.asarray(psi, self.dtype)
         else:
@@ -110,6 +119,8 @@ class CoupledFoamSolver(FoamSolver):
         with common.timed("solve", cfg.verbose, self.field, self.timings):
             res = fn(self.matrix, pc_state, B_dev, X0, params)
             jax.block_until_ready(res.X)
+        _mat, _ps, _B, _X0, _pp = self.matrix, pc_state, B_dev, X0, params
+        self._redispatch = lambda: fn(_mat, _ps, _B, _X0, _pp).X
         self.timings.clear()
 
         iters, init_rn, final_rn, conv = jax.device_get(
