@@ -79,11 +79,17 @@ class DistFoamSolver:
         step; see FoamSolver.time_device_solve."""
         if self._redispatch is None:
             raise RuntimeError("no solve has run yet")
-        jax.block_until_ready(self._redispatch())  # settle any queued work
+
+        # dependent scalar fetch, not block_until_ready: tunneled backends
+        # can acknowledge readiness before execution (cf. FoamSolver)
+        def run():
+            float(jnp.ravel(self._redispatch())[0])
+
+        run()  # settle any queued work
         best = float("inf")
         for _ in range(max(reps, 1)):
             t0 = time.perf_counter()
-            jax.block_until_ready(self._redispatch())
+            run()
             best = min(best, time.perf_counter() - t0)
         return best
 

@@ -525,11 +525,18 @@ class FoamSolver:
         solver->apply timing, lduLduBase.H:267-276)."""
         if self._redispatch is None:
             raise RuntimeError("no solve has run yet")
-        jax.block_until_ready(self._redispatch())  # settle any queued work
+
+        # force with a dependent scalar fetch: on tunneled backends
+        # block_until_ready can acknowledge before the device has executed
+        # (same reason roofline.measure_chained fetches a reduction)
+        def run():
+            float(jnp.ravel(self._redispatch())[0])
+
+        run()  # settle any queued work
         best = float("inf")
         for _ in range(max(reps, 1)):
             t0 = time.perf_counter()
-            jax.block_until_ready(self._redispatch())
+            run()
             best = min(best, time.perf_counter() - t0)
         return best
 
