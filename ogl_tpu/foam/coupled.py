@@ -118,13 +118,14 @@ class CoupledFoamSolver(FoamSolver):
 
         with common.timed("solve", cfg.verbose, self.field, self.timings):
             res = fn(self.matrix, pc_state, B_dev, X0, params)
-            jax.block_until_ready(res.X)
+            # batched scalar fetch inside the timed region: covers
+            # execution (block_until_ready can ack early on tunnels)
+            iters, init_rn, final_rn, conv = jax.device_get(
+                (res.iters, res.init_res_norm, res.final_res_norm,
+                 res.converged))
         _mat, _ps, _B, _X0, _pp = self.matrix, pc_state, B_dev, X0, params
         self._redispatch = lambda: fn(_mat, _ps, _B, _X0, _pp).X
         self.timings.clear()
-
-        iters, init_rn, final_rn, conv = jax.device_get(
-            (res.iters, res.init_res_norm, res.final_res_norm, res.converged))
         self.props.prev_solve_iters = int(np.max(iters))
 
         perf = CoupledSolverPerformance(

@@ -388,12 +388,12 @@ class DistFoamSolver:
             x_stack, res = _fn(dm.local, dm.halo, bs, x0, sp, _pcs)
             self._redispatch = lambda: _fn(
                 dm.local, dm.halo, bs, x0, sp, _pcs)[0]
-        jax.block_until_ready(x_stack)
-        solve_t = time.perf_counter() - t0
-
-        # one batched scalar fetch (separate fetches each pay a round trip)
+        # one batched scalar fetch, inside the timed window: avoids
+        # per-scalar round trips AND provably covers execution
+        # (block_until_ready can acknowledge early on tunneled backends)
         _it, _irn, _frn, _cv = jax.device_get(
             (res.iters, res.init_res_norm, res.final_res_norm, res.converged))
+        solve_t = time.perf_counter() - t0
         iters = int(np.asarray(_it).ravel()[0])
         time_per_iter = solve_t / max(iters, 1)
         if self._res_eval_time is None:
@@ -554,11 +554,9 @@ class DistFoamSolver:
             x_stack, res = _fn(dm.local, dm.halo, bs, x0, sp, _pcs)
             self._redispatch = lambda: _fn(
                 dm.local, dm.halo, bs, x0, sp, _pcs)[0]
-        jax.block_until_ready(x_stack)
-        solve_t = time.perf_counter() - t0
-
         _it, _irn, _frn, _cv = jax.device_get(
             (res.iters, res.init_res_norm, res.final_res_norm, res.converged))
+        solve_t = time.perf_counter() - t0
         iters = int(np.asarray(_it).ravel()[0])
         time_per_iter = solve_t / max(iters, 1)
         if self._res_eval_time is None:

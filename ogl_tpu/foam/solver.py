@@ -618,7 +618,13 @@ class FoamSolver:
 
         with common.timed("solve", cfg.verbose, self.field, self.timings):
             res = fn(self.matrix, pc_state, b_dev, x0, params)
-            jax.block_until_ready(res.x)
+            # ONE batched scalar fetch, inside the timed region: it both
+            # avoids per-scalar round trips (~30 ms each on tunneled
+            # devices) and provably covers execution — block_until_ready
+            # alone can acknowledge early on tunneled backends
+            iters, init_rn, final_rn, conv = jax.device_get(
+                (res.iters, res.init_res_norm, res.final_res_norm,
+                 res.converged))
         solve_t = self.timings["solve"]
         # NOTE on attribution: dispatches above (value upload, b upload)
         # are asynchronous, so the first phase that blocks — this one —
@@ -632,10 +638,6 @@ class FoamSolver:
         self.last_timings = dict(self.timings)
         self.timings.clear()
 
-        # ONE batched scalar fetch (each separate float()/int() costs a full
-        # host round trip — ~30 ms on tunneled devices, 4x per solve adds up)
-        iters, init_rn, final_rn, conv = jax.device_get(
-            (res.iters, res.init_res_norm, res.final_res_norm, res.converged))
         iters = int(iters)
         n = m.n
 
