@@ -189,7 +189,9 @@ class DistFoamSolver:
         k = 129  # long chain: the extra-eval time must clear RTT jitter
 
         def run(kk):
-            jax.block_until_ready(fn(dm.local, dm.halo, x_stack, b_stack, kk))
+            # scalar fetch forces execution (block_until_ready can ack
+            # early on tunneled backends)
+            float(fn(dm.local, dm.halo, x_stack, b_stack, kk))
 
         run(1)
         run(k)  # both trip counts warm (k is traced: one compile)

@@ -646,8 +646,9 @@ class FoamSolver:
         # per-call dispatch latency (large on tunneled devices) cancels
         if self._res_eval_time is None:
             k = 129  # long chain: the extra-eval time must clear RTT jitter
-            f = lambda kk: jax.block_until_ready(
-                _res_eval_chain(self.matrix, res.x, b_dev, kk))
+            # scalar fetch forces execution (block_until_ready can ack
+            # early on tunneled backends)
+            f = lambda kk: float(_res_eval_chain(self.matrix, res.x, b_dev, kk))
             f(1)
             f(k)  # both trip counts warm (k is traced: one compile)
             t_short = t_long = float("inf")
