@@ -72,6 +72,40 @@ def test_cavity_case_matrix(solver, pc, fmt):
         x_prev = np.asarray(x)
 
 
+def test_multi_field_time_loop():
+    """icoFoam-style loop: momentum (coupled GKOACG, 2 components) then
+    pressure (GKOCG) each time step, through the per-field persistent
+    solvers — programs and device caches must be reused across steps and
+    fields, solutions must track each step's operator, and the shared
+    residual-eval chain must not re-compile per field."""
+    import dataclasses
+
+    base = problems.poisson_ldu((10, 10))
+    rng = np.random.default_rng(3)
+    common_keys = {"executor": "reference", "tolerance": 1e-9, "relTol": 0,
+                   "maxIter": 2000, "dtype": "float64"}
+    from ogl_tpu.core import formats
+
+    for step in range(3):
+        mu = _cavity_like_step(base, step, rng)          # momentum operator
+        mp = dataclasses.replace(base, diag=base.diag + 0.05 * step)
+        BU = rng.normal(size=(mu.n, 2))
+        bp = rng.normal(size=mp.n)
+        XU, perf_u = foam.solve_coupled("U", mu, BU, common_keys)
+        xp, perf_p = foam.solve("p", mp, bp, {"solver": "GKOCG",
+                                              **common_keys})
+        assert perf_u.converged and perf_p.converged, step
+        au = formats.to_dense(ldu.ldu_to_coo_host(mu))
+        ap = formats.to_dense(ldu.ldu_to_coo_host(mp))
+        for c in range(2):
+            np.testing.assert_allclose(au @ np.asarray(XU)[:, c], BU[:, c],
+                                       atol=1e-6)
+        np.testing.assert_allclose(ap @ np.asarray(xp), bp, atol=1e-6)
+    u_slv = registry.global_registry.get("U_coupled_solver")
+    p_slv = registry.global_registry.get("p_solver")
+    assert len(u_slv._compiled) == 1 and len(p_slv._compiled) == 1
+
+
 def test_export_unique_across_time_steps(tmp_path):
     """data_validation.py:53-121 — exported matrices must exist and differ
     across time steps (proves coefficient updates reach the device)."""
