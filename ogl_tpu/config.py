@@ -12,6 +12,8 @@ user can paste their fvSolution solver sub-dict across:
   verbose            lduLduBase.H:49, default 0
   debug / export     lduLduBase.H:50,259
   forceHostBuffer / ranksPerGPU / reorderOnHost — accepted, no-ops on TPU
+  fusedCG true / pipelinedCG false — TPU-only path selectors beyond the
+      reference key set (merged-kernel CG; single-reduction CG variant)
   tolerance 1e-6, relTol 1e-6, minIter 0, maxIter 1000,
   adaptMinIter true, relaxationFactor 0.6, resNormEval 0.1,
   normEvalLimit 100, evalFrequency 1            StoppingCriterion.H:165-177
@@ -132,6 +134,13 @@ class SolverConfig:
     # use the merged-kernel CG path when eligible (GKOCG + Dia format +
     # diagonal preconditioning on TPU)
     fused_cg: bool = True
+    # single-reduction (Chronopoulos–Gear) CG: fuse the per-iteration
+    # <r,z>, <p,Ap> and ‖r‖₁ reductions into ONE psum — 3x fewer
+    # collective latencies per distributed iteration (solve/cg_pipe.py).
+    # Applies to GKOCG on the general and distributed paths; overrides the
+    # merged-kernel fast path when set (beyond-reference feature, no
+    # reference analogue)
+    pipelined_cg: bool = False
     # bandwidth-reducing renumbering applied at setup: "none" | "rcm"
     # (OpenFOAM renumberMesh analogue; reduces Gdia plane count)
     reorder: str = "none"
@@ -271,6 +280,7 @@ def parse_controls(controls: dict[str, Any]) -> SolverConfig:
         krylov_dim=int(g("krylovDim", 100)),
         dtype=str(g("dtype", "float32")),
         fused_cg=_as_bool(g("fusedCG", True)),
+        pipelined_cg=_as_bool(g("pipelinedCG", False)),
         reorder=str(g("reorder", "none")),
         regenerate=_as_bool(g("regenerate", False)),
         dist_local_format=str(g("distLocalFormat", "auto")),

@@ -28,6 +28,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 from ogl_tpu.core.formats import Dia
 from ogl_tpu.dist.partition import DistMatrix, HaloPlan, shard_local_matrix
 from ogl_tpu.solve import bicgstab, cg, gmres, ir
+from ogl_tpu.solve.cg_pipe import cg_pipelined
 from ogl_tpu.solve.krylov import Ops
 
 __all__ = ["halo_exchange", "dist_ops", "dist_solve", "local_diag",
@@ -103,7 +104,12 @@ def schwarz_block_jacobi_builder(block_size: int):
     return builder
 
 
-_SOLVERS = {"GKOCG": cg, "GKOBiCGStab": bicgstab, "GKOGMRES": gmres, "GKOIR": ir}
+_SOLVERS = {"GKOCG": cg, "GKOBiCGStab": bicgstab, "GKOGMRES": gmres,
+            "GKOIR": ir,
+            # single-reduction Chronopoulos–Gear CG: ONE psum per iteration
+            # instead of three (solve/cg_pipe.py; `pipelinedCG true` in the
+            # foam front end, or solver="GKOPipeCG" here directly)
+            "GKOPipeCG": cg_pipelined}
 
 
 def halo_exchange(x, plan: HaloPlan, axis: str):

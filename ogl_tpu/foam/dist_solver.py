@@ -138,6 +138,7 @@ class DistFoamSolver:
         ok = (
             cfg.solver == "GKOCG"
             and cfg.fused_cg
+            and not cfg.pipelined_cg  # explicit variant request wins
             and self.dtype == jnp.float32  # merged kernels are f32-framed
             and isinstance(dm.local, DiaStack)
             and 0 in dm.local.offsets
@@ -369,6 +370,8 @@ class DistFoamSolver:
             # GKOMultigrid = Richardson around the (Schwarz) AMG cycle,
             # exactly the single-device mapping
             solver_name = "GKOIR" if cfg.solver == "GKOMultigrid" else cfg.solver
+            if solver_name == "GKOCG" and cfg.pipelined_cg:
+                solver_name = "GKOPipeCG"  # single-reduction variant
             hist_len = (cfg.stopping.max_iter + cfg.stopping.frequency
                         if cfg.export else 0)
             inner_params = (stopping.StoppingParams.of(cfg.inner_stopping)
@@ -545,6 +548,8 @@ class DistFoamSolver:
 
                 solver_name = ("GKOIR" if cfg.solver == "GKOMultigrid"
                                else cfg.solver)
+                if solver_name == "GKOCG" and cfg.pipelined_cg:
+                    solver_name = "GKOPipeCG"  # single-reduction variant
                 self._compiled[key] = make_dist_solve_fn(
                     dm, self.mesh, solver=solver_name,
                     pc_apply=self._precond[0] if self._precond else None,

@@ -395,6 +395,13 @@ class FoamSolver:
             "GKOIR": ir,
             "GKOMultigrid": ir,
         }.get(name)
+        if name == "GKOCG" and self.cfg.pipelined_cg:
+            # single-reduction Chronopoulos–Gear variant (pipelinedCG true):
+            # one fused psum per iteration instead of three sequential
+            # reductions (solve/cg_pipe.py; no reference analogue)
+            from ogl_tpu.solve.cg_pipe import cg_pipelined
+
+            solver = cg_pipelined
         if solver is None:
             raise ValueError(f"unknown solver {name!r}; valid: {SOLVER_NAMES}")
         kw = {"krylov_dim": self.cfg.krylov_dim} if name == "GKOGMRES" else {}
@@ -418,6 +425,7 @@ class FoamSolver:
         if (
             name == "GKOCG"
             and self.cfg.fused_cg
+            and not self.cfg.pipelined_cg  # explicit variant request wins
             and isinstance(self.matrix, (formats.Dia, _Gdia))
             and (diag_pc or amg_framed)
             and self.dtype == jnp.float32  # merged kernels are f32-framed

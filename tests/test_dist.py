@@ -83,7 +83,8 @@ def test_dist_reductions(n_parts):
         np.testing.assert_allclose(row[2], v.sum() / a.shape[0], rtol=1e-12)
 
 
-@pytest.mark.parametrize("solver", ["GKOCG", "GKOBiCGStab", "GKOGMRES"])
+@pytest.mark.parametrize("solver", ["GKOCG", "GKOBiCGStab", "GKOGMRES",
+                                    "GKOPipeCG"])
 def test_dist_solve_matches_single_device(solver):
     coo, a = _poisson_coo((16, 16))
     n = a.shape[0]
@@ -102,10 +103,12 @@ def test_dist_solve_matches_single_device(solver):
     # iteration parity with single-device solve of the same system
     from ogl_tpu.kernels import spmv
     from ogl_tpu.solve import cg as cg_fn, bicgstab as bi_fn, gmres as gm_fn
+    from ogl_tpu.solve.cg_pipe import cg_pipelined
     from ogl_tpu.solve.krylov import single_device_ops
 
     ops = single_device_ops(spmv.matvec(coo), n)
-    fn = {"GKOCG": cg_fn, "GKOBiCGStab": bi_fn, "GKOGMRES": gm_fn}[solver]
+    fn = {"GKOCG": cg_fn, "GKOBiCGStab": bi_fn, "GKOGMRES": gm_fn,
+          "GKOPipeCG": cg_pipelined}[solver]
     ref = fn(ops, jnp.asarray(b), jnp.zeros(n), StoppingConfig(tolerance=1e-10, rel_tol=0.0, max_iter=600), **kw)
     it_dist, it_ref = int(np.asarray(res.iters).ravel()[0]), int(ref.iters)
     if solver == "GKOBiCGStab":

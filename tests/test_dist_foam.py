@@ -291,3 +291,27 @@ def test_dist_foam_ir_inner_bf16():
     assert pi.final_residual < 1e-6
     np.testing.assert_allclose(xi, x_true, atol=1e-3)
     assert pi.n_iterations * 4 < p_rich.n_iterations
+
+
+def test_dist_foam_pipelined_cg():
+    """Distributed GKOCG with `pipelinedCG true`: the shard_map program
+    runs the single-reduction variant (one psum per iteration) and must
+    match the classical distributed solve."""
+    m, a, b, x_true = _problem()
+    base = {"solver": "GKOCG", "tolerance": 1e-10, "relTol": 0,
+            "maxIter": 600, "dtype": "float64", "preconditioner": "BJ"}
+    registry.global_registry.clear()
+    _, perf_ref = foam.solve_distributed("pipeRef", m, b, base)
+    x, perf = foam.solve_distributed("pipeCg", m, b,
+                                     {**base, "pipelinedCG": True})
+    assert perf.converged
+    np.testing.assert_allclose(np.asarray(x), x_true, atol=1e-6)
+    assert abs(perf.n_iterations - perf_ref.n_iterations) <= 2
+
+    # steady-state coefficient update reuses the compiled pipelined program
+    import dataclasses as dc
+
+    m2 = dc.replace(m, diag=2 * m.diag, upper=2 * m.upper)
+    x2, perf2 = foam.solve_distributed("pipeCg", m2, b, {})
+    assert perf2.converged
+    np.testing.assert_allclose(np.asarray(x2), x_true / 2.0, atol=1e-6)

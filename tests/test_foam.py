@@ -565,3 +565,19 @@ def test_fv_solution_text_inner_and_precision():
     assert cfg.inner_precision == "bfloat16"
     assert cfg.precond.name == "Multigrid"
     assert cfg.precond.value_precision == "bfloat16"
+
+
+def test_pipelined_cg_front_end():
+    """`pipelinedCG true` routes GKOCG onto the single-reduction variant
+    (solve/cg_pipe.py) with identical results and near-identical iteration
+    counts."""
+    m, b, x_true = _problem()
+    base = {"solver": "GKOCG", "executor": "reference", "tolerance": 1e-9,
+            "relTol": 0, "maxIter": 3000, "dtype": "float64",
+            "preconditioner": "BJ"}
+    x_ref, perf_ref = foam.solve("pcgRef", m, b, base)
+    x_pipe, perf_pipe = foam.solve("pcgPipe", m, b,
+                                   {**base, "pipelinedCG": True})
+    assert perf_pipe.converged
+    np.testing.assert_allclose(np.asarray(x_pipe), x_true, atol=1e-6)
+    assert abs(perf_pipe.n_iterations - perf_ref.n_iterations) <= 2

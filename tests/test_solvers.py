@@ -178,3 +178,60 @@ def test_iteration_parity_across_precisions():
     r32 = cg(ops32, b32, jnp.zeros_like(b32), cfg)
     assert bool(r64.converged) and bool(r32.converged)
     assert abs(int(r64.iters) - int(r32.iters)) <= 2
+
+
+def test_pipelined_cg_matches_classical():
+    """Single-reduction (Chronopoulos–Gear) CG: identical iterates in exact
+    arithmetic, so the iteration count must match classical CG to rounding
+    order, on the same OpenFOAM criterion (solve/cg_pipe.py)."""
+    from ogl_tpu.solve.cg_pipe import cg_pipelined
+
+    mat, a, b, x_true = _setup((16, 16))
+    n = b.shape[0]
+    cfg = StoppingConfig(tolerance=1e-10, rel_tol=0.0, max_iter=500)
+
+    ops = single_device_ops(spmv.matvec(mat), n)
+    ref = cg(ops, b, jnp.zeros_like(b), cfg)
+    res = cg_pipelined(ops, b, jnp.zeros_like(b), cfg)
+    assert bool(res.converged)
+    np.testing.assert_allclose(np.asarray(res.x), x_true, atol=1e-6)
+    assert abs(int(res.iters) - int(ref.iters)) <= 2, (int(res.iters), int(ref.iters))
+    # criterion state agrees: same norm factor ⇒ same normalised residuals
+    np.testing.assert_allclose(float(res.init_res_norm), float(ref.init_res_norm),
+                               rtol=1e-10)
+
+
+def test_pipelined_cg_preconditioned_and_gated():
+    """Preconditioned variant (Jacobi) plus minIter/frequency gating: the
+    gating semantics ride stopping.check_from_norm and must match the
+    classical path's stopping.check decisions."""
+    from ogl_tpu.solve.cg_pipe import cg_pipelined
+
+    mat, a, b, x_true = _setup((16, 16))
+    n = b.shape[0]
+    diag = jnp.asarray(np.diag(a))
+    pc = lambda r: r / diag
+    cfg = StoppingConfig(tolerance=1e-9, rel_tol=0.0, max_iter=500,
+                         min_iter=7, frequency=3)
+    ops = single_device_ops(spmv.matvec(mat), n, precond=pc)
+    ref = cg(ops, b, jnp.zeros_like(b), cfg)
+    res = cg_pipelined(ops, b, jnp.zeros_like(b), cfg)
+    assert bool(res.converged) and bool(ref.converged)
+    np.testing.assert_allclose(np.asarray(res.x), x_true, atol=1e-6)
+    # both stop on a check iteration of the same gating grid
+    assert int(res.iters) >= 7 and (int(res.iters) % 3 == 0 or int(res.iters) >= 500)
+    assert abs(int(res.iters) - int(ref.iters)) <= 3, (int(res.iters), int(ref.iters))
+
+
+def test_pipelined_cg_history_export():
+    from ogl_tpu.solve.cg_pipe import cg_pipelined
+
+    mat, a, b, _ = _setup((8, 8))
+    cfg = StoppingConfig(tolerance=1e-8, rel_tol=0.0, max_iter=300)
+    ops = single_device_ops(spmv.matvec(mat), b.shape[0])
+    res = cg_pipelined(ops, b, jnp.zeros_like(b), cfg, history_len=310)
+    it = int(res.iters)
+    h = np.asarray(res.history)
+    assert h[0] == pytest.approx(float(res.init_res_norm))
+    # monotone-ish decay recorded through the converged iteration
+    assert h[it] <= 1e-8 or h[it] == 0.0
