@@ -4,6 +4,14 @@ TPU-native replacement for `gko::solver::Cg` as driven by GKOCG
 (reference Solver/CG/GKOCG.H:45-61): classical PCG recurrences with the
 OpenFOAM stopping criterion evaluated on-device before each update, so the
 whole solve is a single compiled program with no host syncs.
+
+Reduction grouping (distributed latency): ‖r‖₁ (criterion) and
+rho = <r,z> both depend only on the carried state, so their shard-local
+partials fuse into ONE psum; <p,Ap> is the second and last collective
+barrier of an iteration.  Arithmetic identical to separate reductions —
+iterates and iteration counts unchanged.  (The Chronopoulos–Gear variant
+in solve/cg_pipe.py goes further to a single barrier by rearranging the
+recurrences; this classical body keeps the textbook PCG data flow.)
 """
 
 from __future__ import annotations
@@ -42,12 +50,13 @@ def cg(ops: Ops, b, x0, cfg: StoppingConfig, history_len: int = 0) -> SolveResul
     x0 = jnp.asarray(x0, dtype)
     r0 = b - ops.matvec(x0)
 
+    nf = stopping.initial_norm_factor(ops, r0, x0, b)
     init = _CgCarry(
         x=x0,
         r=r0,
         p=jnp.zeros_like(b),
         rho_old=jnp.asarray(1.0, dtype),
-        stop=stopping.init_state(dtype, history_len),
+        stop=stopping.init_state(dtype, history_len).replace(norm_factor=nf),
     )
 
     # hard termination guard: gating can defer the maxIter check by at most
@@ -58,13 +67,16 @@ def cg(ops: Ops, b, x0, cfg: StoppingConfig, history_len: int = 0) -> SolveResul
         return jnp.logical_and(~c.stop.converged, c.stop.iter < hard_cap)
 
     def body(c: _CgCarry):
-        st = stopping.check(ops, cfg, c.stop, c.r, c.x, b)
+        # fused reduction group: criterion ‖r‖₁ + rho = <r,z> — one psum
+        z = ops.precond(c.r)
+        part = ops.allreduce(jnp.stack(
+            [jnp.sum(jnp.abs(c.r)), jnp.sum(c.r * z)]))
+        absr, rho = part[0], part[1]
+        st = stopping.check_from_norm(cfg, c.stop, absr)
         # branchless: a lax.cond here copies the whole vector carry through
         # both branches every iteration (measured ~2.6x on the fused path).
         # On the single iteration where converged flips, alpha:=0 freezes
         # x and r; p/rho_old drift but are dead — the while cond exits next.
-        z = ops.precond(c.r)
-        rho = ops.dot(c.r, z)
         beta = jnp.where(st.iter == 0, jnp.asarray(0.0, dtype), rho / c.rho_old)
         p = z + beta * c.p
         q = ops.matvec(p)

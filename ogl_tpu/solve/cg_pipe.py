@@ -72,7 +72,7 @@ def cg_pipelined(ops: Ops, b, x0, cfg: StoppingConfig,
     # norm factor up-front: check() computes it lazily at the first check
     # (iter 0), whose r/x ARE the initial ones — identical value, but
     # hoisting it out of the loop keeps the in-loop reduction count at one
-    nf = stopping._norm_factor(ops, r0, x0, b)
+    nf = stopping.initial_norm_factor(ops, r0, x0, b)
     st0 = stopping.init_state(dtype, history_len).replace(norm_factor=nf)
 
     one = jnp.asarray(1.0, dtype)

@@ -34,7 +34,7 @@ from ogl_tpu.config import StoppingConfig
 from ogl_tpu.solve.krylov import Ops
 
 __all__ = ["StopState", "init_state", "check", "check_from_norm",
-           "satisfied", "small_of"]
+           "initial_norm_factor", "satisfied", "small_of"]
 
 
 def small_of(dtype) -> float:
@@ -110,6 +110,15 @@ def _norm_factor(ops: Ops, r, x, b):
     b_sub = b - axref
     nf = ops.norm1(jnp.abs(r - b_sub) + jnp.abs(b_sub))
     return nf + small_of(r.dtype)
+
+
+def initial_norm_factor(ops: Ops, r0, x0, b):
+    """The OpenFOAM norm factor on the INITIAL state, for solvers that
+    hoist it out of the iteration loop (check() computes the same value
+    lazily at the first check, whose r/x are the initial ones) so the
+    in-loop criterion can ride a fused reduction via check_from_norm
+    (StoppingCriterion.C:32-69)."""
+    return _norm_factor(ops, r0, x0, b)
 
 
 def would_check(cfg: StoppingConfig, it):
