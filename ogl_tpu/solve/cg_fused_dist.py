@@ -198,10 +198,15 @@ def make_dist_cg_fused_fn(
             alpha = jnp.where(conv, jnp.asarray(0.0, dtype),
                               c.rho / delta.astype(dtype))
             xf, rf, zf, rho_new, absr = kern.k2(alpha, c.xf, c.rf, pf, qf, invdf)
+            # one psum for the K2 reduction group: rho' and ||r'||_1 are
+            # both shard-local partials of the same carried r', so they
+            # ride a single (2,) collective (same grouping as the
+            # classical paths' fused reductions; 3 -> 2 barriers/iter)
+            rho_absr = psum(jnp.stack([rho_new, absr]))
             return _Carry(
                 xf=xf, rf=rf, zf=zf, pf=pf, hp=hp,
-                rho=psum(rho_new).astype(dtype), rho_old=c.rho,
-                absr=psum(absr).astype(dtype),
+                rho=rho_absr[0].astype(dtype), rho_old=c.rho,
+                absr=rho_absr[1].astype(dtype),
                 stop=st.replace(iter=st.iter + jnp.where(conv, 0, 1)),
             )
 
