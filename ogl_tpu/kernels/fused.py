@@ -424,6 +424,20 @@ class CgKernels:
     def __eq__(self, other):
         return isinstance(other, CgKernels) and self._key() == other._key()
 
+    def _compiler_params(self, windows: int, blocks: int):
+        """Mosaic scoped-VMEM budget for the fused kernels.  The default
+        16 MB cap rejects tiles wide enough to amortise a large halo (the
+        z-plane stride of a 3-D operator needs K ~ stride/128 halo rows,
+        and the window is (T + 2K) — at T = 2K half the DMA traffic is
+        overlap).  `windows` counts manually double-buffered halo-window
+        streams (scratch_shapes), `blocks` counts BlockSpec-pipelined
+        (T, 128) streams (the coefficient block counts as nd of them)."""
+        T, K = self.tile, self.K
+        need = (2 * windows * (T + 2 * K) + 2 * blocks * T) * LANES * 4
+        return pltpu.CompilerParams(
+            vmem_limit_bytes=max(16 * 2**20, min(int(need * 1.25) + 2 * 2**20,
+                                                 120 * 2**20)))
+
     def pack_values(self, mat: Dia, dtype=None):
         """Dia values -> the (nd, Rp, 128) coefficient blocks (traced).
         dtype overrides the storage precision (e.g. bfloat16 for
@@ -480,6 +494,7 @@ class CgKernels:
                 pltpu.SemaphoreType.DMA((2,)),
             ],
             interpret=self.interpret,
+            compiler_params=self._compiler_params(windows=2, blocks=nd + 3),
         )(zf, pf, jnp.asarray(beta, self.dtype).reshape(1, 1), data3)
         return pout, q, jnp.sum(delta)
 
@@ -507,6 +522,7 @@ class CgKernels:
                 jax.ShapeDtypeStruct((self.grid * 8, LANES), jnp.float32),
             ),
             interpret=self.interpret,
+            compiler_params=self._compiler_params(windows=0, blocks=11),
         )(jnp.asarray(alpha, self.dtype).reshape(1, 1), xf, rf, pf, qf, invdf)
         return xo, ro, zo, jnp.sum(rho), jnp.sum(absr)
 
@@ -532,6 +548,7 @@ class CgKernels:
                 jax.ShapeDtypeStruct((self.grid * 8, LANES), jnp.float32),
             ),
             interpret=self.interpret,
+            compiler_params=self._compiler_params(windows=0, blocks=8),
         )(jnp.asarray(alpha, self.dtype).reshape(1, 1), xf, rf, pf, qf)
         return xo, ro, jnp.sum(absr)
 
@@ -570,6 +587,7 @@ class CgKernels:
                 pltpu.SemaphoreType.DMA((2,)),
             ],
             interpret=self.interpret,
+            compiler_params=self._compiler_params(windows=1, blocks=nd + 3),
         )(xf, jnp.asarray(relax, self.dtype).reshape(1, 1), data3, bf, invdf)
         return out
 
@@ -601,6 +619,7 @@ class CgKernels:
                 pltpu.SemaphoreType.DMA((2,)),
             ],
             interpret=self.interpret,
+            compiler_params=self._compiler_params(windows=1, blocks=nd + 2),
         )(xf, data3, bf)
         return out
 
@@ -643,6 +662,7 @@ class CgKernels:
                 pltpu.SemaphoreType.DMA((2, 3)),
             ],
             interpret=self.interpret,
+            compiler_params=self._compiler_params(windows=3, blocks=nd + 6),
         )(af, bf, cf, coef, rhatf, data3)
         d = dots.reshape(self.grid, 3, 8, LANES)
         return w, q, jnp.sum(d[:, 0]), jnp.sum(d[:, 1]), jnp.sum(d[:, 2])
@@ -671,6 +691,7 @@ class CgKernels:
                 jax.ShapeDtypeStruct((self.grid * 16, LANES), jnp.float32),
             ),
             interpret=self.interpret,
+            compiler_params=self._compiler_params(windows=0, blocks=10),
         )(coef, xf, pf, sf, tf, rhatf)
         d = dots.reshape(self.grid, 2, 8, LANES)
         return xo, ro, jnp.sum(d[:, 0]), jnp.sum(d[:, 1])
@@ -736,6 +757,7 @@ class GdiaCgKernels(CgKernels):
                 pltpu.SemaphoreType.DMA((2,)),
             ],
             interpret=self.interpret,
+            compiler_params=self._compiler_params(windows=2, blocks=2 * np_ + 3),
         )(zf, pf, jnp.asarray(beta, self.dtype).reshape(1, 1), vals, lidx)
         return pout, q, jnp.sum(delta)
 
