@@ -377,6 +377,21 @@ def _k2_kernel(alpha_ref, x_ref, r_ref, p_ref, q_ref, invd_ref,
         ((0, 7), (0, 0)))
 
 
+def _k2i_kernel(alpha_ref, x_ref, r_ref, p_ref, q_ref,
+                xout_ref, rout_ref, rho_ref, absr_ref):
+    """K2 for IDENTITY preconditioning (z ≡ r): drops the z write and the
+    invd read — 6 vector streams instead of 8.  ρ' = <r', r'>."""
+    alpha = alpha_ref[0, 0]
+    xout_ref[:] = x_ref[:] + alpha * p_ref[:]
+    ro = r_ref[:] - alpha * q_ref[:]
+    rout_ref[:] = ro
+    r32 = ro.astype(jnp.float32)
+    rho_ref[:] = jnp.pad(
+        jnp.sum(r32 * r32, axis=0, keepdims=True), ((0, 7), (0, 0)))
+    absr_ref[:] = jnp.pad(
+        jnp.sum(jnp.abs(r32), axis=0, keepdims=True), ((0, 7), (0, 0)))
+
+
 class CgKernels:
     """Merged-CG steps over a halo-framed (Rp + 2T, 128) vector layout.
 
@@ -525,6 +540,35 @@ class CgKernels:
             compiler_params=self._compiler_params(windows=0, blocks=11),
         )(jnp.asarray(alpha, self.dtype).reshape(1, 1), xf, rf, pf, qf, invdf)
         return xo, ro, zo, jnp.sum(rho), jnp.sum(absr)
+
+    # ---- K2 for identity preconditioning (z ≡ r) ------------------------
+    @functools.partial(jax.jit, static_argnums=0)
+    def k2i(self, alpha, xf, rf, pf, qf):
+        T = self.tile
+
+        def blk():
+            return pl.BlockSpec((T, LANES), lambda t: (t, 0), memory_space=pltpu.VMEM)
+
+        def pblk():
+            return pl.BlockSpec((8, LANES), lambda t: (t, 0),
+                                memory_space=pltpu.VMEM)
+
+        xo, ro, rho, absr = pl.pallas_call(
+            _k2i_kernel,
+            grid=(self.grid,),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                      blk(), blk(), blk(), blk()],
+            out_specs=(blk(), blk(), pblk(), pblk()),
+            out_shape=(
+                jax.ShapeDtypeStruct((self.frame_rows, LANES), self.dtype),
+                jax.ShapeDtypeStruct((self.frame_rows, LANES), self.dtype),
+                jax.ShapeDtypeStruct((self.grid * 8, LANES), jnp.float32),
+                jax.ShapeDtypeStruct((self.grid * 8, LANES), jnp.float32),
+            ),
+            interpret=self.interpret,
+            compiler_params=self._compiler_params(windows=0, blocks=8),
+        )(jnp.asarray(alpha, self.dtype).reshape(1, 1), xf, rf, pf, qf)
+        return xo, ro, jnp.sum(rho), jnp.sum(absr)
 
     # ---- K2 without z/rho (rich preconditioner variant) -----------------
     @functools.partial(jax.jit, static_argnums=0)

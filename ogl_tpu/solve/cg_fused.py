@@ -35,7 +35,7 @@ class _Carry(NamedTuple):
 
 
 def cg_fused(kern: CgKernels, data3, b, x0, cfg, invd=None, history_len: int = 0,
-             precond_framed=None) -> SolveResult:
+             precond_framed=None, identity_min_bytes: int = 90 * 10**6) -> SolveResult:
     """b, x0: flat (n,) arrays.  data3: kern.pack_values(mat) (traced, so
     coefficient updates reuse the compiled program).  invd: optional
     diagonal-preconditioner inverse (flat (n,)); None = identity.
@@ -45,13 +45,29 @@ def cg_fused(kern: CgKernels, data3, b, x0, cfg, invd=None, history_len: int = 0
     with no per-iteration frame/unframe traffic."""
     dtype = kern.dtype
     n = kern.n
+    # identity preconditioning (the unpreconditioned reference default):
+    # z ≡ r, so the z stream disappears — K1 reads r directly and K2
+    # drops the z write + invd read (8 -> 6 vector streams).  Measured on
+    # v5e (pinned-iteration sweeps): 1013 -> 672 µs/iter at 8.4M DOF,
+    # 330 -> 194 at 4M, 121 -> 102 at 2M — but a REGRESSION (33 -> 54)
+    # at 1M, where the whole working set fits VMEM and XLA keeps the
+    # solve VMEM-resident across iterations; the changed liveness (r
+    # consumed by both K1 and K2) evidently breaks that placement.  So
+    # the z-free variant is gated on the working set exceeding VMEM.
+    ws_bytes = (len(kern.offsets) + 6) * kern.rp * 128 * 4
+    identity = (invd is None and precond_framed is None
+                and ws_bytes > identity_min_bytes)
     bf = kern.frame(b)
     xf = kern.frame(x0)
     invdf = kern.frame(invd if invd is not None else jnp.ones((n,), dtype))
 
     rf = bf - kern.apply(data3, xf)
-    zf = precond_framed(rf) if precond_framed is not None else invdf * rf
-    rho0 = jnp.sum(rf * zf)
+    if identity:
+        zf = jnp.zeros((8, 128), dtype)  # placeholder carry leaf
+        rho0 = jnp.sum(rf * rf)
+    else:
+        zf = precond_framed(rf) if precond_framed is not None else invdf * rf
+        rho0 = jnp.sum(rf * zf)
     absr0 = jnp.sum(jnp.abs(rf))
 
     # norm factor (StoppingCriterion.C:32-69) on the initial state
@@ -85,9 +101,12 @@ def cg_fused(kern: CgKernels, data3, b, x0, cfg, invd=None, history_len: int = 0
         # but is dead — the while cond exits right after.
         conv = st.converged
         beta = jnp.where(st.iter == 0, jnp.asarray(0.0, dtype), c.rho / c.rho_old)
-        pf, qf, delta = kern.k1(data3, c.zf, c.pf, beta)
+        pf, qf, delta = kern.k1(data3, c.rf if identity else c.zf, c.pf, beta)
         alpha = jnp.where(conv, jnp.asarray(0.0, dtype), c.rho / delta)
-        if precond_framed is not None:
+        if identity:
+            xf, rf, rho_new, absr = kern.k2i(alpha, c.xf, c.rf, pf, qf)
+            zf = c.zf
+        elif precond_framed is not None:
             # K2 variant without the z/ρ outputs (z comes from the
             # preconditioner cycle; the diagonal z would be dead writes)
             xf, rf, absr = kern.k2n(alpha, c.xf, c.rf, pf, qf)

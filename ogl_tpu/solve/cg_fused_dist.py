@@ -100,6 +100,7 @@ def make_dist_cg_fused_fn(
     use_invd: bool = False,
     tile: int = 512,
     interpret: bool = False,
+    identity_min_bytes: int = 90 * 10**6,
 ):
     """Build ONCE the jitted distributed merged-kernel PCG program.
     Requires a DiaStack local operator (the fast stencil path); diagonal
@@ -112,6 +113,11 @@ def make_dist_cg_fused_fn(
         raise TypeError("dist_cg_fused needs a DiaStack local operator")
     n_local = dm.n_local
     kern = CgKernels(n_local, dm.local.offsets, tile, interpret)
+    # z-free identity variant only when the per-shard working set exceeds
+    # VMEM (see solve/cg_fused.py for the measured crossover)
+    identity = (not use_invd
+                and (len(kern.offsets) + 6) * kern.rp * 128 * 4
+                > identity_min_bytes)
     frame_off = kern.tile * LANES
     global_n = dm.global_n
     dtype = kern.dtype
@@ -140,8 +146,16 @@ def make_dist_cg_fused_fn(
             return qf
 
         rf = bf - dist_apply(xf)
-        zf = invdf * rf
-        rho0 = psum(jnp.sum(rf * zf))
+        # identity preconditioning (z ≡ r): the z stream disappears — K1
+        # reads r, K2 drops the z write + invd read.  Gated on the shard
+        # working set exceeding VMEM, exactly as in solve/cg_fused.py
+        # (below that the VMEM-resident z-carried loop is faster).
+        if identity:
+            zf = jnp.zeros((8, LANES), dtype)  # placeholder carry leaf
+            rho0 = psum(jnp.sum(rf * rf))
+        else:
+            zf = invdf * rf
+            rho0 = psum(jnp.sum(rf * zf))
         absr0 = psum(jnp.sum(jnp.abs(rf)))
 
         # OpenFOAM norm factor on the initial state (StoppingCriterion.C:32-69)
@@ -184,12 +198,13 @@ def make_dist_cg_fused_fn(
             conv = st.converged
             beta = jnp.where(st.iter == 0, jnp.asarray(0.0, dtype),
                              c.rho / c.rho_old)
+            zlike = c.rf if identity else c.zf
             if plan.offsets:
-                hz = _exchange_framed(c.zf, plan, axis, frame_off)
+                hz = _exchange_framed(zlike, plan, axis, frame_off)
                 hp = hz + beta * c.hp
             else:
                 hp = c.hp
-            pf, qf, d1 = kern.k1(data3, c.zf, c.pf, beta)
+            pf, qf, d1 = kern.k1(data3, zlike, c.pf, beta)
             if plan.offsets:
                 qf, d2 = _halo_corr(qf, pf, hp, halo, frame_off)
                 delta = psum(d1 + d2)
@@ -197,7 +212,12 @@ def make_dist_cg_fused_fn(
                 delta = psum(d1)
             alpha = jnp.where(conv, jnp.asarray(0.0, dtype),
                               c.rho / delta.astype(dtype))
-            xf, rf, zf, rho_new, absr = kern.k2(alpha, c.xf, c.rf, pf, qf, invdf)
+            if identity:
+                xf, rf, rho_new, absr = kern.k2i(alpha, c.xf, c.rf, pf, qf)
+                zf = c.zf
+            else:
+                xf, rf, zf, rho_new, absr = kern.k2(
+                    alpha, c.xf, c.rf, pf, qf, invdf)
             # one psum for the K2 reduction group: rho' and ||r'||_1 are
             # both shard-local partials of the same carried r', so they
             # ride a single (2,) collective (same grouping as the

@@ -222,3 +222,19 @@ def test_fused_inner_ir_bf16_interpret():
     assert bool(res.converged)
     assert float(res.final_res_norm) < 1e-6
     np.testing.assert_allclose(np.asarray(res.x), x_true, atol=5e-3)
+
+
+def test_fused_identity_zfree_variant_matches():
+    """The z-free identity-preconditioning variant (K2i; selected above a
+    working-set threshold on hardware) produces the same iterates as the
+    z-carried path: with invd = 1 exactly, rho = <r, 1*r> == <r, r>
+    bitwise, so iteration counts and solutions must agree."""
+    coo, mat, b, x_true = _setup((128, 8))
+    kern, data3 = make_cg_kernels(mat, tile=16, interpret=True)
+    res_z = cg_fused(kern, data3, b, jnp.zeros_like(b), CFG,
+                     identity_min_bytes=1 << 60)  # force z-carried
+    res_i = cg_fused(kern, data3, b, jnp.zeros_like(b), CFG,
+                     identity_min_bytes=0)  # force z-free K2i
+    assert bool(res_i.converged)
+    assert int(res_i.iters) == int(res_z.iters)
+    np.testing.assert_array_equal(np.asarray(res_i.x), np.asarray(res_z.x))

@@ -68,3 +68,32 @@ def test_dist_cg_fused_jacobi():
     assert bool(np.asarray(res.converged).all())
     err = np.abs(gather_global(dm, res.x) - x_true).max()
     assert err < 1e-2, err
+
+
+def test_dist_cg_fused_identity_zfree_variant_matches():
+    """The z-free identity variant (K2i, selected above a working-set
+    threshold on hardware) is bitwise-equivalent to the z-carried path
+    with invd = 1 — identical iterates across the halo/psum iteration."""
+    from ogl_tpu.solve.cg_fused_dist import make_dist_cg_fused_fn
+
+    m = problems.poisson_ldu((16, 16))
+    a = problems.poisson_dense((16, 16))
+    coo = ldu.ldu_to_coo(m)
+    dm = partition_coo(coo, 4)
+    rng = np.random.default_rng(2)
+    x_true = rng.normal(size=m.n)
+    b = a @ x_true
+    bs = jnp.asarray(split_vector(dm, b), jnp.float32)
+    mesh = _mesh(4)
+    sp = StoppingParams.of(StoppingConfig(tolerance=1e-5, rel_tol=0.0, max_iter=400))
+
+    fn_z = make_dist_cg_fused_fn(dm, mesh, interpret=True,
+                                 identity_min_bytes=1 << 60)
+    fn_i = make_dist_cg_fused_fn(dm, mesh, interpret=True,
+                                 identity_min_bytes=0)
+    rz = fn_z(dm.local, dm.halo, bs, jnp.zeros_like(bs), None, sp)
+    ri = fn_i(dm.local, dm.halo, bs, jnp.zeros_like(bs), None, sp)
+    assert bool(np.asarray(ri.converged).all())
+    assert int(np.asarray(ri.iters).ravel()[0]) == \
+        int(np.asarray(rz.iters).ravel()[0])
+    np.testing.assert_array_equal(np.asarray(ri.x), np.asarray(rz.x))
