@@ -138,7 +138,8 @@ class DistFoamSolver:
         ok = (
             cfg.solver == "GKOCG"
             and cfg.fused_cg
-            and not cfg.pipelined_cg  # explicit variant request wins
+            # pipelinedCG composes with the merged kernels (one psum per
+            # iteration, solve/cg_fused_dist.make_dist_cg_pipe_fused_fn)
             and self.dtype == jnp.float32  # merged kernels are f32-framed
             and isinstance(dm.local, DiaStack)
             and 0 in dm.local.offsets
@@ -349,11 +350,14 @@ class DistFoamSolver:
                 didx = dm.local.offsets.index(0)
                 d = dm.local.data[:, didx]
                 invd = (1.0 / jnp.where(d == 0, 1.0, d)).astype(jnp.float32)
-            key = ("fused", invd is not None)
+            key = ("fused", invd is not None, cfg.pipelined_cg)
             if key not in self._compiled:
-                from ogl_tpu.solve.cg_fused_dist import make_dist_cg_fused_fn
+                from ogl_tpu.solve.cg_fused_dist import (
+                    make_dist_cg_fused_fn, make_dist_cg_pipe_fused_fn)
 
-                self._compiled[key] = make_dist_cg_fused_fn(
+                builder = (make_dist_cg_pipe_fused_fn if cfg.pipelined_cg
+                           else make_dist_cg_fused_fn)
+                self._compiled[key] = builder(
                     dm, self.mesh, use_invd=invd is not None)
             _fn, _bs, _x0 = self._compiled[key], bs.astype(jnp.float32), \
                 x0.astype(jnp.float32)
@@ -525,11 +529,14 @@ class DistFoamSolver:
                     lambda data: (1.0 / jnp.where(data[:, didx] == 0, 1.0,
                                                   data[:, didx])
                                   ).astype(jnp.float32))(dm.local.data)
-            key = ("fused", invd is not None)
+            key = ("fused", invd is not None, cfg.pipelined_cg)
             if key not in self._compiled:
-                from ogl_tpu.solve.cg_fused_dist import make_dist_cg_fused_fn
+                from ogl_tpu.solve.cg_fused_dist import (
+                    make_dist_cg_fused_fn, make_dist_cg_pipe_fused_fn)
 
-                self._compiled[key] = make_dist_cg_fused_fn(
+                builder = (make_dist_cg_pipe_fused_fn if cfg.pipelined_cg
+                           else make_dist_cg_fused_fn)
+                self._compiled[key] = builder(
                     dm, self.mesh, use_invd=invd is not None)
             _fn, _bs, _x0 = self._compiled[key], bs.astype(jnp.float32), \
                 x0.astype(jnp.float32)

@@ -422,10 +422,15 @@ class FoamSolver:
         )
         from ogl_tpu.kernels.gdia import Gdia as _Gdia
 
+        pipelined = self.cfg.pipelined_cg
         if (
             name == "GKOCG"
             and self.cfg.fused_cg
-            and not self.cfg.pipelined_cg  # explicit variant request wins
+            # pipelined + merged kernels compose for diagonal
+            # preconditioning (solve/cg_pipe_fused.py); the framed-AMG
+            # variant has no pipelined form, so that combination falls
+            # through to the general cg_pipelined above
+            and not (pipelined and amg_framed)
             and isinstance(self.matrix, (formats.Dia, _Gdia))
             and (diag_pc or amg_framed)
             and self.dtype == jnp.float32  # merged kernels are f32-framed
@@ -435,6 +440,7 @@ class FoamSolver:
         ):
             from ogl_tpu.kernels.fused import CgKernels, GdiaCgKernels
             from ogl_tpu.solve.cg_fused import cg_fused
+            from ogl_tpu.solve.cg_pipe_fused import cg_pipelined_fused
 
             try:
                 if isinstance(self.matrix, formats.Dia):
@@ -456,6 +462,10 @@ class FoamSolver:
                             precond_framed=lambda rf: framed_fn(pc_state, rf),
                             history_len=kw.get("history_len", 0))
                     invd = pc_state if pcname == "BJ" else None
+                    if pipelined:
+                        return cg_pipelined_fused(
+                            kern, data3, b, x0, sp, invd=invd,
+                            history_len=kw.get("history_len", 0))
                     return cg_fused(kern, data3, b, x0, sp, invd=invd,
                                     history_len=kw.get("history_len", 0))
 

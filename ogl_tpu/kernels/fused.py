@@ -377,6 +377,76 @@ def _k2_kernel(alpha_ref, x_ref, r_ref, p_ref, q_ref, invd_ref,
         ((0, 7), (0, 0)))
 
 
+def _ka_kernel(r_hbm, data_ref, wout_ref, dots_ref, rs, rsem,
+               *, offsets, T, K, grid, invd_hbm=None, isv=None, isem=None):
+    """Chronopoulos–Gear (pipelined-CG) A-step: u = M⁻¹r (diagonal M in-
+    window; identity when invd is absent), w = A u, and ALL per-iteration
+    dot partials in one pass: (γ = Σ r·u, δ = Σ w·u, Σ|r|).  The single
+    fused reduction point of solve/cg_pipe.py riding the merged kernels."""
+    t = pl.program_id(0)
+    two = jnp.asarray(2, jnp.int32)
+    slot = jax.lax.rem(t, two)
+    interior = jnp.logical_and(t > 0, t < grid - 1)
+    jacobi = invd_hbm is not None
+
+    def dma(tile_idx, s):
+        start = jnp.clip(tile_idx * T - K, 0, grid * T - (T + 2 * K))
+        cs = [pltpu.make_async_copy(
+            r_hbm.at[pl.ds(start, T + 2 * K), :], rs.at[s], rsem.at[s])]
+        if jacobi:
+            cs.append(pltpu.make_async_copy(
+                invd_hbm.at[pl.ds(start, T + 2 * K), :], isv.at[s], isem.at[s]))
+        return cs
+
+    @pl.when(t == 0)
+    def _():
+        for c in dma(0, 0):
+            c.start()
+
+    @pl.when(t + 1 < grid)
+    def _():
+        nxt = jax.lax.rem(t + 1, two)
+        for c in dma(t + 1, nxt):
+            c.start()
+
+    for c in dma(t, slot):
+        c.wait()
+
+    @pl.when(jnp.logical_not(interior))
+    def _():
+        wout_ref[:] = jnp.zeros((T, LANES), wout_ref.dtype)
+        dots_ref[:] = jnp.zeros((24, LANES), jnp.float32)
+
+    @pl.when(interior)
+    def _():
+        rw = rs[slot]
+        uw = isv[slot] * rw if jacobi else rw
+        center_r = rw[K : K + T, :].astype(jnp.float32)
+        center_u = uw[K : K + T, :].astype(jnp.float32)
+        acc = _stencil_acc(uw, data_ref, offsets, T, K)
+        wout_ref[:] = acc.astype(wout_ref.dtype)
+        d1 = jnp.sum(center_r * center_u, axis=0, keepdims=True)
+        d2 = jnp.sum(acc * center_u, axis=0, keepdims=True)
+        d3 = jnp.sum(jnp.abs(center_r), axis=0, keepdims=True)
+        dots_ref[:] = jnp.concatenate(
+            [jnp.pad(d, ((0, 7), (0, 0))) for d in (d1, d2, d3)], axis=0)
+
+
+def _kb_pipe_kernel(coef_ref, w_ref, p_ref, s_ref, x_ref, r_ref,
+                    pout_ref, sout_ref, xout_ref, rout_ref, invd_ref=None):
+    """Pipelined-CG update step (no reductions): p' = u + β·p, s' = w + β·s,
+    x' = x + α·p', r' = r − α·s' (u = invd·r or r)."""
+    alpha = coef_ref[0, 0]
+    beta = coef_ref[0, 1]
+    u = invd_ref[:] * r_ref[:] if invd_ref is not None else r_ref[:]
+    po = u + beta * p_ref[:]
+    so = w_ref[:] + beta * s_ref[:]
+    pout_ref[:] = po
+    sout_ref[:] = so
+    xout_ref[:] = x_ref[:] + alpha * po
+    rout_ref[:] = r_ref[:] - alpha * so
+
+
 def _k2i_kernel(alpha_ref, x_ref, r_ref, p_ref, q_ref,
                 xout_ref, rout_ref, rho_ref, absr_ref):
     """K2 for IDENTITY preconditioning (z ≡ r): drops the z write and the
@@ -540,6 +610,96 @@ class CgKernels:
             compiler_params=self._compiler_params(windows=0, blocks=11),
         )(jnp.asarray(alpha, self.dtype).reshape(1, 1), xf, rf, pf, qf, invdf)
         return xo, ro, zo, jnp.sum(rho), jnp.sum(absr)
+
+    # ---- pipelined-CG (Chronopoulos–Gear) steps --------------------------
+    @functools.partial(jax.jit, static_argnums=0)
+    def ka(self, data3, rf, invdf=None):
+        """u = M⁻¹r, w = A u, dots (γ=<r,u>, δ=<w,u>, ‖r‖₁) in one pass.
+        invdf=None → identity (u ≡ r, no extra stream)."""
+        T, K = self.tile, self.K
+        nd = data3.shape[0]
+        jac = invdf is not None
+        scratch = [pltpu.VMEM((2, T + 2 * K, LANES), self.dtype),
+                   pltpu.SemaphoreType.DMA((2,))]
+        in_specs = [pl.BlockSpec(memory_space=pltpu.HBM),
+                    pl.BlockSpec((nd, T, LANES),
+                                 lambda t: (0, jnp.maximum(t - 1, 0), 0),
+                                 memory_space=pltpu.VMEM)]
+        args = [rf, data3]
+        if jac:
+            scratch += [pltpu.VMEM((2, T + 2 * K, LANES), self.dtype),
+                        pltpu.SemaphoreType.DMA((2,))]
+            in_specs.append(pl.BlockSpec(memory_space=pltpu.HBM))
+            args.append(invdf)
+
+        def kernel(*refs):
+            if jac:
+                r_hbm, d_ref, i_hbm, wout, dots, rs, rsem, isv, isem = refs
+                _ka_kernel(r_hbm, d_ref, wout, dots, rs, rsem,
+                           offsets=self.offsets, T=T, K=K, grid=self.grid,
+                           invd_hbm=i_hbm, isv=isv, isem=isem)
+            else:
+                r_hbm, d_ref, wout, dots, rs, rsem = refs
+                _ka_kernel(r_hbm, d_ref, wout, dots, rs, rsem,
+                           offsets=self.offsets, T=T, K=K, grid=self.grid)
+
+        wf, dots = pl.pallas_call(
+            kernel,
+            grid=(self.grid,),
+            in_specs=in_specs,
+            out_specs=(
+                pl.BlockSpec((T, LANES), lambda t: (t, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((24, LANES), lambda t: (t, 0), memory_space=pltpu.VMEM),
+            ),
+            out_shape=(
+                jax.ShapeDtypeStruct((self.frame_rows, LANES), self.dtype),
+                jax.ShapeDtypeStruct((self.grid * 24, LANES), jnp.float32),
+            ),
+            scratch_shapes=scratch,
+            interpret=self.interpret,
+            compiler_params=self._compiler_params(
+                windows=2 if jac else 1, blocks=nd + 4),
+        )(*args)
+        d = dots.reshape(self.grid, 3, 8, LANES)
+        return wf, jnp.sum(d[:, 0]), jnp.sum(d[:, 1]), jnp.sum(d[:, 2])
+
+    @functools.partial(jax.jit, static_argnums=0)
+    def kb_pipe(self, wf, pf, sf, xf, rf, alpha, beta, invdf=None):
+        """p' = u + β·p, s' = w + β·s, x' = x + α·p', r' = r − α·s'
+        (u = invd·r, or r when invdf is None) — pure streaming, no dots."""
+        T = self.tile
+        jac = invdf is not None
+        coef = jnp.stack([jnp.asarray(alpha, self.dtype),
+                          jnp.asarray(beta, self.dtype)]).reshape(1, 2)
+
+        def blk():
+            return pl.BlockSpec((T, LANES), lambda t: (t, 0), memory_space=pltpu.VMEM)
+
+        def kernel(*refs):
+            if jac:
+                c, w, p, s, x, r, iv, po, so, xo, ro = refs
+                _kb_pipe_kernel(c, w, p, s, x, r, po, so, xo, ro, invd_ref=iv)
+            else:
+                c, w, p, s, x, r, po, so, xo, ro = refs
+                _kb_pipe_kernel(c, w, p, s, x, r, po, so, xo, ro)
+
+        in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM),
+                    blk(), blk(), blk(), blk(), blk()]
+        args = [coef, wf, pf, sf, xf, rf]
+        if jac:
+            in_specs.append(blk())
+            args.append(invdf)
+        shp = jax.ShapeDtypeStruct((self.frame_rows, LANES), self.dtype)
+        po, so, xo, ro = pl.pallas_call(
+            kernel,
+            grid=(self.grid,),
+            in_specs=in_specs,
+            out_specs=(blk(), blk(), blk(), blk()),
+            out_shape=(shp, shp, shp, shp),
+            interpret=self.interpret,
+            compiler_params=self._compiler_params(windows=0, blocks=11),
+        )(*args)
+        return po, so, xo, ro
 
     # ---- K2 for identity preconditioning (z ≡ r) ------------------------
     @functools.partial(jax.jit, static_argnums=0)

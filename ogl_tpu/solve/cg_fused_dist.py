@@ -33,7 +33,7 @@ from ogl_tpu.kernels.pallas_spmv import LANES
 from ogl_tpu.solve import stopping
 from ogl_tpu.solve.cg import SolveResult
 
-__all__ = ["dist_cg_fused"]
+__all__ = ["dist_cg_fused", "make_dist_cg_pipe_fused_fn"]
 
 
 class _Carry(NamedTuple):
@@ -45,6 +45,16 @@ class _Carry(NamedTuple):
     rho: Any
     rho_old: Any
     absr: Any
+    stop: stopping.StopState
+
+
+class _PipeCarry(NamedTuple):
+    xf: Any
+    rf: Any
+    pf: Any
+    sf: Any  # s = A p, by recurrence (solve/cg_pipe.py)
+    gamma_old: Any
+    alpha_old: Any
     stop: stopping.StopState
 
 
@@ -228,6 +238,148 @@ def make_dist_cg_fused_fn(
                 rho=rho_absr[0].astype(dtype), rho_old=c.rho,
                 absr=rho_absr[1].astype(dtype),
                 stop=st.replace(iter=st.iter + jnp.where(conv, 0, 1)),
+            )
+
+        out = jax.lax.while_loop(cond, body, init)
+        return (
+            kern.unframe(out.xf)[None],
+            out.stop.iter,
+            out.stop.init_res_norm,
+            out.stop.res_norm,
+            stopping.satisfied(sp, out.stop),
+        )
+
+    spec = P(axis)
+    mapped = jax.jit(jax.shard_map(
+        shard_body, mesh=mesh,
+        in_specs=(spec, spec, spec, spec, spec, P()),
+        out_specs=(spec, P(), P(), P(), P()),
+        check_vma=False,
+    ))
+
+    def run(local, halo, b_stack, x0_stack, invd_stack, sp):
+        invd_arg = invd_stack if invd_stack is not None else jnp.ones(
+            (n_parts, n_local), dtype)
+        x, iters, init_rn, final_rn, conv = mapped(
+            local, halo, b_stack, x0_stack, invd_arg, sp)
+        return SolveResult(x=x, iters=iters, init_res_norm=init_rn,
+                           final_res_norm=final_rn, converged=conv)
+
+    return run
+
+
+def make_dist_cg_pipe_fused_fn(
+    dm: DistMatrix,
+    mesh: Mesh,
+    axis: str = "x",
+    use_invd: bool = False,
+    tile: int = 512,
+    interpret: bool = False,
+):
+    """Distributed merged-kernel PIPELINED (Chronopoulos–Gear) PCG: ONE
+    psum of a (3,) vector per iteration (solve/cg_pipe_fused.py docstring)
+    — vs two for make_dist_cg_fused_fn — plus the surface-sized halo
+    ppermute of r's interface values, which has no data dependency on the
+    KA stencil pass and can be overlapped by the scheduler.
+
+    Jacobi (Schwarz-diagonal) preconditioning exchanges invd's interface
+    values ONCE at setup; per-iteration halo-u is then the exchanged r
+    scaled by the resident invd_halo.  Semantics = solve/cg_pipe.py
+    (iteration counts match classical CG to rounding order)."""
+    if not isinstance(dm.local, DiaStack):
+        raise TypeError("dist_cg_pipe_fused needs a DiaStack local operator")
+    n_local = dm.n_local
+    kern = CgKernels(n_local, dm.local.offsets, tile, interpret)
+    frame_off = kern.tile * LANES
+    global_n = dm.global_n
+    dtype = kern.dtype
+    plan = dm.plan
+    local_sizes = dm.local_sizes
+    n_parts = dm.n_parts
+
+    def psum(v):
+        return jax.lax.psum(v, axis)
+
+    def shard_body(local, halo_s, b, x0, invd, sp):
+        data3 = kern.pack_values(
+            Dia(data=local.data[0], offsets=dm.local.offsets,
+                shape=(n_local, n_local)))
+        halo = (halo_s.rows[0], halo_s.cols[0], halo_s.vals[0])
+        hrows = halo[0]
+        bf = kern.frame(b[0].astype(dtype))
+        xf = kern.frame(x0[0].astype(dtype))
+        invdf = kern.frame(invd[0].astype(dtype)) if use_invd else None
+        # invd at the halo columns (remote rows), exchanged once
+        if use_invd and plan.offsets:
+            invd_halo = _exchange_framed(invdf, plan, axis, frame_off)
+        else:
+            invd_halo = None
+        # invd at this shard's halo-corrected rows (static gather)
+        if use_invd:
+            invd_at_rows = jnp.take(invdf.reshape(-1), frame_off + hrows,
+                                    axis=0)
+        else:
+            invd_at_rows = None
+
+        def dist_apply(vf):
+            _, qf, _ = kern.k1(data3, vf, vf, 0.0)
+            if plan.offsets:
+                h = _exchange_framed(vf, plan, axis, frame_off)
+                qf, _ = _halo_corr(qf, vf, h, halo, frame_off)
+            return qf
+
+        rf = bf - dist_apply(xf)
+
+        xavg = psum(jnp.sum(xf)) / global_n
+        true_n = jnp.asarray(local_sizes)[jax.lax.axis_index(axis)]
+        ones_local = jnp.where(jnp.arange(n_local) < true_n, 1.0, 0.0).astype(dtype)
+        axref = dist_apply(kern.frame(ones_local * xavg))
+        b_sub = bf - axref
+        nf = psum(jnp.sum(jnp.abs(rf - b_sub) + jnp.abs(b_sub))) + stopping.small_of(dtype)
+        st0 = stopping.init_state(dtype, 0).replace(norm_factor=nf)
+
+        one = jnp.asarray(1.0, dtype)
+        init = _PipeCarry(
+            xf=xf, rf=rf, pf=jnp.zeros_like(bf), sf=jnp.zeros_like(bf),
+            gamma_old=one, alpha_old=one, stop=st0)
+        hard_cap = sp.max_iter + sp.frequency
+
+        def cond(c: _PipeCarry):
+            return jnp.logical_and(~c.stop.converged, c.stop.iter < hard_cap)
+
+        def body(c: _PipeCarry):
+            # KA and the halo exchange are independent (both read only
+            # c.rf): the ppermute can overlap the stencil pass
+            wf, gamma, delta, absr = kern.ka(data3, c.rf, invdf)
+            if plan.offsets:
+                hr = _exchange_framed(c.rf, plan, axis, frame_off)
+                hu = hr * invd_halo if use_invd else hr
+                rows, cols, vals = halo
+                contrib = vals.astype(wf.dtype) * jnp.take(hu, cols, axis=0)
+                flat = frame_off + rows
+                wf = wf.reshape(-1).at[flat].add(contrib).reshape(wf.shape)
+                u_at = jnp.take(c.rf.reshape(-1), flat, axis=0)
+                if use_invd:
+                    u_at = u_at * invd_at_rows
+                delta = delta + jnp.sum(contrib * u_at)
+            # THE single fused reduction of the pipelined iteration
+            part = psum(jnp.stack([gamma.astype(dtype), delta.astype(dtype),
+                                   absr.astype(dtype)]))
+            gamma_g, delta_g, absr_g = part[0], part[1], part[2]
+            st = stopping.check_from_norm(sp, c.stop, absr_g)
+            first = st.iter == 0
+            zero = jnp.asarray(0.0, dtype)
+            beta = jnp.where(first, zero, gamma_g / c.gamma_old)
+            denom = jnp.where(first, delta_g,
+                              delta_g - beta * gamma_g / c.alpha_old)
+            alpha = jnp.where(st.converged, zero, gamma_g / denom)
+            pf, sf, xf, rf = kern.kb_pipe(wf, c.pf, c.sf, c.xf, c.rf,
+                                          alpha, beta, invdf)
+            return _PipeCarry(
+                xf=xf, rf=rf, pf=pf, sf=sf,
+                gamma_old=jnp.where(st.converged, c.gamma_old, gamma_g),
+                alpha_old=jnp.where(st.converged, c.alpha_old, alpha),
+                stop=st.replace(iter=st.iter + jnp.where(st.converged, 0, 1)),
             )
 
         out = jax.lax.while_loop(cond, body, init)

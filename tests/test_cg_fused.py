@@ -238,3 +238,37 @@ def test_fused_identity_zfree_variant_matches():
     assert bool(res_i.converged)
     assert int(res_i.iters) == int(res_z.iters)
     np.testing.assert_array_equal(np.asarray(res_i.x), np.asarray(res_z.x))
+
+
+def test_fused_pipelined_matches_classical():
+    """Merged-kernel Chronopoulos–Gear CG (solve/cg_pipe_fused.py): same
+    iterates as the general pipelined solver and classical-CG iteration
+    counts to rounding order; Jacobi variant converges to the truth."""
+    from ogl_tpu.solve.cg_pipe import cg_pipelined
+    from ogl_tpu.solve.cg_pipe_fused import cg_pipelined_fused
+
+    coo, mat, b, x_true = _setup((128, 8))
+    kern, data3 = make_cg_kernels(mat, tile=16, interpret=True)
+    res_f = cg_pipelined_fused(kern, data3, b, jnp.zeros_like(b), CFG)
+    ops = single_device_ops(spmv.matvec(mat), mat.shape[0])
+    res_p = cg_pipelined(ops, b, jnp.zeros_like(b), CFG)
+    res_c = cg(ops, b, jnp.zeros_like(b), CFG)
+    assert bool(res_f.converged)
+    assert int(res_f.iters) == int(res_p.iters)
+    assert abs(int(res_f.iters) - int(res_c.iters)) <= 2
+    assert np.abs(np.asarray(res_f.x) - x_true).max() < 5e-3
+
+    invd = jnp.asarray(1.0 / np.asarray(coo_diag(coo)), jnp.float32)
+    res_j = cg_pipelined_fused(kern, data3, b, jnp.zeros_like(b), CFG,
+                               invd=invd)
+    assert bool(res_j.converged)
+    assert np.abs(np.asarray(res_j.x) - x_true).max() < 5e-3
+
+
+def coo_diag(coo):
+    d = np.zeros(coo.shape[0], np.float32)
+    rows, cols, vals = (np.asarray(coo.rows), np.asarray(coo.cols),
+                        np.asarray(coo.vals))
+    m = rows == cols
+    d[rows[m]] = vals[m]
+    return d

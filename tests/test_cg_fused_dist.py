@@ -97,3 +97,39 @@ def test_dist_cg_fused_identity_zfree_variant_matches():
     assert int(np.asarray(ri.iters).ravel()[0]) == \
         int(np.asarray(rz.iters).ravel()[0])
     np.testing.assert_array_equal(np.asarray(ri.x), np.asarray(rz.x))
+
+
+def test_dist_cg_pipe_fused_single_psum_variant():
+    """Distributed merged-kernel pipelined CG (one psum/iteration): same
+    iteration counts as the classical fused dist path to rounding order,
+    identity and Schwarz-Jacobi."""
+    from ogl_tpu.solve.cg_fused_dist import (make_dist_cg_fused_fn,
+                                             make_dist_cg_pipe_fused_fn)
+
+    m = problems.poisson_ldu((16, 16))
+    a = problems.poisson_dense((16, 16))
+    coo = ldu.ldu_to_coo(m)
+    dm = partition_coo(coo, 4)
+    rng = np.random.default_rng(3)
+    x_true = rng.normal(size=m.n)
+    b = a @ x_true
+    bs = jnp.asarray(split_vector(dm, b), jnp.float32)
+    mesh = _mesh(4)
+    sp = StoppingParams.of(StoppingConfig(tolerance=1e-5, rel_tol=0.0, max_iter=400))
+
+    fn_p = make_dist_cg_pipe_fused_fn(dm, mesh, interpret=True)
+    fn_c = make_dist_cg_fused_fn(dm, mesh, interpret=True)
+    rp = fn_p(dm.local, dm.halo, bs, jnp.zeros_like(bs), None, sp)
+    rc = fn_c(dm.local, dm.halo, bs, jnp.zeros_like(bs), None, sp)
+    assert bool(np.asarray(rp.converged).all())
+    ip = int(np.asarray(rp.iters).ravel()[0])
+    ic = int(np.asarray(rc.iters).ravel()[0])
+    assert abs(ip - ic) <= 2, (ip, ic)
+    assert np.abs(gather_global(dm, rp.x) - x_true).max() < 1e-2
+
+    invd = 1.0 / np.asarray(m.diag)
+    ivs = jnp.asarray(split_vector(dm, invd), jnp.float32)
+    fn_j = make_dist_cg_pipe_fused_fn(dm, mesh, use_invd=True, interpret=True)
+    rj = fn_j(dm.local, dm.halo, bs, jnp.zeros_like(bs), ivs, sp)
+    assert bool(np.asarray(rj.converged).all())
+    assert np.abs(gather_global(dm, rj.x) - x_true).max() < 1e-2
