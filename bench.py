@@ -251,10 +251,24 @@ def main():
                 solve8(b8, sp8, data38).final_res_norm))
                 for _ in range(3)) - rtt, 1e-9)
             it8 = int(r8.iters)
+            tpi8 = t8 / max(it8, 1)
             log(f"CG 8.4M (beyond VMEM): {it8} iters, "
                 f"converged={bool(r8.converged)}, solve {t8 * 1e3:.1f} ms, "
-                f"time/iter {t8 / max(it8, 1) * 1e6:.1f} µs, "
-                f"time/iter/DOF {t8 / max(it8, 1) * 1e9 / n8:.4f} ns")
+                f"time/iter {tpi8 * 1e6:.1f} µs, "
+                f"time/iter/DOF {tpi8 * 1e9 / n8:.4f} ns")
+            # streaming-model context: the z-free identity iteration is
+            # K1 (data nd + r,p windows at (1 + 2K/T)x + p',q writes) +
+            # K2i (4 reads, 2 writes); the implied bandwidth against that
+            # byte count shows how close the loop runs to the memory
+            # system for its read:write mix
+            ov = 1.0 + 2 * kern8.K / kern8.tile
+            words8 = len(rmat.offsets) + 2 * ov + 2 + 6
+            bw8 = words8 * n8 * 4 / tpi8 / 1e9
+            log(f"CG 8.4M streaming model: {words8:.1f} words/DOF -> "
+                f"{bw8:.0f} GB/s implied "
+                f"({100 * bw8 / eff_peak:.0f}% of the read-dominant peak; "
+                f"the K2i write-third runs at triad-mix speeds, so ~90% "
+                f"is the achievable ceiling for this mix)")
         except Exception as e:
             log(f"8.4M CG bench failed: {type(e).__name__}: {e}")
 
