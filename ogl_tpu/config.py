@@ -20,8 +20,15 @@ user can paste their fvSolution solver sub-dict across:
   (maxIter is doubled for GKOBiCGStab, StoppingCriterion.H:188)
   preconditioner     word or sub-dict, Preconditioner.H:83-351:
       BJ(maxBlockSize=1), ILU/ILUT/IRILU, IC/ICT, ISAI/GISAI(sparsityPower=1),
-      Multigrid(maxLevels=9, minCoarseRows=10, cycle=v, coarseSolverIters=4,
-      zeroGuess=true), caching=0, skipSorting=true
+      Multigrid(maxLevels=9, minCoarseRows=10, cycle=v, coarseSolverIters=4
+      — alias coarseMaxIters, GKOMultigrid.H:82 —, zeroGuess=true),
+      caching=0, skipSorting=true
+
+Keys the reference parses into DEAD state (never read after storage) are
+accepted and ignored here too: `preconditionerCaching` (ctor member
+cache_preconditioner_ is unused — the live TTL comes from the sub-dict's
+`caching`, Preconditioner.H:405-417) and `PreconditionerMultigridUseIR`
+(inside a comment block, Preconditioner.H:280).
 """
 
 from __future__ import annotations
@@ -222,7 +229,10 @@ def parse_controls(controls: dict[str, Any]) -> SolverConfig:
             min_coarse_rows=int(pg("minCoarseRows", 10)),
             zero_guess=_as_bool(pg("zeroGuess", True)),
             cycle=str(pg("cycle", "v")),
-            coarse_solver_iters=int(pg("coarseSolverIters", 4)),
+            # coarseMaxIters is the (dead) GKOMultigrid-as-solver spelling
+            # of the same knob (GKOMultigrid.H:82); accept both
+            coarse_solver_iters=int(pg("coarseSolverIters",
+                                       pg("coarseMaxIters", 4))),
             tri_solve_sweeps=int(pg("triSolveSweeps", 8)),
             aggregation=str(pg("aggregation", "natural")),
             coarsening_rate=int(pg("coarseningRate", 8)),
