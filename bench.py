@@ -257,18 +257,22 @@ def main():
                 f"time/iter {tpi8 * 1e6:.1f} µs, "
                 f"time/iter/DOF {tpi8 * 1e9 / n8:.4f} ns")
             # streaming-model context: the z-free identity iteration is
-            # K1 (data nd + r,p windows at (1 + 2K/T)x + p',q writes) +
-            # K2i (4 reads, 2 writes); the implied bandwidth against that
-            # byte count shows how close the loop runs to the memory
-            # system for its read:write mix
+            # K1 (data nd + r,p windows + p',q writes) + K2i (4 reads,
+            # 2 writes).  The window overlap (2K/T extra rows per tile)
+            # is an upper bound on HBM traffic — consecutive windows
+            # overlap and partially coalesce — so the model brackets the
+            # bytes between overlap-free (17 words/DOF) and fully
+            # re-streamed (19+); an implied bandwidth at/above the
+            # measured read peak means the loop IS memory-system-bound.
             ov = 1.0 + 2 * kern8.K / kern8.tile
-            words8 = len(rmat.offsets) + 2 * ov + 2 + 6
-            bw8 = words8 * n8 * 4 / tpi8 / 1e9
-            log(f"CG 8.4M streaming model: {words8:.1f} words/DOF -> "
-                f"{bw8:.0f} GB/s implied "
-                f"({100 * bw8 / eff_peak:.0f}% of the read-dominant peak; "
-                f"the K2i write-third runs at triad-mix speeds, so ~90% "
-                f"is the achievable ceiling for this mix)")
+            lo8 = len(rmat.offsets) + 2 + 2 + 6
+            hi8 = len(rmat.offsets) + 2 * ov + 2 + 6
+            bw = lambda w: w * n8 * 4 / tpi8 / 1e9
+            log(f"CG 8.4M streaming model: {lo8:.0f}-{hi8:.0f} words/DOF "
+                f"-> {bw(lo8):.0f}-{bw(hi8):.0f} GB/s implied "
+                f"({100 * bw(lo8) / eff_peak:.0f}-"
+                f"{100 * bw(hi8) / eff_peak:.0f}% of the read-dominant "
+                f"peak: the iteration is memory-system-bound)")
         except Exception as e:
             log(f"8.4M CG bench failed: {type(e).__name__}: {e}")
 

@@ -40,6 +40,7 @@ from ogl_tpu.dist.from_ranks import DistAssembler
 from ogl_tpu.dist.partition import gather_global, split_vector
 from ogl_tpu.dist.precond import build_schwarz
 from ogl_tpu.dist.solve import dist_ops, shard_local_matrix
+from ogl_tpu.kernels import spmv as _ksp
 from ogl_tpu.foam.solver import SolverPerformance, _banner
 from ogl_tpu.solve import stopping
 
@@ -144,7 +145,7 @@ class DistFoamSolver:
             and isinstance(dm.local, DiaStack)
             and 0 in dm.local.offsets
             and diag_pc
-            and jax.default_backend() == "tpu"
+            and _ksp.pallas_usable()  # Pallas: TPU and not x64 (Mosaic)
             and dm.n_local >= (1 << 15)
             and not cfg.export
         )

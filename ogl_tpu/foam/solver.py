@@ -434,7 +434,7 @@ class FoamSolver:
             and isinstance(self.matrix, (formats.Dia, _Gdia))
             and (diag_pc or amg_framed)
             and self.dtype == jnp.float32  # merged kernels are f32-framed
-            and jax.default_backend() == "tpu"
+            and spmv.pallas_usable()  # Pallas: TPU and not x64 (Mosaic)
             and n >= (1 << 15)  # small tiles fault the fused kernels on hw;
             # sub-32k problems gain nothing from merging anyway
         ):
@@ -486,7 +486,7 @@ class FoamSolver:
                 and isinstance(self.matrix, formats.Dia)
                 and diag_pc
                 and self.dtype == jnp.float32
-                and jax.default_backend() == "tpu"
+                and spmv.pallas_usable()
                 and n >= (1 << 15)
             ):
                 from ogl_tpu.kernels.fused import CgKernels

@@ -39,13 +39,20 @@ def _k1_kernel(z_hbm, p_hbm, beta_ref, data_ref, pout_ref, q_ref, delta_ref,
     zero halo.  The z/p window spans frame rows [t·T−K, (t+1)·T+K)."""
     t = pl.program_id(0)
     two = jnp.asarray(2, jnp.int32)
+    # int32 explicitly: under jax_enable_x64 program_id/rem can carry i64,
+    # which Mosaic rejects as a memref slice index
+    t = jnp.asarray(t, jnp.int32)
     slot = jax.lax.rem(t, two)
     interior = jnp.logical_and(t > 0, t < grid - 1)
 
     def dma(tile_idx, s):
+        s = jnp.asarray(s, jnp.int32)  # literal slots are i64 under x64
         # clamp BOTH ends: only the (compute-skipped) halo tiles ever hit the
         # clamps; an unclamped last-tile window would overrun the frame by K
-        start = jnp.clip(tile_idx * T - K, 0, grid * T - (T + 2 * K))
+        # int32 explicitly: under jax_enable_x64 the clip promotes to
+        # i64, which Mosaic's memref_slice rejects on hardware
+        start = jnp.clip(tile_idx * T - K, 0,
+                         grid * T - (T + 2 * K)).astype(jnp.int32)
         cz = pltpu.make_async_copy(
             z_hbm.at[pl.ds(start, T + 2 * K), :], zs.at[s], zsem.at[s])
         cp = pltpu.make_async_copy(
@@ -87,8 +94,8 @@ def _k1_kernel(z_hbm, p_hbm, beta_ref, data_ref, pout_ref, q_ref, delta_ref,
                 sh = a
             else:
                 b = pw[base + 1 : base + 1 + T, :]
-                ar = pltpu.roll(a, LANES - rm, 1)
-                br = pltpu.roll(b, LANES - rm, 1)
+                ar = pltpu.roll(a, jnp.asarray(LANES - rm, jnp.int32), 1)
+                br = pltpu.roll(b, jnp.asarray(LANES - rm, jnp.int32), 1)
                 sh = jnp.where(lane < LANES - rm, ar, br)
             acc = acc + data_ref[k].astype(jnp.float32) * sh.astype(jnp.float32)
         pout_ref[:] = center.astype(pout_ref.dtype)
@@ -108,11 +115,18 @@ def _k1_gdia_kernel(z_hbm, p_hbm, beta_ref, vals_ref, lidx_ref, pout_ref,
     instead of static lane rolls (see kernels/gdia.py)."""
     t = pl.program_id(0)
     two = jnp.asarray(2, jnp.int32)
+    # int32 explicitly: under jax_enable_x64 program_id/rem can carry i64,
+    # which Mosaic rejects as a memref slice index
+    t = jnp.asarray(t, jnp.int32)
     slot = jax.lax.rem(t, two)
     interior = jnp.logical_and(t > 0, t < grid - 1)
 
     def dma(tile_idx, s):
-        start = jnp.clip(tile_idx * T - K, 0, grid * T - (T + 2 * K))
+        s = jnp.asarray(s, jnp.int32)  # literal slots are i64 under x64
+        # int32 explicitly: under jax_enable_x64 the clip promotes to
+        # i64, which Mosaic's memref_slice rejects on hardware
+        start = jnp.clip(tile_idx * T - K, 0,
+                         grid * T - (T + 2 * K)).astype(jnp.int32)
         cz = pltpu.make_async_copy(
             z_hbm.at[pl.ds(start, T + 2 * K), :], zs.at[s], zsem.at[s])
         cp = pltpu.make_async_copy(
@@ -171,8 +185,8 @@ def _stencil_acc(pw, data_ref, offsets, T, K):
             sh = a
         else:
             b = pw[base + 1 : base + 1 + T, :]
-            ar = pltpu.roll(a, LANES - rm, 1)
-            br = pltpu.roll(b, LANES - rm, 1)
+            ar = pltpu.roll(a, jnp.asarray(LANES - rm, jnp.int32), 1)
+            br = pltpu.roll(b, jnp.asarray(LANES - rm, jnp.int32), 1)
             sh = jnp.where(lane < LANES - rm, ar, br)
         acc = acc + data_ref[k].astype(jnp.float32) * sh.astype(jnp.float32)
     return acc
@@ -185,11 +199,18 @@ def _sweep_kernel(x_hbm, coef_ref, data_ref, b_ref, invd_ref, out_ref,
     full-vector elementwise passes (pad/reshape/update)."""
     t = pl.program_id(0)
     two = jnp.asarray(2, jnp.int32)
+    # int32 explicitly: under jax_enable_x64 program_id/rem can carry i64,
+    # which Mosaic rejects as a memref slice index
+    t = jnp.asarray(t, jnp.int32)
     slot = jax.lax.rem(t, two)
     interior = jnp.logical_and(t > 0, t < grid - 1)
 
     def dma(tile_idx, s):
-        start = jnp.clip(tile_idx * T - K, 0, grid * T - (T + 2 * K))
+        s = jnp.asarray(s, jnp.int32)  # literal slots are i64 under x64
+        # int32 explicitly: under jax_enable_x64 the clip promotes to
+        # i64, which Mosaic's memref_slice rejects on hardware
+        start = jnp.clip(tile_idx * T - K, 0,
+                         grid * T - (T + 2 * K)).astype(jnp.int32)
         return pltpu.make_async_copy(
             x_hbm.at[pl.ds(start, T + 2 * K), :], xs.at[s], sem.at[s])
 
@@ -223,11 +244,18 @@ def _resid_kernel(x_hbm, data_ref, b_ref, out_ref, xs, sem,
     """Fused residual: out = b − A x, one A pass."""
     t = pl.program_id(0)
     two = jnp.asarray(2, jnp.int32)
+    # int32 explicitly: under jax_enable_x64 program_id/rem can carry i64,
+    # which Mosaic rejects as a memref slice index
+    t = jnp.asarray(t, jnp.int32)
     slot = jax.lax.rem(t, two)
     interior = jnp.logical_and(t > 0, t < grid - 1)
 
     def dma(tile_idx, s):
-        start = jnp.clip(tile_idx * T - K, 0, grid * T - (T + 2 * K))
+        s = jnp.asarray(s, jnp.int32)  # literal slots are i64 under x64
+        # int32 explicitly: under jax_enable_x64 the clip promotes to
+        # i64, which Mosaic's memref_slice rejects on hardware
+        start = jnp.clip(tile_idx * T - K, 0,
+                         grid * T - (T + 2 * K)).astype(jnp.int32)
         return pltpu.make_async_copy(
             x_hbm.at[pl.ds(start, T + 2 * K), :], xs.at[s], sem.at[s])
 
@@ -263,11 +291,18 @@ def _k1b_kernel(a_hbm, b_hbm, c_hbm, coef_ref, rhat_ref, data_ref,
     """
     t = pl.program_id(0)
     two = jnp.asarray(2, jnp.int32)
+    # int32 explicitly: under jax_enable_x64 program_id/rem can carry i64,
+    # which Mosaic rejects as a memref slice index
+    t = jnp.asarray(t, jnp.int32)
     slot = jax.lax.rem(t, two)
     interior = jnp.logical_and(t > 0, t < grid - 1)
 
     def dma(tile_idx, s):
-        start = jnp.clip(tile_idx * T - K, 0, grid * T - (T + 2 * K))
+        s = jnp.asarray(s, jnp.int32)  # literal slots are i64 under x64
+        # int32 explicitly: under jax_enable_x64 the clip promotes to
+        # i64, which Mosaic's memref_slice rejects on hardware
+        start = jnp.clip(tile_idx * T - K, 0,
+                         grid * T - (T + 2 * K)).astype(jnp.int32)
         return (
             pltpu.make_async_copy(a_hbm.at[pl.ds(start, T + 2 * K), :], asv.at[s], sems.at[s, 0]),
             pltpu.make_async_copy(b_hbm.at[pl.ds(start, T + 2 * K), :], bsv.at[s], sems.at[s, 1]),
@@ -310,8 +345,8 @@ def _k1b_kernel(a_hbm, b_hbm, c_hbm, coef_ref, rhat_ref, data_ref,
                 sh = a
             else:
                 b = pw[base + 1 : base + 1 + T, :]
-                ar = pltpu.roll(a, LANES - rm, 1)
-                br = pltpu.roll(b, LANES - rm, 1)
+                ar = pltpu.roll(a, jnp.asarray(LANES - rm, jnp.int32), 1)
+                br = pltpu.roll(b, jnp.asarray(LANES - rm, jnp.int32), 1)
                 sh = jnp.where(lane < LANES - rm, ar, br)
             acc = acc + data_ref[k].astype(jnp.float32) * sh.astype(jnp.float32)
         cout_ref[:] = center.astype(cout_ref.dtype)
@@ -385,12 +420,19 @@ def _ka_kernel(r_hbm, data_ref, wout_ref, dots_ref, rs, rsem,
     fused reduction point of solve/cg_pipe.py riding the merged kernels."""
     t = pl.program_id(0)
     two = jnp.asarray(2, jnp.int32)
+    # int32 explicitly: under jax_enable_x64 program_id/rem can carry i64,
+    # which Mosaic rejects as a memref slice index
+    t = jnp.asarray(t, jnp.int32)
     slot = jax.lax.rem(t, two)
     interior = jnp.logical_and(t > 0, t < grid - 1)
     jacobi = invd_hbm is not None
 
     def dma(tile_idx, s):
-        start = jnp.clip(tile_idx * T - K, 0, grid * T - (T + 2 * K))
+        s = jnp.asarray(s, jnp.int32)  # literal slots are i64 under x64
+        # int32 explicitly: under jax_enable_x64 the clip promotes to
+        # i64, which Mosaic's memref_slice rejects on hardware
+        start = jnp.clip(tile_idx * T - K, 0,
+                         grid * T - (T + 2 * K)).astype(jnp.int32)
         cs = [pltpu.make_async_copy(
             r_hbm.at[pl.ds(start, T + 2 * K), :], rs.at[s], rsem.at[s])]
         if jacobi:

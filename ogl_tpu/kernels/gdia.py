@@ -182,14 +182,16 @@ def spmv_gdia(m: Gdia, x):
 
 def _gdia_kernel(x_hbm, vals_ref, lidx_ref, y_ref, xs, sem,
                  *, plane_offsets, T, K):
-    i = pl.program_id(0)
+    i = jnp.asarray(pl.program_id(0), jnp.int32)  # x64-safe (Mosaic slice indices must be i32)
     num = pl.num_programs(0)
     two = jnp.asarray(2, jnp.int32)
     slot = jax.lax.rem(i, two)
 
     def dma(tile_idx, s):
+        s = jnp.asarray(s, jnp.int32)  # literal slots are i64 under x64
         return pltpu.make_async_copy(
-            x_hbm.at[pl.ds(tile_idx * T, T + 2 * K), :], xs.at[s], sem.at[s]
+            x_hbm.at[pl.ds(jnp.asarray(tile_idx * T, jnp.int32), T + 2 * K), :],
+            xs.at[s], sem.at[s]
         )
 
     @pl.when(i == 0)

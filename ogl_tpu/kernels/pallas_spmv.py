@@ -39,12 +39,14 @@ def _kernel(x_hbm, data_ref, y_ref, xs, sem, *, offsets, T, K, n_diags):
     """xs: (2, T+2K, LANES) double-buffered x windows; the window for tile
     i+1 is DMA'd while tile i computes (the coefficient blocks are
     pipelined automatically by pallas_call's block machinery)."""
-    i = pl.program_id(0)
+    i = jnp.asarray(pl.program_id(0), jnp.int32)  # x64-safe (Mosaic slice indices must be i32)
     num = pl.num_programs(0)
 
     def window_dma(tile_idx, slot):
+        slot = jnp.asarray(slot, jnp.int32)  # literal slots are i64 under x64
         return pltpu.make_async_copy(
-            x_hbm.at[pl.ds(tile_idx * T, T + 2 * K), :], xs.at[slot], sem.at[slot]
+            x_hbm.at[pl.ds(jnp.asarray(tile_idx * T, jnp.int32), T + 2 * K), :],
+            xs.at[slot], sem.at[slot]
         )
 
     two = jnp.asarray(2, i.dtype if hasattr(i, "dtype") else jnp.int32)
@@ -72,8 +74,8 @@ def _kernel(x_hbm, data_ref, y_ref, xs, sem, *, offsets, T, K, n_diags):
             b = xs[slot, base + 1 : base + 1 + T, :]
             # want lane mapping c -> (c+rm) % 128 == jnp.roll by -rm;
             # pltpu.roll requires a non-negative shift: use LANES - rm
-            ar = pltpu.roll(a, LANES - rm, 1)
-            br = pltpu.roll(b, LANES - rm, 1)
+            ar = pltpu.roll(a, jnp.asarray(LANES - rm, jnp.int32), 1)
+            br = pltpu.roll(b, jnp.asarray(LANES - rm, jnp.int32), 1)
             sh = jnp.where(lane < LANES - rm, ar, br)
         acc = acc + data_ref[k].astype(jnp.float32) * sh.astype(jnp.float32)
     y_ref[:] = acc.astype(y_ref.dtype)

@@ -154,6 +154,17 @@ def pack_fast(rows, cols, vals, n: int, max_planes: int = 48,
     return coo_to_ell(coo)
 
 
+def pallas_usable() -> bool:
+    """True when the Pallas TPU kernels can compile in this process.
+    Under global `jax_enable_x64` Mosaic fails to lower them (i64 leaks
+    into slice/rotate indices and return legalisation even for f32 data,
+    verified on v5e) — those processes fall back to the XLA paths."""
+    import jax
+
+    return (jax.default_backend() == "tpu"
+            and not jax.config.jax_enable_x64)
+
+
 def _pallas_dtype_ok(m):
     """The Pallas kernels accumulate in f32; routing f64 containers through
     them would silently degrade precision vs the XLA paths."""
@@ -168,7 +179,7 @@ def apply_fast(m, x):
     f64 needs the XLA paths' native-precision accumulate)."""
     import jax
 
-    big = (m.shape[0] >= (1 << 15) and jax.default_backend() == "tpu"
+    big = (m.shape[0] >= (1 << 15) and pallas_usable()
            and _pallas_dtype_ok(m))
     if isinstance(m, Dia) and big and m.offsets:
         from ogl_tpu.kernels.pallas_spmv import dia_matvec
@@ -188,7 +199,7 @@ def matvec(m):
     see ARCHITECTURE.md)."""
     import jax
 
-    if jax.default_backend() == "tpu" and _pallas_dtype_ok(m):
+    if pallas_usable() and _pallas_dtype_ok(m):
         if isinstance(m, Dia) and m.offsets:
             from ogl_tpu.kernels.pallas_spmv import dia_matvec
 

@@ -34,6 +34,7 @@ from __future__ import annotations
 
 import dataclasses
 
+from ogl_tpu.kernels.spmv import pallas_usable as _pallas_usable
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -225,7 +226,7 @@ def _fused_plan(mat, inv_diag):
     from ogl_tpu.core.formats import Dia
 
     if (
-        jax.default_backend() != "tpu"
+        not _pallas_usable()
         or not isinstance(mat, Dia)
         or not mat.offsets
         or mat.shape[0] < (1 << 15)
@@ -300,7 +301,7 @@ def _apply_mat(level: "_Level", x):
     from ogl_tpu.kernels.gdia import Gdia, gdia_matvec
     from ogl_tpu.kernels.spmv import spmv as _spmv
 
-    big = level.n >= (1 << 15) and jax.default_backend() == "tpu"
+    big = level.n >= (1 << 15) and _pallas_usable()
     if isinstance(level.mat, Dia) and big and level.mat.offsets:
         from ogl_tpu.kernels.pallas_spmv import dia_matvec
 
