@@ -96,10 +96,13 @@ class PrecondConfig:
     # TPU-specific: sweeps for the Jacobi-style approximate triangular solve
     # used to apply ILU/IC factors (no sequential trisolve on TPU).
     tri_solve_sweeps: int = 8
-    # AMG aggregation: "natural" (consecutive runs; reshape transfers, the
-    # TPU-fast default) or "pgm" (strength-based matching like the
-    # reference's amgx_pgm; gather/scatter transfers)
-    aggregation: str = "natural"
+    # AMG aggregation: "auto" (2x-per-axis geometric block aggregation when
+    # the operator is a box-grid stencil — grid-independent convergence,
+    # reshape transfers, every level stays DIA; falls back to natural),
+    # "grid" (same, explicit), "natural" (1-D consecutive runs — the only
+    # x-semicoarsening; reshape transfers) or "pgm" (strength-based
+    # matching like the reference's amgx_pgm; gather/scatter transfers)
+    aggregation: str = "auto"
     # aggregate size per natural-aggregation level (coarsening rate).  The
     # TPU cycle cost is launch-latency-bound across small levels, so a
     # shallower hierarchy (rate 8) is faster per cycle than pairwise
@@ -234,7 +237,7 @@ def parse_controls(controls: dict[str, Any]) -> SolverConfig:
             coarse_solver_iters=int(pg("coarseSolverIters",
                                        pg("coarseMaxIters", 4))),
             tri_solve_sweeps=int(pg("triSolveSweeps", 8)),
-            aggregation=str(pg("aggregation", "natural")),
+            aggregation=str(pg("aggregation", "auto")),
             coarsening_rate=int(pg("coarseningRate", 8)),
             coarse_solver=str(pg("coarseSolver", "direct")),
             smoother_sweeps=int(pg("smootherSweeps", 2)),

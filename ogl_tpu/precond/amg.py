@@ -100,6 +100,10 @@ class _Level:
     # gather/scatter — the TPU-fast default (XLA scatter/gather for the
     # strength-based transfers costs ~ms per level at scale)
     natural: bool = dataclasses.field(default=False, metadata=dict(static=True))
+    # grid (geometric 2x-per-axis) aggregation: fine dims + coarse dims
+    # (nz, ny, nx, nzc, nyc, nxc); transfers are pad+reshape+reduce
+    grid: tuple | None = dataclasses.field(default=None,
+                                           metadata=dict(static=True))
     # aggregate size for natural aggregation (coarsening rate per level);
     # larger widths mean fewer levels — on TPU the cycle cost is dominated
     # by per-op launch latency across the small levels, not fine-level
@@ -126,6 +130,60 @@ def natural_aggregate(n: int, width: int = 2) -> np.ndarray:
     return np.arange(n, dtype=np.int64) // width
 
 
+def grid_dims_of(offsets, n: int):
+    """Recover (nz, ny, nx) of a lexicographic box-grid stencil operator
+    from its diagonal offsets: a 7-point operator has offsets
+    {0, ±1, ±nx, ±nx·ny} (5-point: {0, ±1, ±nx}; 1-D: {0, ±1}).  Returns
+    None when the offsets are not of that form or n does not factor —
+    callers fall back to 1-D natural aggregation."""
+    pos = sorted(o for o in offsets if o > 0)
+    neg = sorted(-o for o in offsets if o < 0)
+    if pos != neg or len(pos) > 3 or 0 not in offsets:
+        return None
+    if not pos:
+        return None
+    if pos[0] != 1:
+        return None
+    if len(pos) == 1:
+        return (1, 1, n)
+    nx = pos[1]
+    if len(pos) == 2:
+        if n % nx:
+            return None
+        return (1, n // nx, nx)
+    s2 = pos[2]
+    if s2 % nx or n % s2:
+        return None
+    return (n // s2, s2 // nx, nx)
+
+
+def grid_aggregate(dims):
+    """2×-per-axis block aggregation of a (nz, ny, nx) lexicographic grid
+    (true geometric coarsening — rate 8 in 3-D, 4 in 2-D).  Odd axes get a
+    trailing partial block (ceil).  Returns (agg ids, coarse dims).
+
+    The 1-D `natural` consecutive-run default semicoarsens ONLY x on a 3-D
+    grid, and its convergence degrades with size (96 CG+AMG iterations at
+    8.4M DOF vs ~20 grid-independent for real 3-D coarsening).  Block
+    aggregation keeps a face-coupled (7-point) operator face-coupled on
+    the coarse grid — every level stays DIA — and the transfers are pad +
+    reshape + reduce (no gather/scatter; see _restrict/_prolong)."""
+    nz, ny, nx = dims
+    n = nz * ny * nx
+    i = np.arange(n, dtype=np.int64)
+    ix = i % nx
+    iy = (i // nx) % ny
+    iz = i // (nx * ny)
+    nxc = (nx + 1) // 2 if nx > 1 else 1
+    nyc = (ny + 1) // 2 if ny > 1 else 1
+    nzc = (nz + 1) // 2 if nz > 1 else 1
+    cx = np.minimum(ix // 2, nxc - 1) if nx > 1 else ix * 0
+    cy = np.minimum(iy // 2, nyc - 1) if ny > 1 else iy * 0
+    cz = np.minimum(iz // 2, nzc - 1) if nz > 1 else iz * 0
+    agg = (cz * nyc + cy) * nxc + cx
+    return agg, (nzc, nyc, nxc)
+
+
 def build_hierarchy(coo: Coo, max_levels: int, min_coarse_rows: int,
                     aggregation: str = "natural", width: int = 2,
                     coarse_solver: str = "direct",
@@ -141,6 +199,16 @@ def build_hierarchy(coo: Coo, max_levels: int, min_coarse_rows: int,
     dtype = vals.dtype
     a = sp.csr_matrix((vals, (rows, cols)), shape=coo.shape)
     natural = aggregation == "natural"
+    # "auto"/"grid": geometric 2x-per-axis block aggregation when the
+    # operator is a box-grid stencil (dims recoverable from its offsets);
+    # falls back to 1-D natural otherwise.  "grid" asks for it explicitly
+    # (still falls back rather than failing: padded distributed shards
+    # don't factor).
+    grid_dims = None
+    if aggregation in ("auto", "grid"):
+        diffs = np.unique(np.subtract(cols, rows, dtype=np.int64))
+        grid_dims = grid_dims_of([int(d) for d in diffs], a.shape[0])
+        natural = grid_dims is None
 
     # with a direct coarse solve, coarsening below the dense-solve size only
     # adds latency-bound levels: stop as soon as one MXU matvec can finish
@@ -157,7 +225,14 @@ def build_hierarchy(coo: Coo, max_levels: int, min_coarse_rows: int,
         n = a.shape[0]
         if n <= stop_rows:
             break
-        agg = natural_aggregate(n, width) if natural else pgm_aggregate(a)
+        gtuple = None
+        if grid_dims is not None:
+            agg, coarse_dims = grid_aggregate(grid_dims)
+            gtuple = tuple(grid_dims) + tuple(coarse_dims)
+        elif natural:
+            agg = natural_aggregate(n, width)
+        else:
+            agg = pgm_aggregate(a)
         nc = int(agg.max()) + 1
         if nc >= n:  # no coarsening progress
             break
@@ -170,16 +245,20 @@ def build_hierarchy(coo: Coo, max_levels: int, min_coarse_rows: int,
             _Level(
                 mat=mat,
                 inv_diag=inv_diag,
-                agg=None if natural else jnp.asarray(agg.astype(np.int32)),
+                agg=None if (natural or gtuple is not None)
+                else jnp.asarray(agg.astype(np.int32)),
                 n=n,
                 nc=nc,
                 natural=natural,
+                grid=gtuple,
                 width=width,
                 plan=plan,
                 data3=data3,
                 invdf=invdf,
             )
         )
+        if grid_dims is not None:
+            grid_dims = coarse_dims
         # Galerkin product with a one-hot aggregation P is just the
         # index-mapped duplicate-sum A_c[agg[r], agg[c]] += A[r, c] — the
         # generic spgemm chain (p.T @ a @ p) did the same thing ~10x
@@ -246,6 +325,16 @@ def _fused_plan(mat, inv_diag):
 
 
 def _restrict(level: _Level, r):
+    if level.grid is not None:
+        nz, ny, nx, nzc, nyc, nxc = level.grid
+        r3 = r.reshape(nz, ny, nx)
+        # pad odd axes to the 2x block grid (zeros contribute nothing to
+        # the block sums), then one reshape+reduce — no gather/scatter
+        bz, by, bx = (2 if nz > 1 else 1), (2 if ny > 1 else 1), (2 if nx > 1 else 1)
+        r3 = jnp.pad(r3, ((0, bz * nzc - nz), (0, by * nyc - ny),
+                          (0, bx * nxc - nx)))
+        return r3.reshape(nzc, bz, nyc, by, nxc, bx).sum(
+            axis=(1, 3, 5)).reshape(-1)
     if level.natural:
         w = level.width
         rp = jnp.pad(r, (0, w * level.nc - level.n))
@@ -254,6 +343,13 @@ def _restrict(level: _Level, r):
 
 
 def _prolong(level: _Level, ec):
+    if level.grid is not None:
+        nz, ny, nx, nzc, nyc, nxc = level.grid
+        bz, by, bx = (2 if nz > 1 else 1), (2 if ny > 1 else 1), (2 if nx > 1 else 1)
+        e = jnp.broadcast_to(
+            ec.reshape(nzc, 1, nyc, 1, nxc, 1),
+            (nzc, bz, nyc, by, nxc, bx)).reshape(nzc * bz, nyc * by, nxc * bx)
+        return e[:nz, :ny, :nx].reshape(-1)
     if level.natural:
         w = level.width
         e = jnp.broadcast_to(ec[:, None], (level.nc, w)).reshape(-1)

@@ -158,14 +158,95 @@ def test_unknown_name_raises(poisson):
         precond.build(PrecondConfig(name="FancyNew"), coo)
 
 
-@pytest.mark.parametrize("aggregation", ["natural", "pgm"])
+@pytest.mark.parametrize("aggregation", ["natural", "pgm", "auto", "grid"])
 def test_amg_aggregation_modes(poisson, aggregation):
     coo, a, b, x_true = poisson
     apply = precond.amg(coo, aggregation=aggregation)
     it, res = _iters(coo, b, apply)
     np.testing.assert_allclose(np.asarray(res.x), x_true, atol=1e-6)
     base, _ = _iters(coo, b)
-    assert it < base  # both aggregations must still accelerate
+    assert it < base  # every aggregation must still accelerate
+
+
+def test_grid_dims_recovered_from_offsets():
+    """grid_dims_of recovers (nz, ny, nx) from a box-grid stencil's
+    diagonal offsets and rejects non-grid offset sets."""
+    from ogl_tpu.precond.amg import grid_dims_of
+
+    assert grid_dims_of([0, 1, -1, 12, -12, 96, -96], 96 * 5) == (5, 8, 12)
+    assert grid_dims_of([0, 1, -1, 16, -16], 16 * 9) == (1, 9, 16)
+    assert grid_dims_of([0, 1, -1], 37) == (1, 1, 37)
+    # asymmetric offsets / missing unit stride / non-factoring n -> None
+    assert grid_dims_of([0, 1, -1, 12], 60) is None
+    assert grid_dims_of([0, 2, -2], 10) is None
+    assert grid_dims_of([0, 1, -1, 12, -12], 61) is None
+    assert grid_dims_of([0], 8) is None
+
+
+def test_grid_aggregate_blocks():
+    """2x-per-axis block aggregation: every aggregate is a geometric
+    block, ids are a valid partition, odd axes get ceil'd coarse dims."""
+    from ogl_tpu.precond.amg import grid_aggregate
+
+    agg, (nzc, nyc, nxc) = grid_aggregate((1, 4, 6))
+    assert (nzc, nyc, nxc) == (1, 2, 3)
+    assert agg.shape == (24,) and agg.min() == 0 and agg.max() == 5
+    # cell (iy, ix) -> aggregate (iy//2)*nxc + ix//2
+    iy, ix = np.divmod(np.arange(24), 6)
+    np.testing.assert_array_equal(agg, (iy // 2) * 3 + ix // 2)
+    # odd axis: trailing partial block folds into the last coarse cell
+    agg5, (_, _, nxc5) = grid_aggregate((1, 1, 5))
+    assert nxc5 == 3
+    np.testing.assert_array_equal(agg5, [0, 0, 1, 1, 2])
+
+
+def test_grid_transfers_are_transposes():
+    """_restrict is the exact transpose of _prolong for grid levels
+    (piecewise-constant P: restrict = block-sum, prolong = injection)."""
+    from ogl_tpu.precond.amg import _Level, _restrict, _prolong, grid_aggregate
+
+    dims = (3, 4, 5)
+    agg, cdims = grid_aggregate(dims)
+    n = int(np.prod(dims))
+    nc = int(np.prod(cdims))
+    lv = _Level(mat=None, inv_diag=None, agg=None, n=n, nc=nc,
+                grid=tuple(dims) + tuple(cdims))
+    rng = np.random.default_rng(0)
+    u = rng.normal(size=n)
+    v = rng.normal(size=nc)
+    lhs = float(np.dot(np.asarray(_restrict(lv, jnp.asarray(u))), v))
+    rhs = float(np.dot(u, np.asarray(_prolong(lv, jnp.asarray(v)))))
+    assert abs(lhs - rhs) < 1e-10 * max(1.0, abs(lhs))
+    # restrict really is the one-hot block sum
+    r = np.zeros(nc)
+    np.add.at(r, agg, u)
+    np.testing.assert_allclose(np.asarray(_restrict(lv, jnp.asarray(u))), r,
+                               rtol=1e-6)
+
+
+def test_grid_amg_beats_natural_and_scales():
+    """Geometric 2x-per-axis coarsening must (a) converge in fewer CG
+    iterations than 1-D natural aggregation and (b) be near
+    grid-independent (iters grow slowly with size) — the property the
+    round-3 VERDICT's 96-iter 8.4M data point was missing."""
+    iters = {}
+    for dims in [(16, 16), (32, 32)]:
+        m = problems.poisson_ldu(dims)
+        coo = ldu.ldu_to_coo(m)
+        rng = np.random.default_rng(5)
+        x_true = rng.normal(size=m.n)
+        import scipy.sparse as sp
+        A = sp.csr_matrix((np.asarray(coo.vals),
+                           (np.asarray(coo.rows), np.asarray(coo.cols))),
+                          shape=coo.shape)
+        b = jnp.asarray(A @ x_true)
+        it_g, res = _iters(coo, b, precond.amg(coo, aggregation="grid"))
+        it_n, _ = _iters(coo, b, precond.amg(coo, aggregation="natural"))
+        np.testing.assert_allclose(np.asarray(res.x), x_true, atol=1e-6)
+        assert it_g <= it_n, (dims, it_g, it_n)
+        iters[dims] = it_g
+    # grid-independence: doubling each axis adds at most a few iterations
+    assert iters[(32, 32)] <= iters[(16, 16)] + 5, iters
 
 
 def test_amg_framed_cycle_matches_flat(poisson, monkeypatch):
