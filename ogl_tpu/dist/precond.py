@@ -216,8 +216,19 @@ def _build_amg(shards, n_local, dtype, cfg):
     run) aggregation with a fixed width, giving identical level sizes, and
     (c) union-offset Dia / common-width Ell level operators
     (_stacked_operator).  Coarse solve = stacked dense inverses, one
-    einsum."""
+    einsum.
+
+    Aggregation: geometric 2x-per-axis blocks when the AGREED union
+    offsets of the level-0 stacked operator form a box-grid stencil and
+    n_local factors (contiguous-range slab shards of a lexicographic
+    grid); 1-D consecutive runs otherwise.  pack_local_stack has already
+    unified those offsets across processes via the structure-agreement
+    hook, so every process (and every shard) lands on the same
+    aggregation and the same level sizes."""
     import scipy.sparse as sp
+
+    from ogl_tpu.precond.amg import (grid_aggregate, grid_dims_of,
+                                     grid_prolong, grid_restrict)
 
     w = max(2, cfg.coarsening_rate)
     relax = 0.9
@@ -244,16 +255,28 @@ def _build_amg(shards, n_local, dtype, cfg):
     level_data3 = []
     level_invdf = []
     n_l = n_local
-    for _ in range(cfg.max_levels):
+    level_grid = []  # per-level (nz, ny, nx, nzc, nyc, nxc) or None
+    grid_dims = None
+    for li in range(cfg.max_levels):
         if n_l <= stop:
             break
-        nc = -(-n_l // w)
         triples = []
         for a in mats:
             c = a.tocoo()
             order = np.lexsort((c.col, c.row))
             triples.append((c.row[order], c.col[order], c.data[order]))
         op = _stacked_operator(triples, n_l, dtype)
+        if li == 0 and cfg.aggregation in ("auto", "grid") and isinstance(op, Dia):
+            grid_dims = grid_dims_of([int(o) for o in np.asarray(op.offsets)],
+                                     n_l)
+        if grid_dims is not None:
+            agg, coarse_dims = grid_aggregate(grid_dims)
+            nc = int(np.prod(coarse_dims))
+            gtuple = tuple(grid_dims) + tuple(coarse_dims)
+        else:
+            agg = np.arange(n_l, dtype=np.int64) // w
+            nc = -(-n_l // w)
+            gtuple = None
         invd = np.stack([_safe_inv(a.diagonal()) for a in mats]).astype(dtype)
         level_ops.append(op)
         level_invd.append(jnp.asarray(invd))
@@ -262,10 +285,12 @@ def _build_amg(shards, n_local, dtype, cfg):
         level_data3.append(d3)
         level_invdf.append(ivf)
         level_meta.append((n_l, nc))
+        level_grid.append(gtuple)
         pm = sp.csr_matrix(
-            (np.ones(n_l), (np.arange(n_l), np.arange(n_l) // w)),
-            shape=(n_l, nc))
+            (np.ones(n_l), (np.arange(n_l), agg)), shape=(n_l, nc))
         mats = [(pm.T @ a @ pm).tocsr() for a in mats]
+        if grid_dims is not None:
+            grid_dims = coarse_dims
         n_l = nc
 
     # dense inverse only when the coarsest level is small enough (same cap
@@ -329,18 +354,26 @@ def _build_amg(shards, n_local, dtype, cfg):
                     xf = plan.ksweep(data3s[li], xf, bf, invdf, relax)
                 rf = plan.kresid(data3s[li], xf, bf)
                 res = plan.unframe(rf)
-                rc = jnp.pad(res, (0, nc * w - nl)).reshape(nc, w).sum(axis=1)
+                rc = (grid_restrict(level_grid[li], res)
+                      if level_grid[li] is not None else
+                      jnp.pad(res, (0, nc * w - nl)).reshape(nc, w).sum(axis=1))
                 ec = cyc(li + 1, rc)
-                ef = jnp.broadcast_to(ec[:, None], (nc, w)).reshape(-1)[:nl]
+                ef = (grid_prolong(level_grid[li], ec)
+                      if level_grid[li] is not None else
+                      jnp.broadcast_to(ec[:, None], (nc, w)).reshape(-1)[:nl])
                 xf = xf + plan.frame(ef)
                 for _ in range(sweeps):
                     xf = plan.ksweep(data3s[li], xf, bf, invdf, relax)
                 return plan.unframe(xf)
             x = smooth(li, None, bvec, x_is_zero=True)
             res = bvec - _spmv(ops_[li], x)
-            rc = jnp.pad(res, (0, nc * w - nl)).reshape(nc, w).sum(axis=1)
+            rc = (grid_restrict(level_grid[li], res)
+                  if level_grid[li] is not None else
+                  jnp.pad(res, (0, nc * w - nl)).reshape(nc, w).sum(axis=1))
             ec = cyc(li + 1, rc)
-            ef = jnp.broadcast_to(ec[:, None], (nc, w)).reshape(-1)[:nl]
+            ef = (grid_prolong(level_grid[li], ec)
+                  if level_grid[li] is not None else
+                  jnp.broadcast_to(ec[:, None], (nc, w)).reshape(-1)[:nl])
             x = x + ef
             return smooth(li, x, bvec)
 

@@ -324,17 +324,32 @@ def _fused_plan(mat, inv_diag):
     return plan, plan.pack_values(mat, dtype=jnp.bfloat16), plan.frame(inv_diag)
 
 
+def grid_restrict(g, r):
+    """Block-sum restriction for a grid level tuple
+    (nz, ny, nx, nzc, nyc, nxc): pad odd axes to the 2x block grid (zeros
+    contribute nothing to the block sums), then one reshape+reduce — no
+    gather/scatter."""
+    nz, ny, nx, nzc, nyc, nxc = g
+    bz, by, bx = (2 if nz > 1 else 1), (2 if ny > 1 else 1), (2 if nx > 1 else 1)
+    r3 = jnp.pad(r.reshape(nz, ny, nx),
+                 ((0, bz * nzc - nz), (0, by * nyc - ny), (0, bx * nxc - nx)))
+    return r3.reshape(nzc, bz, nyc, by, nxc, bx).sum(axis=(1, 3, 5)).reshape(-1)
+
+
+def grid_prolong(g, ec):
+    """Piecewise-constant injection (the exact transpose of
+    grid_restrict)."""
+    nz, ny, nx, nzc, nyc, nxc = g
+    bz, by, bx = (2 if nz > 1 else 1), (2 if ny > 1 else 1), (2 if nx > 1 else 1)
+    e = jnp.broadcast_to(
+        ec.reshape(nzc, 1, nyc, 1, nxc, 1),
+        (nzc, bz, nyc, by, nxc, bx)).reshape(nzc * bz, nyc * by, nxc * bx)
+    return e[:nz, :ny, :nx].reshape(-1)
+
+
 def _restrict(level: _Level, r):
     if level.grid is not None:
-        nz, ny, nx, nzc, nyc, nxc = level.grid
-        r3 = r.reshape(nz, ny, nx)
-        # pad odd axes to the 2x block grid (zeros contribute nothing to
-        # the block sums), then one reshape+reduce — no gather/scatter
-        bz, by, bx = (2 if nz > 1 else 1), (2 if ny > 1 else 1), (2 if nx > 1 else 1)
-        r3 = jnp.pad(r3, ((0, bz * nzc - nz), (0, by * nyc - ny),
-                          (0, bx * nxc - nx)))
-        return r3.reshape(nzc, bz, nyc, by, nxc, bx).sum(
-            axis=(1, 3, 5)).reshape(-1)
+        return grid_restrict(level.grid, r)
     if level.natural:
         w = level.width
         rp = jnp.pad(r, (0, w * level.nc - level.n))
@@ -344,12 +359,7 @@ def _restrict(level: _Level, r):
 
 def _prolong(level: _Level, ec):
     if level.grid is not None:
-        nz, ny, nx, nzc, nyc, nxc = level.grid
-        bz, by, bx = (2 if nz > 1 else 1), (2 if ny > 1 else 1), (2 if nx > 1 else 1)
-        e = jnp.broadcast_to(
-            ec.reshape(nzc, 1, nyc, 1, nxc, 1),
-            (nzc, bz, nyc, by, nxc, bx)).reshape(nzc * bz, nyc * by, nxc * bx)
-        return e[:nz, :ny, :nx].reshape(-1)
+        return grid_prolong(level.grid, ec)
     if level.natural:
         w = level.width
         e = jnp.broadcast_to(ec[:, None], (level.nc, w)).reshape(-1)

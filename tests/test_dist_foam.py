@@ -195,6 +195,27 @@ def test_dist_foam_multigrid_as_solver():
     np.testing.assert_allclose(x, x_true, atol=1e-6)
 
 
+def test_dist_foam_schwarz_amg_grid_aggregation():
+    """Geometric 2x-per-axis aggregation on the distributed Schwarz-AMG
+    path: slab shards of a lexicographic Poisson grid have box-stencil
+    union offsets, so grid aggregation must (a) be detected, (b) converge
+    to the true solution, and (c) need no more CG iterations than 1-D
+    natural runs (better coarse operators)."""
+    m, a, b, x_true = _problem((32, 32))
+    results = {}
+    for agg in ("grid", "natural"):
+        registry.global_registry.clear()
+        controls = {"solver": "GKOCG", "tolerance": 1e-10, "relTol": 0,
+                    "maxIter": 600, "dtype": "float64",
+                    "preconditioner": {"preconditioner": "Multigrid",
+                                       "aggregation": agg}}
+        x, perf = foam.solve_distributed(f"pga_{agg}", m, b, controls)
+        assert perf.converged
+        np.testing.assert_allclose(x, x_true, atol=1e-6)
+        results[agg] = perf.n_iterations
+    assert results["grid"] <= results["natural"]
+
+
 def test_dist_foam_unknown_solver_raises():
     m, a, b, x_true = _problem((8, 8))
     registry.global_registry.clear()
