@@ -240,6 +240,13 @@ class DistAssembler:
             self._local_kind = type(local).__name__.removesuffix("Stack")
             self._local_shape = tuple(int(s) for s in local.vals.shape[1:])
 
+        # seed the host-change baseline from the construction-time values
+        # (private copies): the first update() can then detect an
+        # unchanged operator, which gates preconditioner regeneration
+        self._blk_prev = [[np.array(x) for x in
+                           _rank_source_blocks(m, self.dtype)] for m in ranks]
+        self._blk_dev = [[None] * len(b) for b in self._blk_prev]
+
     def _sources(self, m) -> np.ndarray:
         """Per-rank source vector with `scaling` applied (the scaled matrix
         is what every consumer — local/halo storage, Schwarz factorisation,
@@ -290,23 +297,27 @@ class DistAssembler:
                 len(self._blk_prev) != len(blks_host):
             self._blk_prev = [[None] * len(b) for b in blks_host]
             self._blk_dev = [[None] * len(b) for b in blks_host]
-        uploaded = total = 0
+        uploaded = total = changed = 0
         out = []
         for i, blks in enumerate(blks_host):
             row = []
             for j, blk in enumerate(blks):
                 prev = self._blk_prev[i][j]
                 dev = self._blk_dev[i][j]
-                if (dev is None or prev is None or prev.shape != blk.shape
-                        or not np.array_equal(prev, blk)):
+                host_same = (prev is not None and prev.shape == blk.shape
+                             and np.array_equal(prev, blk))
+                if not host_same:
+                    changed += 1
+                    self._blk_prev[i][j] = np.array(blk)  # private baseline
+                if dev is None or not host_same:
                     dev = jnp.asarray(blk)
                     self._blk_dev[i][j] = dev
-                    self._blk_prev[i][j] = np.array(blk)  # private baseline
                     uploaded += 1
                 row.append(dev)
                 total += 1
             out.append(tuple(row))
         self.last_blocks_uploaded = (uploaded, total)
+        self.last_blocks_changed = (changed, total)
         self._blocks_cache = blks_host  # raw blocks; shard_triples re-scales
         return tuple(out)
 

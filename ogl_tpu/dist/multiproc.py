@@ -306,6 +306,15 @@ class MultiProcAssembler:
             halo_sizes=tuple(m["n_halo"] for m in metas),
         )
         self._src_lens = [len(s) for s in srcs]
+        # seed the delta baseline (padded update() row layout, private
+        # copies): an unchanged first update() is then agreed as a skip,
+        # which also gates preconditioner regeneration
+        rows_prev = []
+        for s in srcs:
+            row = np.zeros(self._src_size + 1, self.dtype)
+            row[: len(s)] = s
+            rows_prev.append(row)
+        self._rows_prev = rows_prev
 
     def _sources(self, m) -> np.ndarray:
         src = _rank_sources(m, self.dtype)

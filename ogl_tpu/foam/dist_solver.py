@@ -117,6 +117,14 @@ class DistFoamSolver:
         if name == "none":
             self._precond = None
             return
+        if (self._precond is not None
+                and getattr(self, "_pc_built_epoch", None)
+                == getattr(self, "_coeff_epoch", 0)):
+            # operator bitwise unchanged since this Schwarz state was
+            # factorised (per-(rank, block) delta bookkeeping): skip the
+            # deterministic no-op regeneration regardless of TTL (cf.
+            # FoamSolver._update_precond)
+            return
         if self._precond is not None and self.props.precond_caching_left > 0:
             self.props.precond_caching_left -= 1
             return
@@ -125,6 +133,7 @@ class DistFoamSolver:
             pc_cfg, shards, self.assembler.dm.n_local,
             np.dtype(self.dtype),
         )
+        self._pc_built_epoch = getattr(self, "_coeff_epoch", 0)
         self.props.precond_caching_left = pc_cfg.caching
 
     def _fused_eligible(self, dm) -> bool:
@@ -295,9 +304,12 @@ class DistFoamSolver:
                     local_format=cfg.dist_local_format,
                     scale=cfg.scaling,
                 )
+            self._coeff_epoch = getattr(self, "_coeff_epoch", 0) + 1
         elif cfg.update_sys_matrix:
             with common.timed("update_dist_values", cfg.verbose, self.field):
                 self.assembler.update(ranks)
+            if self.assembler.last_blocks_changed[0] > 0:
+                self._coeff_epoch = getattr(self, "_coeff_epoch", 0) + 1
         dm = self.assembler.dm
         fused = self._fused_eligible(dm)
         if not fused:
@@ -474,9 +486,15 @@ class DistFoamSolver:
                 self.assembler = MultiProcAssembler(
                     my_ranks, self.mesh, dtype=np.dtype(self.dtype),
                     local_format=cfg.dist_local_format, scale=cfg.scaling)
+            self._coeff_epoch = getattr(self, "_coeff_epoch", 0) + 1
         elif cfg.update_sys_matrix:
             with common.timed("update_dist_values_mp", cfg.verbose, self.field):
                 self.assembler.update(my_ranks)
+            # last_update_staged is allgather-AGREED (multiproc.py): every
+            # process sees the same flag, so the epoch (and the precond
+            # skip below) cannot diverge across processes
+            if self.assembler.last_update_staged:
+                self._coeff_epoch = getattr(self, "_coeff_epoch", 0) + 1
         asm = self.assembler
         dm = asm.dm
 
@@ -499,6 +517,13 @@ class DistFoamSolver:
             pc_cfg = _dc.replace(pc_cfg, name="Multigrid")
         if fused or pc_cfg.name == "none":
             self._precond = None
+        elif (self._precond is not None
+                and getattr(self, "_pc_built_epoch", None)
+                == getattr(self, "_coeff_epoch", 0)):
+            # operator bitwise unchanged since factorisation (collective
+            # last_update_staged flag): regeneration is a deterministic
+            # no-op — skip it on every process alike
+            pass
         elif self._precond is not None and self.props.precond_caching_left > 0:
             self.props.precond_caching_left -= 1
         else:
@@ -507,6 +532,7 @@ class DistFoamSolver:
             self._precond = build_schwarz_mp(
                 pc_cfg, asm.local_shard_triples(my_ranks), dm.n_local,
                 np.dtype(self.dtype), self.mesh, len(my_ranks))
+            self._pc_built_epoch = getattr(self, "_coeff_epoch", 0)
             self.props.precond_caching_left = pc_cfg.caching
 
         stopping_cfg = cfg.stopping.adapted(

@@ -260,6 +260,13 @@ class FoamSolver:
                 self._coo_host_cache = None  # invalidate lazy host values
                 self._n = m.n
             if first or self.matrix is None or self.cfg.regenerate:
+                self._coeff_epoch = getattr(self, "_coeff_epoch", 0) + 1
+                # seed the host-change baseline NOW (private copies): the
+                # next solve's epoch/precond gating can then see an
+                # unchanged operator even before the device-block delta
+                # machinery has staged anything
+                self._blocks_prev = [np.array(b) for b in self._blocks_host]
+                self._blocks_dev = [None] * len(self._blocks_host)
                 # `regenerate` forces a full rebuild every solve (reference
                 # CsrMatrixWrapper.H:76-86)
                 with common.timed("convert_format", self.cfg.verbose, self.field, self.timings):
@@ -286,6 +293,8 @@ class FoamSolver:
                     if self._entry_order_dev is not None:
                         vals_dev = jnp.take(vals_dev, self._entry_order_dev, axis=0)
                     self.matrix = self._value_map.update(self.matrix, vals_dev)
+                if self.last_blocks_changed[0] > 0:
+                    self._coeff_epoch = getattr(self, "_coeff_epoch", 0) + 1
 
     def src_host(self) -> np.ndarray:
         """The concatenated raw LDU source vector of the LAST update (lazy:
@@ -311,19 +320,26 @@ class FoamSolver:
             self._blocks_dev = [None] * nb
         out = []
         uploaded = 0
+        changed = 0  # host-VALUE changes (the precond-epoch signal) —
+        # distinct from uploads: a block may need its first device staging
+        # even though its values are unchanged since the initial convert
         for i, blk in enumerate(self._blocks_host):
             prev = self._blocks_prev[i]
             dev = self._blocks_dev[i]
-            if (dev is None or prev is None or prev.shape != blk.shape
-                    or not np.array_equal(prev, blk)):
-                dev = jnp.asarray(blk)
-                self._blocks_dev[i] = dev
+            host_same = (prev is not None and prev.shape == blk.shape
+                         and np.array_equal(prev, blk))
+            if not host_same:
+                changed += 1
                 # private copy: a caller mutating its LDU arrays in place
                 # must not alias the compare baseline
                 self._blocks_prev[i] = np.array(blk)
+            if dev is None or not host_same:
+                dev = jnp.asarray(blk)
+                self._blocks_dev[i] = dev
                 uploaded += 1
             out.append(dev)
         self.last_blocks_uploaded = (uploaded, nb)
+        self.last_blocks_changed = (changed, nb)
         return tuple(out)
 
     def coo_host(self) -> formats.Coo:
@@ -351,6 +367,16 @@ class FoamSolver:
         if name == "none" and self.cfg.solver != "GKOMultigrid":
             self._precond_op = None
             return
+        if (getattr(self, "_precond_op", None) is not None
+                and getattr(self, "_pc_built_epoch", None)
+                == getattr(self, "_coeff_epoch", 0)):
+            # operator coefficients are bitwise unchanged since this
+            # preconditioner was generated (delta-upload bookkeeping):
+            # regeneration is deterministic from identical inputs, so it
+            # would rebuild the SAME preconditioner — skip it regardless
+            # of TTL.  The TTL countdown freezes too: `caching` bounds how
+            # many solves the precond may lag a CHANGED operator.
+            return
         if getattr(self, "_precond_op", None) is not None and self.props.precond_caching_left > 0:
             self.props.precond_caching_left -= 1
             return
@@ -375,6 +401,7 @@ class FoamSolver:
             # structure changed (e.g. new AMG hierarchy): stale programs
             self._compiled.clear()
         self._precond_op = op
+        self._pc_built_epoch = getattr(self, "_coeff_epoch", 0)
         self.props.precond_caching_left = pc.caching
 
     # -- solve ----------------------------------------------------------

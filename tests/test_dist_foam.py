@@ -216,6 +216,33 @@ def test_dist_foam_schwarz_amg_grid_aggregation():
     assert results["grid"] <= results["natural"]
 
 
+def test_dist_foam_precond_skip_when_operator_unchanged():
+    """Unchanged operator coefficients skip the Schwarz refactorisation
+    even with caching=0 (regeneration from identical inputs is a no-op;
+    the host-side per-shard setup dominates the steady-state Multigrid
+    step otherwise); a coefficient change still triggers it."""
+    m, a, b, x_true = _problem((16, 16))
+    controls = {"solver": "GKOCG", "tolerance": 1e-10, "relTol": 0,
+                "maxIter": 600, "dtype": "float64",
+                "preconditioner": {"preconditioner": "Multigrid", "caching": 0}}
+    registry.global_registry.clear()
+    x1, p1 = foam.solve_distributed("ppcs", m, b, controls)
+    np.testing.assert_allclose(x1, x_true, atol=1e-6)
+    slv = registry.global_registry.get("ppcs_dist_solver")
+    pc1 = slv._precond
+    assert pc1 is not None
+
+    foam.solve_distributed("ppcs", dataclasses.replace(m), b, controls)
+    assert slv._precond is pc1  # bitwise-unchanged operator: same state
+
+    m2 = dataclasses.replace(m, diag=m.diag + 1.0)
+    x2, p2 = foam.solve_distributed("ppcs", m2, b, controls)
+    assert slv._precond is not pc1
+    assert p2.converged
+    a2 = a + np.eye(m.n)
+    np.testing.assert_allclose(x2, np.linalg.solve(a2, b), atol=1e-6)
+
+
 def test_dist_foam_unknown_solver_raises():
     m, a, b, x_true = _problem((8, 8))
     registry.global_registry.clear()

@@ -224,6 +224,44 @@ def _dense_of(m):
     return np.asarray(_f.to_dense(_l.ldu_to_coo_host(m, dtype=np.float64)))
 
 
+def test_precond_skip_when_operator_unchanged():
+    """When the operator coefficients are bitwise unchanged between solves
+    (delta-upload bookkeeping says nothing crossed the boundary),
+    preconditioner regeneration is a deterministic no-op and is skipped
+    even with caching=0 (the reference regenerates from identical inputs,
+    Preconditioner.H:405-417 — pure waste).  A changed operator still
+    triggers regeneration."""
+    import dataclasses
+
+    from ogl_tpu import registry
+
+    m, b, x_true = _problem()
+    controls = {
+        "solver": "GKOCG", "executor": "reference", "tolerance": 1e-10,
+        "relTol": 0, "maxIter": 500, "dtype": "float64",
+        "preconditioner": {"preconditioner": "Multigrid", "caching": 0},
+    }
+    x1, _ = foam.solve("pPcSkip", m, b, controls)
+    np.testing.assert_allclose(np.asarray(x1), x_true, atol=1e-6)
+    slv = registry.global_registry.get("pPcSkip_solver")
+    pc1 = slv._precond_op
+    assert pc1 is not None
+
+    # identical coefficients: the SAME preconditioner object survives
+    foam.solve("pPcSkip", dataclasses.replace(m), b, {})
+    assert slv._precond_op is pc1
+    assert slv.last_blocks_changed == (0, 2)
+
+    # changed diag: regeneration fires and the solve tracks the operator
+    m2 = dataclasses.replace(m, diag=m.diag + 1.0)
+    x2, perf2 = foam.solve("pPcSkip", m2, b, {})
+    assert slv._precond_op is not pc1
+    assert perf2.converged
+    np.testing.assert_allclose(
+        np.asarray(x2), np.linalg.solve(_dense_of(m2), np.asarray(b)),
+        atol=1e-6)
+
+
 def test_export_writes_mtx(tmp_path):
     m, b, _ = _problem((6, 6))
     cwd = os.getcwd()
