@@ -372,6 +372,11 @@ def dia_layout(rows: np.ndarray, cols: np.ndarray, n: int):
     cols = np.asarray(cols)
     if len(rows) == 0 or n == 0:
         return (), np.zeros(0, np.int64)
+    from ogl_tpu import native
+
+    nat = native.dia_layout(rows, cols, n)
+    if nat is not None:
+        return nat
     shifted = np.subtract(cols, rows, dtype=np.int64)
     shifted += n - 1  # in [0, 2n-2]
     present = np.zeros(2 * n - 1, np.bool_)
@@ -389,6 +394,12 @@ def coo_to_dia(m: Coo) -> Dia:
     rows, cols, vals = _host(m)
     n = m.shape[0]
     offs, dest = dia_layout(rows, cols, n)
+    if vals.dtype == np.float32 and len(offs):
+        from ogl_tpu import native
+
+        data2 = native.dia_pack_f32(dest, vals, len(offs), n)
+        if data2 is not None:
+            return Dia(data=jnp.asarray(data2), offsets=offs, shape=m.shape)
     # bincount is a single vectorised pass; np.add.at's buffered scatter is
     # ~10x slower at the 10M-entry scale this runs at (duplicates still sum)
     data = np.bincount(dest, weights=vals.astype(np.float64),

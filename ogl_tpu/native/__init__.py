@@ -17,7 +17,7 @@ import numpy as np
 
 __all__ = ["lib", "available", "init_local_sparsity", "ilu0_csr", "ic0_csr",
            "pgm_aggregate", "sort_coo", "isai_build", "ilut_triples",
-           "ict_triples"]
+           "ict_triples", "dia_layout", "dia_pack_f32"]
 
 _HERE = os.path.dirname(os.path.abspath(__file__))
 _SRC = os.path.join(_HERE, "src", "ogl_host.cpp")
@@ -77,6 +77,13 @@ def lib():
         L.ogl_pgm_aggregate.restype = i64
         L.ogl_sort_coo.argtypes = [i64, i64, p64, p64, p32, p32, p32]
         L.ogl_sort_coo.restype = None
+        pu8_ = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
+        L.ogl_dia_count.argtypes = [i64, i64, p32, p32, pu8_]
+        L.ogl_dia_count.restype = i64
+        L.ogl_dia_dest.argtypes = [i64, i64, pu8_, p32, p32, p64, p64]
+        L.ogl_dia_dest.restype = None
+        L.ogl_dia_pack_f32.argtypes = [i64, i64, p64, pf32, pf32]
+        L.ogl_dia_pack_f32.restype = None
         pu8 = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
         L.ogl_isai_build.argtypes = [i64, p64, p32, pf32, p64, p32, i64,
                                      p32, pu8, pf32]
@@ -211,6 +218,39 @@ def ict_triples(n, indptr, cols, vals, drop_tol=1e-3, fill_factor=10.0):
     if cnt < 0:
         raise RuntimeError("native ICT failed (fill overflow)")
     return (orows[:cnt].copy(), ocols[:cnt].copy(), ovals[:cnt].copy()), ldiag
+
+
+def dia_layout(rows, cols, n):
+    """Native DIA entry->slot layout: (offsets tuple, dest int64) or None.
+    Semantics of core.formats.dia_layout; two tight C passes instead of
+    ~6 full-nnz NumPy temporaries (first-solve setup cost on 10M+ rows)."""
+    L = lib()
+    if L is None or n <= 0 or n >= 2**31:
+        return None
+    rows32 = np.ascontiguousarray(rows, np.int32)
+    cols32 = np.ascontiguousarray(cols, np.int32)
+    nnz = len(rows32)
+    if nnz == 0:
+        return (), np.zeros(0, np.int64)
+    present = np.empty(2 * n - 1, np.uint8)
+    nd = L.ogl_dia_count(nnz, n, rows32, cols32, present)
+    offs = np.empty(nd, np.int64)
+    dest = np.empty(nnz, np.int64)
+    L.ogl_dia_dest(nnz, n, present, rows32, cols32, offs, dest)
+    return tuple(int(o) for o in offs), dest
+
+
+def dia_pack_f32(dest, vals, nd, n):
+    """Scatter-accumulate f32 values through `dest` into a (nd, n) array;
+    None when the native library is unavailable."""
+    L = lib()
+    if L is None:
+        return None
+    dest = np.ascontiguousarray(dest, np.int64)
+    vals32 = np.ascontiguousarray(vals, np.float32)
+    data = np.empty(nd * n, np.float32)
+    L.ogl_dia_pack_f32(len(dest), nd * n, dest, vals32, data)
+    return data.reshape(nd, n)
 
 
 def sort_coo(n, rows, cols):

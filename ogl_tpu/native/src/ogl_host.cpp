@@ -188,6 +188,57 @@ int64_t ogl_pgm_aggregate(int64_t n, const int64_t* indptr,
   return nc;
 }
 
+// DIA layout, phase 1: mark which diagonals are present and return their
+// count.  `present` has 2n-1 slots (shifted offset col-row+n-1); zeroed
+// here.  Semantics of ogl_tpu.core.formats.dia_layout — the NumPy path
+// walks ~6 full-nnz temporaries where this is two tight passes, and it
+// runs on 10M+ entry arrays during first-solve setup.
+int64_t ogl_dia_count(int64_t nnz, int64_t n, const int32_t* rows,
+                      const int32_t* cols, uint8_t* present) {
+  const int64_t ns = 2 * n - 1;
+  std::memset(present, 0, static_cast<size_t>(ns));
+  for (int64_t i = 0; i < nnz; ++i) {
+    present[static_cast<int64_t>(cols[i]) - rows[i] + (n - 1)] = 1;
+  }
+  int64_t nd = 0;
+  for (int64_t s = 0; s < ns; ++s) nd += present[s];
+  return nd;
+}
+
+// DIA layout, phase 2: true diagonal offsets (col-row, ascending) and the
+// per-entry flat destination into the (nd, n) data array
+// (dest[i] = rank(diagonal of entry i) * n + row).
+void ogl_dia_dest(int64_t nnz, int64_t n, const uint8_t* present,
+                  const int32_t* rows, const int32_t* cols, int64_t* offs,
+                  int64_t* dest) {
+  const int64_t ns = 2 * n - 1;
+  std::vector<int32_t> rank(static_cast<size_t>(ns), -1);
+  int32_t r = 0;
+  for (int64_t s = 0; s < ns; ++s) {
+    if (present[s]) {
+      rank[s] = r;
+      offs[r] = s - (n - 1);
+      ++r;
+    }
+  }
+  for (int64_t i = 0; i < nnz; ++i) {
+    const int64_t s = static_cast<int64_t>(cols[i]) - rows[i] + (n - 1);
+    dest[i] = static_cast<int64_t>(rank[s]) * n + rows[i];
+  }
+}
+
+// DIA pack: scatter-accumulate entry values into the zero-initialised
+// (nd*n,) data array (duplicate (row,col) entries sum, like the NumPy
+// bincount path; accumulation in double for parity with bincount's f64
+// weights).
+void ogl_dia_pack_f32(int64_t nnz, int64_t nd_times_n, const int64_t* dest,
+                      const float* vals, float* data) {
+  std::vector<double> acc(static_cast<size_t>(nd_times_n), 0.0);
+  for (int64_t i = 0; i < nnz; ++i) acc[dest[i]] += vals[i];
+  for (int64_t j = 0; j < nd_times_n; ++j)
+    data[j] = static_cast<float>(acc[j]);
+}
+
 // Row-major (row, col) lexicographic sort of COO triplets with a source
 // permutation output — the general-case merge used when local interfaces
 // are present (reference HostMatrix.C:506-586).  O(nnz + n) counting sort.

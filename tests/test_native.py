@@ -186,3 +186,37 @@ def test_native_ict_matches_python():
     np.testing.assert_array_equal(nc[nk], pc[pk])
     np.testing.assert_allclose(nv[nk], pv[pk], atol=1e-10)
     np.testing.assert_allclose(nd, pd, atol=1e-10)
+
+
+def test_native_dia_layout_matches_numpy(rng):
+    """Native DIA layout/pack vs the NumPy path: identical offsets, dest,
+    and packed data (incl. duplicate (row,col) entries, which must sum)."""
+    from ogl_tpu import native
+    from ogl_tpu.core import formats
+
+    if not native.available():
+        pytest.skip("native lib unavailable")
+    n = 700
+    nnz = 5000
+    rows = rng.integers(0, n, nnz).astype(np.int64)
+    cols = np.clip(rows + rng.integers(-6, 7, nnz), 0, n - 1).astype(np.int64)
+    vals = rng.normal(size=nnz).astype(np.float32)
+
+    offs_n, dest_n = formats.dia_layout(rows, cols, n)
+
+    # NumPy reference, computed inline (the module path routes to native)
+    shifted = (cols - rows) + n - 1
+    present = np.zeros(2 * n - 1, bool)
+    present[shifted] = True
+    offs_ref = tuple(int(o) - (n - 1) for o in np.flatnonzero(present))
+    rank = np.cumsum(present) - 1
+    dest_ref = rank[shifted] * n + rows
+    assert offs_n == offs_ref
+    np.testing.assert_array_equal(dest_n, dest_ref)
+
+    coo = formats.Coo(rows=rows, cols=cols, vals=vals, shape=(n, n))
+    d = formats.coo_to_dia(coo)
+    data_ref = np.bincount(
+        dest_ref, weights=vals.astype(np.float64),
+        minlength=len(offs_ref) * n).astype(np.float32).reshape(-1, n)
+    np.testing.assert_array_equal(np.asarray(d.data), data_ref)
