@@ -154,6 +154,11 @@ class SolverConfig:
     # bandwidth-reducing renumbering applied at setup: "none" | "rcm"
     # (OpenFOAM renumberMesh analogue; reduces Gdia plane count)
     reorder: str = "none"
+    # distributed decomposition of a GLOBAL system handed to DistFoamSolver:
+    # "simple" (contiguous blocks, decomposePar simple) | "scotch"/"bisect"
+    # (graph-partitioned, decomposePar scotch role; core/graph.py).  The
+    # reference's integration matrix tests both (test/integration.yaml:47-57)
+    decomposition: str = "simple"
     # force full device-matrix regeneration each solve instead of the
     # in-place value overwrite (reference CsrMatrixWrapper.H:76-136)
     regenerate: bool = False
@@ -295,6 +300,7 @@ def parse_controls(controls: dict[str, Any]) -> SolverConfig:
         fused_cg=_as_bool(g("fusedCG", True)),
         pipelined_cg=_as_bool(g("pipelinedCG", False)),
         reorder=str(g("reorder", "none")),
+        decomposition=str(g("decomposition", "simple")),
         regenerate=_as_bool(g("regenerate", False)),
         dist_local_format=str(g("distLocalFormat", "auto")),
         matrix_format_explicit="matrixFormat" in controls,

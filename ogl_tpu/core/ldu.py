@@ -54,6 +54,10 @@ __all__ = [
     "ldu_to_coo",
     "ldu_to_coo_host",
     "ldu_from_coo",
+    "renumber",
+    "partition_cells",
+    "decompose",
+    "decompose_with_map",
 ]
 
 
@@ -355,12 +359,102 @@ def assemble_coeffs(
     )
 
 
-def decompose(m: LduMatrix, n_parts: int) -> list[LduMatrix]:
+def renumber(m: LduMatrix, perm: np.ndarray) -> LduMatrix:
+    """Symmetric renumbering: the LDU system of P·A·Pᵀ, where new cell k is
+    old cell perm[k] (so x_new = x_old[perm]).  Faces whose (owner,
+    neighbour) pair flips orientation under the new numbering swap their
+    addressing — and, for non-symmetric systems, their upper/lower
+    coefficients, since `upper[f]` is by definition the A[lower_addr,
+    upper_addr] entry.  Face ORDER is preserved, which keeps the pairwise
+    interface contracts of decompose() intact."""
+    n = m.n
+    perm = np.asarray(perm, np.int64)
+    inv = np.empty(n, np.int64)
+    inv[perm] = np.arange(n)
+    lo = inv[np.asarray(m.lower_addr, np.int64)]
+    up = inv[np.asarray(m.upper_addr, np.int64)]
+    flip = lo > up
+    if m.symmetric:
+        upper, lower = np.asarray(m.upper), None
+    else:
+        u, l = np.asarray(m.upper), np.asarray(m.lower)
+        upper, lower = np.where(flip, l, u), np.where(flip, u, l)
+    locs = tuple(
+        LocalInterface(rows=inv[np.asarray(li.rows, np.int64)],
+                       cols=inv[np.asarray(li.cols, np.int64)],
+                       coeffs=np.asarray(li.coeffs))
+        for li in m.local_interfaces)
+    procs = tuple(
+        ProcInterface(neighbor=pi.neighbor,
+                      face_cells=inv[np.asarray(pi.face_cells, np.int64)],
+                      coeffs=np.asarray(pi.coeffs))
+        for pi in m.proc_interfaces)
+    return LduMatrix(
+        n=n,
+        lower_addr=np.where(flip, up, lo),
+        upper_addr=np.where(flip, lo, up),
+        diag=np.asarray(m.diag)[perm],
+        upper=upper,
+        lower=lower,
+        local_interfaces=locs,
+        proc_interfaces=procs,
+    )
+
+
+def partition_cells(m: LduMatrix, n_parts: int,
+                    method: str = "scotch") -> np.ndarray:
+    """cell → part map for a global LDU system.  "simple" = contiguous row
+    blocks (decomposePar simple); "scotch"/"bisect"/"graph" = recursive
+    level-set bisection of the cell-connectivity graph (faces + cyclic
+    couplings), the decomposePar-scotch role (core/graph.py)."""
+    n, p = m.n, int(n_parts)
+    if method == "simple":
+        bounds = [round(i * n / p) for i in range(p + 1)]
+        return (np.searchsorted(bounds, np.arange(n), side="right") - 1
+                ).astype(np.int32)
+    if method not in ("scotch", "bisect", "graph"):
+        raise ValueError(
+            f"unknown decomposition {method!r}; use simple|scotch|bisect")
+    from ogl_tpu.core import graph
+
+    rows = [np.asarray(m.lower_addr, np.int64)]
+    cols = [np.asarray(m.upper_addr, np.int64)]
+    for li in m.local_interfaces:
+        rows.append(np.asarray(li.rows, np.int64))
+        cols.append(np.asarray(li.cols, np.int64))
+    adj = graph.adjacency_from_edges(
+        n, np.concatenate(rows), np.concatenate(cols))
+    return graph.recursive_bisection(adj, p)
+
+
+def decompose_with_map(
+    m: LduMatrix, n_parts: int, method: str = "simple",
+) -> tuple[list[LduMatrix], np.ndarray | None]:
+    """decompose() plus the cell renumbering it applied: returns
+    (parts, perm) with perm=None for the identity ("simple") numbering.
+    Graph methods renumber cells part-contiguously (new cell k = old cell
+    perm[k]); callers must permute global vectors accordingly (b[perm] in,
+    x_out[perm] = x back — cf. the `reorder rcm` boundary in foam.solver)."""
+    n, p = m.n, int(n_parts)
+    if method == "simple":
+        bounds = [round(i * n / p) for i in range(p + 1)]
+        return _decompose_blocks(m, bounds), None
+    owner = partition_cells(m, p, method)
+    perm = np.argsort(owner, kind="stable").astype(np.int64)
+    sizes = np.bincount(owner, minlength=p)
+    bounds = [0, *np.cumsum(sizes).tolist()]
+    return _decompose_blocks(renumber(m, perm), bounds), perm
+
+
+def decompose(m: LduMatrix, n_parts: int,
+              method: str = "simple") -> list[LduMatrix]:
     """Split a global LDU system (symmetric or not, with or without local
     cyclic interfaces) into per-rank LduMatrix systems with processor
-    interfaces — the structural equivalent of decomposePar with contiguous
-    (`simple`) blocks (reference HostMatrix.C:309-331, 412-436 handles all
-    matrix types and interface kinds in parallel).
+    interfaces — the structural equivalent of decomposePar (reference
+    HostMatrix.C:309-331, 412-436 handles all matrix types and interface
+    kinds in parallel).  `method`: "simple" = contiguous blocks in the
+    EXISTING numbering; "scotch"/"bisect" = graph-partitioned
+    (decompose_with_map returns the renumbering those methods apply).
 
     Crossing internal faces: one ProcInterface per neighbor rank, faces in
     global face order on both sides (the OpenFOAM pairwise contract).  The
@@ -372,8 +466,16 @@ def decompose(m: LduMatrix, n_parts: int) -> list[LduMatrix]:
     on different ranks): appended as a second ProcInterface per pair, both
     sides ordered by the canonical global pair key, relying on cyclic
     couplings coming in (i→j, j→i) pairs exactly like processor faces."""
+    if method != "simple":
+        return decompose_with_map(m, n_parts, method)[0]
     n, p = m.n, n_parts
     bounds = [round(i * n / p) for i in range(p + 1)]
+    return _decompose_blocks(m, bounds)
+
+
+def _decompose_blocks(m: LduMatrix, bounds: list[int]) -> list[LduMatrix]:
+    """Contiguous-block split at arbitrary `bounds` (len n_parts+1)."""
+    n, p = m.n, len(bounds) - 1
     owner_of = np.searchsorted(bounds, np.arange(n), side="right") - 1
 
     lo = np.asarray(m.lower_addr, np.int64)

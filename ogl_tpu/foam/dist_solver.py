@@ -52,7 +52,11 @@ class DistFoamSolver:
 
     ranks: list of per-rank LduMatrix (with ProcInterfaces), one per mesh
     device — or a single global LduMatrix, which is decomposed with
-    ldu.decompose (contiguous blocks, decomposePar-simple)."""
+    ldu.decompose per the `decomposition` key: "simple" contiguous blocks
+    or "scotch"/"bisect" graph bisection (reference integration matrix,
+    test/integration.yaml:47-57).  Graph methods renumber cells; the
+    permutation is applied to b/x0 on the way in and inverted on the way
+    out, so callers see the original cell order."""
 
     def __init__(self, field_name: str, controls: dict | SolverConfig,
                  mesh: Mesh | None = None):
@@ -72,6 +76,10 @@ class DistFoamSolver:
         self._pc_struct = None
         self._res_eval_time: float | None = None
         self._redispatch = None
+        # graph decomposition state: (perm, bounds) once computed —
+        # sparsity is constant across steps (HostMatrix.H:34), so the
+        # partition is computed on the first solve and reused
+        self._dec: tuple[np.ndarray, list[int]] | None = None
 
     def time_device_solve(self, reps: int = 3) -> float:
         """Wall-time of ONE re-dispatch of the last solve's compiled dist
@@ -100,6 +108,28 @@ class DistFoamSolver:
                 # a 1-part decomposition is the matrix itself; skip the
                 # (value-copying) decompose on every steady-state step
                 return [m]
+            meth = self.cfg.decomposition
+            if meth != "simple":
+                if self._dec is None:
+                    owner = ldu_mod.partition_cells(m, self.n_parts, meth)
+                    perm = np.argsort(owner, kind="stable").astype(np.int64)
+                    sizes = np.bincount(owner, minlength=self.n_parts)
+                    bounds = [0, *np.cumsum(sizes).tolist()]
+                    self._dec = (perm, bounds)
+                    if self.cfg.verbose > 0:
+                        from ogl_tpu.core.graph import edge_cut
+
+                        simple = ldu_mod.partition_cells(m, self.n_parts,
+                                                         "simple")
+                        r = np.asarray(m.lower_addr)
+                        c = np.asarray(m.upper_addr)
+                        common.log(self.cfg.verbose, 0,
+                                   f"{self.field}: decomposition {meth} "
+                                   f"edge cut {edge_cut(r, c, owner)} "
+                                   f"(simple: {edge_cut(r, c, simple)})")
+                perm, bounds = self._dec
+                return ldu_mod._decompose_blocks(
+                    ldu_mod.renumber(m, perm), bounds)
             return ldu_mod.decompose(m, self.n_parts)
         return list(m)
 
@@ -321,6 +351,10 @@ class DistFoamSolver:
             self._precond = None
 
         b_host = np.asarray(b)
+        if self._dec is not None:
+            # graph decomposition renumbered the cells part-contiguously;
+            # bring the RHS into the same order (undone on x below)
+            b_host = b_host[self._dec[0]]
         if cfg.scaling != 1.0:
             # scale b alongside the matrix (reference lduLduBase.H:244-252)
             # so the solution is invariant under `scaling`
@@ -337,7 +371,10 @@ class DistFoamSolver:
             self._b_prev = np.array(b_host)  # private compare baseline
             self.last_rhs_uploaded = True
         if psi is not None and cfg.update_init_guess:
-            x0 = jnp.asarray(split_vector(dm, np.asarray(psi)), self.dtype)
+            psi_host = np.asarray(psi)
+            if self._dec is not None:
+                psi_host = psi_host[self._dec[0]]
+            x0 = jnp.asarray(split_vector(dm, psi_host), self.dtype)
         else:
             x0 = jnp.zeros_like(bs)
 
@@ -430,6 +467,11 @@ class DistFoamSolver:
 
         t1 = time.perf_counter()
         x = gather_global(dm, x_stack)
+        if self._dec is not None:
+            # x_new = x_old[perm]  ⇒  x_old[perm] = x_new
+            xo = np.empty_like(x)
+            xo[self._dec[0]] = x
+            x = xo
         copy_t = max(time.perf_counter() - t1, 1e-9)
 
         if cfg.verbose > 0:
@@ -480,6 +522,11 @@ class DistFoamSolver:
             raise TypeError(
                 "multi-process solves take a list of this process's per-rank "
                 "LduMatrix systems (one per locally-owned mesh device)")
+        if cfg.decomposition != "simple":
+            raise ValueError(
+                "`decomposition` applies only when a GLOBAL system is handed "
+                "to DistFoamSolver; multi-process callers provide already-"
+                "decomposed per-rank systems (decomposePar runs upstream)")
         my_ranks = list(my_ranks)
         if self.assembler is None:
             with common.timed("init_dist_matrix_mp", cfg.verbose, self.field):
