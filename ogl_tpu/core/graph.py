@@ -58,6 +58,11 @@ def recursive_bisection(adj, n_parts: int) -> np.ndarray:
     p = int(n_parts)
     if p < 1:
         raise ValueError(f"n_parts must be >= 1, got {n_parts}")
+    if p > n:
+        raise ValueError(
+            f"n_parts={n_parts} exceeds the {n} graph vertices: some parts "
+            "would be empty, and zero-cell rank matrices are not supported "
+            "downstream (DistAssembler)")
     owner = np.zeros(n, np.int32)
     if p == 1:
         return owner

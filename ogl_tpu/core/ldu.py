@@ -427,6 +427,27 @@ def partition_cells(m: LduMatrix, n_parts: int,
     return graph.recursive_bisection(adj, p)
 
 
+def partition_map(
+    m: LduMatrix, n_parts: int, method: str = "simple",
+) -> tuple[np.ndarray | None, list[int]]:
+    """The decomposition's (perm, bounds): cell renumbering (None for the
+    identity "simple" numbering) plus part boundaries in the renumbered
+    order (len n_parts+1).  Part i owns renumbered cells
+    [bounds[i], bounds[i+1]); new cell k = old cell perm[k].  Shared by
+    decompose_with_map and DistFoamSolver so the two cannot drift."""
+    n, p = m.n, int(n_parts)
+    if p < 1 or p > n:
+        raise ValueError(
+            f"n_parts must be in [1, n_cells={n}], got {n_parts}: "
+            "empty-rank decompositions are not representable")
+    if method == "simple":
+        return None, [round(i * n / p) for i in range(p + 1)]
+    owner = partition_cells(m, p, method)
+    perm = np.argsort(owner, kind="stable").astype(np.int64)
+    sizes = np.bincount(owner, minlength=p)
+    return perm, [0, *np.cumsum(sizes).tolist()]
+
+
 def decompose_with_map(
     m: LduMatrix, n_parts: int, method: str = "simple",
 ) -> tuple[list[LduMatrix], np.ndarray | None]:
@@ -435,14 +456,9 @@ def decompose_with_map(
     Graph methods renumber cells part-contiguously (new cell k = old cell
     perm[k]); callers must permute global vectors accordingly (b[perm] in,
     x_out[perm] = x back — cf. the `reorder rcm` boundary in foam.solver)."""
-    n, p = m.n, int(n_parts)
-    if method == "simple":
-        bounds = [round(i * n / p) for i in range(p + 1)]
+    perm, bounds = partition_map(m, n_parts, method)
+    if perm is None:
         return _decompose_blocks(m, bounds), None
-    owner = partition_cells(m, p, method)
-    perm = np.argsort(owner, kind="stable").astype(np.int64)
-    sizes = np.bincount(owner, minlength=p)
-    bounds = [0, *np.cumsum(sizes).tolist()]
     return _decompose_blocks(renumber(m, perm), bounds), perm
 
 

@@ -32,7 +32,8 @@ from ogl_tpu.core import ldu as ldu_mod
 from ogl_tpu.core import mtx
 from ogl_tpu.foam import dictionary
 
-__all__ = ["load_fv_solution", "read_exported_case", "solve_exported_case"]
+__all__ = ["load_fv_solution", "read_exported_case", "read_cell_addressing",
+           "solve_exported_case"]
 
 
 def load_fv_solution(path: str, field: str) -> dict:
@@ -99,6 +100,22 @@ def read_exported_case(case_dir: str, field: str, time: str):
                 off += k
         ranks.append(ldu_mod.ldu_from_coo(local, proc_interfaces=tuple(ifaces)))
     return ranks, np.concatenate(bs)
+
+
+def read_cell_addressing(case_dir: str, field: str, time: str):
+    """Local→original-global cell map of a graph-decomposed export
+    (concatenated per-rank `<field>_cellProcAddressing.mtx`, the
+    decomposePar analogue written by DistFoamSolver._export), or None when
+    the export used the identity ("simple") numbering.  A replayed
+    solution x maps back to the exporter's field order via
+    `x_orig[addr] = x`."""
+    parts = []
+    for pdir in _processor_dirs(case_dir):
+        p = os.path.join(pdir, time, f"{field}_cellProcAddressing.mtx")
+        if not os.path.exists(p):
+            return None
+        parts.append(np.asarray(mtx.read(p)).reshape(-1).astype(np.int64))
+    return np.concatenate(parts)
 
 
 def solve_exported_case(case_dir: str, field: str, time: str,

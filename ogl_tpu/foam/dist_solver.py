@@ -111,14 +111,14 @@ class DistFoamSolver:
             meth = self.cfg.decomposition
             if meth != "simple":
                 if self._dec is None:
-                    owner = ldu_mod.partition_cells(m, self.n_parts, meth)
-                    perm = np.argsort(owner, kind="stable").astype(np.int64)
-                    sizes = np.bincount(owner, minlength=self.n_parts)
-                    bounds = [0, *np.cumsum(sizes).tolist()]
-                    self._dec = (perm, bounds)
+                    self._dec = ldu_mod.partition_map(m, self.n_parts, meth)
                     if self.cfg.verbose > 0:
                         from ogl_tpu.core.graph import edge_cut
 
+                        perm = self._dec[0]
+                        owner = np.empty(m.n, np.int32)
+                        owner[perm] = (np.searchsorted(
+                            self._dec[1], np.arange(m.n), side="right") - 1)
                         simple = ldu_mod.partition_cells(m, self.n_parts,
                                                          "simple")
                         r = np.asarray(m.lower_addr)
@@ -131,6 +131,15 @@ class DistFoamSolver:
                 return ldu_mod._decompose_blocks(
                     ldu_mod.renumber(m, perm), bounds)
             return ldu_mod.decompose(m, self.n_parts)
+        if self.cfg.decomposition != "simple":
+            # same guard as _solve_multiproc: an already-decomposed list
+            # cannot be re-partitioned, so a non-simple key is a
+            # misconfiguration, not a silent no-op
+            raise ValueError(
+                "`decomposition` applies only when a GLOBAL system is handed "
+                "to DistFoamSolver; callers providing already-decomposed "
+                "per-rank systems must leave it 'simple' (decomposePar runs "
+                "upstream)")
         return list(m)
 
     # -- preconditioner (Schwarz wrap + TTL, Preconditioner.H:47-81,353-431)
@@ -281,6 +290,16 @@ class DistFoamSolver:
                 _json.dump([{"neighbor": int(pi.neighbor),
                              "n_faces": int(len(pi.face_cells))}
                             for pi in ranks[i].proc_interfaces], f)
+            if self._dec is not None:
+                # graph decomposition renumbered the cells: record each
+                # rank's local→original-global cell map (OpenFOAM's
+                # decomposePar writes the same thing as
+                # cellProcAddressing) so exported systems can be mapped
+                # back to the caller's field ordering
+                perm, bounds = self._dec
+                mtx.write_dense(f"{pre}_cellProcAddressing.mtx",
+                                np.asarray(perm[bounds[i]:bounds[i + 1]],
+                                           dtype=np.float64))
 
     def _export_multiproc(self, my_ranks, my_b, time_value):
         """Multi-process export: this process writes processor<r>/ for its

@@ -181,3 +181,42 @@ def test_single_rank_export_replay(tmp_path):
         os.chdir(cwd)
     assert perf.converged
     np.testing.assert_allclose(np.asarray(x), x_true, atol=1e-6)
+
+
+def test_graph_decomposed_export_records_cell_addressing(tmp_path):
+    """Graph-decomposed exports write cellProcAddressing (ADVICE r3): the
+    exported case is in the renumbered order, and the addressing maps a
+    replayed solution back to the exporter's original field ordering."""
+    m = problems.poisson_ldu((16, 12))
+    a = problems.poisson_dense((16, 12))
+    rng = np.random.default_rng(13)
+    x_true = rng.normal(size=m.n)
+    b = a @ x_true
+    cwd = os.getcwd()
+    os.chdir(tmp_path)
+    try:
+        mesh = Mesh(np.array(jax.devices()[:4]), ("x",))
+        registry.global_registry.clear()
+        controls = {"solver": "GKOCG", "tolerance": 1e-10, "relTol": 0,
+                    "maxIter": 600, "dtype": "float64", "export": True,
+                    "decomposition": "scotch"}
+        x0, _ = foam.solve_distributed("p", m, b, controls, mesh=mesh)
+        registry.global_registry.clear()
+        addr = case.read_cell_addressing(str(tmp_path), "p", "0")
+        assert addr is not None and sorted(addr.tolist()) == list(range(m.n))
+        xr, perf = case.solve_exported_case(
+            str(tmp_path), "p", "0",
+            controls={"solver": "GKOCG", "tolerance": 1e-10, "relTol": 0,
+                      "maxIter": 600, "dtype": "float64"}, mesh=mesh)
+        registry.global_registry.clear()
+    finally:
+        os.chdir(cwd)
+    assert perf.converged
+    # the replayed x is in the export's renumbered order; the addressing
+    # maps it back to the caller's ordering
+    x_orig = np.empty(m.n)
+    x_orig[addr] = np.asarray(xr)
+    np.testing.assert_allclose(x_orig, x_true, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(x0), x_true, atol=1e-6)
+    # a simple-decomposed export has no addressing sidecar
+    assert case.read_cell_addressing(str(tmp_path), "nosuch", "0") is None

@@ -103,6 +103,41 @@ def test_decompose_with_map_roundtrip():
     np.testing.assert_allclose(a2, a_perm, atol=0)
 
 
+def test_partition_map_matches_decompose_with_map():
+    """The public partition_map helper and decompose_with_map agree (they
+    share the implementation; this pins the contract)."""
+    m = problems.poisson_ldu((10, 10))
+    perm, bounds = ldu.partition_map(m, 4, "bisect")
+    parts, perm2 = ldu.decompose_with_map(m, 4, "bisect")
+    np.testing.assert_array_equal(perm, perm2)
+    assert [p.n for p in parts] == np.diff(bounds).tolist()
+    assert ldu.partition_map(m, 4, "simple")[0] is None
+
+
+def test_empty_part_decompositions_rejected():
+    """n_parts > n_cells would create zero-cell rank matrices downstream."""
+    m = problems.poisson_ldu((2, 2))
+    for method in ("simple", "bisect"):
+        with pytest.raises(ValueError, match="n_parts"):
+            ldu.partition_map(m, 5, method)
+    adj = graph.adjacency_from_edges(
+        m.n, np.asarray(m.lower_addr), np.asarray(m.upper_addr))
+    with pytest.raises(ValueError, match="empty"):
+        graph.recursive_bisection(adj, 5)
+
+
+def test_decomposition_key_rejected_for_rank_lists():
+    """An already-decomposed list of per-rank systems cannot be
+    re-partitioned: a non-simple decomposition key is a loud error on the
+    single-process path too (mirrors the _solve_multiproc guard)."""
+    parts = ldu.decompose(problems.poisson_ldu((8, 8)), 2)
+    b = np.ones(64)
+    with pytest.raises(ValueError, match="decomposition"):
+        foam.solve_distributed(
+            "pranks_scotch", parts, b,
+            {"solver": "GKOCG", "decomposition": "scotch"})
+
+
 @pytest.mark.parametrize("precond", ["none", "BJ"])
 def test_dist_foam_scotch_end_to_end(precond):
     m = problems.poisson_ldu((16, 12))
