@@ -159,6 +159,13 @@ class SolverConfig:
     # (graph-partitioned, decomposePar scotch role; core/graph.py).  The
     # reference's integration matrix tests both (test/integration.yaml:47-57)
     decomposition: str = "simple"
+    # route SAME-rank cyclic couplings through the halo exchange as paired
+    # self-neighbor ProcInterfaces instead of explicit local columns
+    # (ldu.decompose cyclic_via_halo).  Same operator either way; the halo
+    # route executes a real ppermute round per distributed iteration even
+    # on a one-device mesh — the way the halo-exchange hot path is
+    # exercised (and benched) on a single chip
+    cyclic_via_halo: bool = False
     # force full device-matrix regeneration each solve instead of the
     # in-place value overwrite (reference CsrMatrixWrapper.H:76-136)
     regenerate: bool = False
@@ -301,6 +308,7 @@ def parse_controls(controls: dict[str, Any]) -> SolverConfig:
         pipelined_cg=_as_bool(g("pipelinedCG", False)),
         reorder=str(g("reorder", "none")),
         decomposition=str(g("decomposition", "simple")),
+        cyclic_via_halo=_as_bool(g("cyclicViaHalo", False)),
         regenerate=_as_bool(g("regenerate", False)),
         dist_local_format=str(g("distLocalFormat", "auto")),
         matrix_format_explicit="matrixFormat" in controls,

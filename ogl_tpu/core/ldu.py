@@ -450,6 +450,7 @@ def partition_map(
 
 def decompose_with_map(
     m: LduMatrix, n_parts: int, method: str = "simple",
+    cyclic_via_halo: bool = False,
 ) -> tuple[list[LduMatrix], np.ndarray | None]:
     """decompose() plus the cell renumbering it applied: returns
     (parts, perm) with perm=None for the identity ("simple") numbering.
@@ -458,12 +459,13 @@ def decompose_with_map(
     x_out[perm] = x back — cf. the `reorder rcm` boundary in foam.solver)."""
     perm, bounds = partition_map(m, n_parts, method)
     if perm is None:
-        return _decompose_blocks(m, bounds), None
-    return _decompose_blocks(renumber(m, perm), bounds), perm
+        return _decompose_blocks(m, bounds, cyclic_via_halo), None
+    return _decompose_blocks(renumber(m, perm), bounds, cyclic_via_halo), perm
 
 
 def decompose(m: LduMatrix, n_parts: int,
-              method: str = "simple") -> list[LduMatrix]:
+              method: str = "simple",
+              cyclic_via_halo: bool = False) -> list[LduMatrix]:
     """Split a global LDU system (symmetric or not, with or without local
     cyclic interfaces) into per-rank LduMatrix systems with processor
     interfaces — the structural equivalent of decomposePar (reference
@@ -483,14 +485,24 @@ def decompose(m: LduMatrix, n_parts: int,
     sides ordered by the canonical global pair key, relying on cyclic
     couplings coming in (i→j, j→i) pairs exactly like processor faces."""
     if method != "simple":
-        return decompose_with_map(m, n_parts, method)[0]
+        return decompose_with_map(m, n_parts, method, cyclic_via_halo)[0]
     n, p = m.n, n_parts
     bounds = [round(i * n / p) for i in range(p + 1)]
-    return _decompose_blocks(m, bounds)
+    return _decompose_blocks(m, bounds, cyclic_via_halo)
 
 
-def _decompose_blocks(m: LduMatrix, bounds: list[int]) -> list[LduMatrix]:
-    """Contiguous-block split at arbitrary `bounds` (len n_parts+1)."""
+def _decompose_blocks(m: LduMatrix, bounds: list[int],
+                      cyclic_via_halo: bool = False) -> list[LduMatrix]:
+    """Contiguous-block split at arbitrary `bounds` (len n_parts+1).
+
+    cyclic_via_halo: route SAME-rank cyclic couplings through the halo
+    exchange as paired self-neighbor ProcInterfaces (neighbor == own rank)
+    instead of keeping them as explicit LocalInterface columns.  Both
+    representations encode the same operator; the halo route makes the
+    distributed program execute a real ppermute round even when a part
+    self-neighbors — including on a ONE-device mesh, where it is the only
+    way to exercise the halo-exchange hot path on a single chip (cf.
+    dist.from_ranks.build_halo_plan self-pair contract)."""
     n, p = m.n, len(bounds) - 1
     owner_of = np.searchsorted(bounds, np.arange(n), side="right") - 1
 
@@ -526,6 +538,16 @@ def _decompose_blocks(m: LduMatrix, bounds: list[int]) -> list[LduMatrix]:
         for e in range(len(lrows)):
             i, j = int(ra[e]), int(rc[e])
             if i == j:
+                if cyclic_via_halo:
+                    # self-neighbor route: collect like the crossing case
+                    # (canonical pair key aligns the two sides; the A/B
+                    # split into paired interfaces happens at emission)
+                    gr, gc = int(lrows[e]), int(lcols[e])
+                    key = (min(gr, gc), max(gr, gc))
+                    cyc_ifaces[i].setdefault(i, []).append(
+                        (key, gr - bounds[i], float(lcoef[e]), gr < gc)
+                    )
+                    continue
                 d = local_keep[i].setdefault("e", ([], [], []))
                 d[0].append(int(lrows[e]) - bounds[i])
                 d[1].append(int(lcols[e]) - bounds[i])
@@ -556,11 +578,31 @@ def _decompose_blocks(m: LduMatrix, bounds: list[int]) -> list[LduMatrix]:
                 # LocalInterface coeffs are bouCoeffs (matrix entry =
                 # -coeff); ProcInterface uses the same NOT-yet-negated
                 # convention, so the coefficient carries over unchanged
-                proc.append(ProcInterface(
-                    neighbor=r,
-                    face_cells=np.array([e[1] for e in ent], np.int64),
-                    coeffs=np.array([e[2] for e in ent]),
-                ))
+                if r == i:
+                    # self-neighbor (cyclic_via_halo): split the two sides
+                    # into a PAIRED interface (A = lower-cell rows, B =
+                    # upper-cell rows), both key-sorted so A's k-th face
+                    # couples B's k-th (build_halo_plan self-pair contract)
+                    side_a = [e for e in ent if e[3]]
+                    side_b = [e for e in ent if not e[3]]
+                    if len(side_a) != len(side_b):
+                        raise ValueError(
+                            "cyclic couplings must come in (i->j, j->i) "
+                            f"pairs; rank {i} has {len(side_a)} vs "
+                            f"{len(side_b)} sides")
+                    for side in (side_a, side_b):
+                        proc.append(ProcInterface(
+                            neighbor=i,
+                            face_cells=np.array([e[1] for e in side],
+                                                np.int64),
+                            coeffs=np.array([e[2] for e in side]),
+                        ))
+                else:
+                    proc.append(ProcInterface(
+                        neighbor=r,
+                        face_cells=np.array([e[1] for e in ent], np.int64),
+                        coeffs=np.array([e[2] for e in ent]),
+                    ))
         local = ()
         if "e" in local_keep[i]:
             rws, cls, cfs = local_keep[i]["e"]

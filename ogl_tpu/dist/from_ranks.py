@@ -49,11 +49,20 @@ def build_halo_plan(iface_lists, halo_size: int) -> HaloPlan:
     (the reference CommunicationPattern, HostMatrix.C:252-306).  Recv side:
     halo slots are the natural interface-face enumeration, so neighbor r's
     block sits at the positions of r's interfaces in that enumeration —
-    matching r's send order by the pairwise contract."""
+    matching r's send order by the pairwise contract.
+
+    SELF-neighbor interfaces (neighbor == own rank, e.g. a cyclic patch
+    whose two sides land on the same rank routed through the exchange —
+    see ldu.decompose cyclic_via_halo) must come in consecutive PAIRS in
+    the per-self interface order; the k-th face of a pair's first
+    interface couples with the k-th face of its second.  The d = 0
+    ppermute class this creates is a real identity-permutation collective
+    ([(i, i)]), so the same compiled program exercises halo
+    gather/exchange/scatter even on a single-device mesh."""
     p = len(iface_lists)
     sends = []  # per rank {req: concatenated local send indices}
     recv_slots = []  # per rank {nbr: slot array}
-    for ifaces in iface_lists:
+    for rank, ifaces in enumerate(iface_lists):
         s: dict[int, list] = {}
         slots_of: dict[int, list] = {}
         ctr = 0
@@ -63,6 +72,21 @@ def build_halo_plan(iface_lists, halo_size: int) -> HaloPlan:
             slots_of.setdefault(int(nbr), []).append(
                 np.arange(ctr, ctr + len(fc)))
             ctr += len(fc)
+        # self-pairs: payload order is the interface order (A, B, ...);
+        # A's payload must land in B's slots and vice versa, so the recv
+        # slot concat swaps within each consecutive pair
+        if rank in slots_of:
+            pair_slots = slots_of[rank]
+            if len(pair_slots) % 2:
+                raise ValueError(
+                    f"rank {rank}: self-neighbor interfaces must come in "
+                    f"pairs (two coupled sides), got {len(pair_slots)}")
+            for a, b in zip(s[rank][0::2], s[rank][1::2]):
+                if len(a) != len(b):
+                    raise ValueError(
+                        f"rank {rank}: self-neighbor interface pair has "
+                        f"mismatched face counts {len(a)} != {len(b)}")
+            slots_of[rank] = [pair_slots[k ^ 1] for k in range(len(pair_slots))]
         sends.append({r: np.concatenate(v) for r, v in s.items()})
         recv_slots.append({r: np.concatenate(v) for r, v in slots_of.items()})
 

@@ -363,11 +363,20 @@ def shard_local_matrix(local, n_local: int):
 # -----------------------------------------------------------------------------
 
 
-def partition_coo(coo: Coo, n_parts: int, local_format: str = "auto") -> DistMatrix:
+def partition_coo(coo: Coo, n_parts: int, local_format: str = "auto",
+                  force_halo=None) -> DistMatrix:
     """Contiguous block (1-D) partition of a global row-major COO into a
     DistMatrix — the structural equivalent of decomposePar + the reference's
     per-rank HostMatrix construction, derived from the global operator.
-    (decomposition by contiguous row blocks matches `decomposePar simple`)."""
+    (decomposition by contiguous row blocks matches `decomposePar simple`).
+
+    force_halo: optional boolean mask over the nnz entries (or a callable
+    (rows, cols) -> mask) marking entries that must route through the halo
+    exchange even when row and column land on the same part — e.g. the
+    wrap couplings of a periodic operator.  Same operator either way;
+    forced entries create a d = (requester-owner) mod P = 0 ppermute class
+    (self-permutation [(i, i)]), so the compiled halo gather / exchange /
+    scatter executes even on a ONE-device mesh."""
     n = coo.shape[0]
     p = int(n_parts)
     rows = np.asarray(jax.device_get(coo.rows)).astype(np.int64)
@@ -382,6 +391,13 @@ def partition_coo(coo: Coo, n_parts: int, local_format: str = "auto") -> DistMat
 
     part_of_entry = owner[rows]
     is_local = owner[cols] == part_of_entry
+    if force_halo is not None:
+        fh = np.asarray(force_halo(rows, cols) if callable(force_halo)
+                        else force_halo, bool)
+        if fh.shape != rows.shape:
+            raise ValueError(
+                f"force_halo mask shape {fh.shape} != nnz {rows.shape}")
+        is_local = is_local & ~fh
 
     # ---- halo column sets: per part, unique remote cols, grouped by owner
     halo_cols_of = []  # part -> sorted np.array of global cols (owner-major)

@@ -104,7 +104,9 @@ class DistFoamSolver:
 
     def _ranks_of(self, m):
         if isinstance(m, ldu_mod.LduMatrix):
-            if self.n_parts == 1 and not m.proc_interfaces:
+            if (self.n_parts == 1 and not m.proc_interfaces
+                    and not (self.cfg.cyclic_via_halo
+                             and m.local_interfaces)):
                 # a 1-part decomposition is the matrix itself; skip the
                 # (value-copying) decompose on every steady-state step
                 return [m]
@@ -129,8 +131,10 @@ class DistFoamSolver:
                                    f"(simple: {edge_cut(r, c, simple)})")
                 perm, bounds = self._dec
                 return ldu_mod._decompose_blocks(
-                    ldu_mod.renumber(m, perm), bounds)
-            return ldu_mod.decompose(m, self.n_parts)
+                    ldu_mod.renumber(m, perm), bounds,
+                    self.cfg.cyclic_via_halo)
+            return ldu_mod.decompose(
+                m, self.n_parts, cyclic_via_halo=self.cfg.cyclic_via_halo)
         if self.cfg.decomposition != "simple":
             # same guard as _solve_multiproc: an already-decomposed list
             # cannot be re-partitioned, so a non-simple key is a

@@ -133,3 +133,38 @@ def test_dist_cg_pipe_fused_single_psum_variant():
     rj = fn_j(dm.local, dm.halo, bs, jnp.zeros_like(bs), ivs, sp)
     assert bool(np.asarray(rj.converged).all())
     assert np.abs(gather_global(dm, rj.x) - x_true).max() < 1e-2
+
+
+@pytest.mark.parametrize("pipelined", [False, True])
+def test_dist_cg_fused_self_halo_parity(pipelined):
+    """Self-neighbor halo route (cyclic_via_halo, the single-chip halo
+    configuration): the fused and fused-pipelined dist-CG execute a d=0
+    ppermute round per iteration and match the local-column route's
+    iterations and solution."""
+    from ogl_tpu.dist.from_ranks import dist_from_ldu_ranks
+    from ogl_tpu.solve.cg_fused_dist import (
+        make_dist_cg_fused_fn, make_dist_cg_pipe_fused_fn)
+
+    m = problems.channel_ldu((32, 8))
+    a = problems.to_dense_ldu(m)
+    rng = np.random.default_rng(0)
+    x_true = rng.normal(size=m.n)
+    b = (a @ x_true).astype(np.float32)
+    sp = StoppingParams.of(StoppingConfig(
+        tolerance=1e-5, rel_tol=0.0, max_iter=600, frequency=1))
+    mesh = _mesh(1)
+    builder = make_dist_cg_pipe_fused_fn if pipelined else make_dist_cg_fused_fn
+
+    its = {}
+    for via_halo in (True, False):
+        parts = ldu.decompose(m, 1, cyclic_via_halo=via_halo)
+        dm = dist_from_ldu_ranks(parts, dtype=np.float32)
+        assert (0 in dm.plan.offsets) == via_halo
+        fn = builder(dm, mesh, interpret=True)
+        bs = jnp.asarray(split_vector(dm, b), jnp.float32)
+        res = fn(dm.local, dm.halo, bs, jnp.zeros_like(bs), None, sp)
+        assert bool(np.ravel(res.converged)[0])
+        err = np.abs(gather_global(dm, res.x) - x_true).max()
+        assert err < 1e-2, err
+        its[via_halo] = int(np.ravel(res.iters)[0])
+    assert its[True] == its[False], its

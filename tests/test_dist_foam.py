@@ -9,6 +9,9 @@ import dataclasses
 import numpy as np
 import pytest
 
+import jax
+from jax.sharding import Mesh
+
 from ogl_tpu import foam, registry
 from ogl_tpu import testing as problems
 from ogl_tpu.core import ldu
@@ -363,3 +366,50 @@ def test_dist_foam_pipelined_cg():
     x2, perf2 = foam.solve_distributed("pipeCg", m2, b, {})
     assert perf2.converged
     np.testing.assert_allclose(np.asarray(x2), x_true / 2.0, atol=1e-6)
+
+
+def test_dist_foam_cyclic_via_halo_parity():
+    """cyclicViaHalo routes same-rank cyclic couplings through paired
+    self-neighbor ProcInterfaces (the single-chip halo-exchange
+    configuration): solutions and iteration counts match the
+    local-column route exactly, on 1 and 4 parts, including the
+    steady-state update path."""
+    import dataclasses as dc
+
+    m = problems.channel_ldu((16, 8))
+    a = problems.to_dense_ldu(m)
+    rng = np.random.default_rng(0)
+    x_true = rng.normal(size=m.n)
+    b = a @ x_true
+    base = {"solver": "GKOCG", "tolerance": 1e-10, "relTol": 0,
+            "maxIter": 800, "dtype": "float64"}
+    for p in (1, 4):
+        mesh = Mesh(np.array(jax.devices()[:p]), ("x",))
+        x1, p1 = foam.solve_distributed(f"cvh{p}", m, b,
+                                        {**base, "cyclicViaHalo": True},
+                                        mesh=mesh)
+        slv = registry.global_registry.get_or_init(
+            f"cvh{p}_dist_solver", lambda: None)
+        assert 0 in slv.assembler.dm.plan.offsets  # self class present
+        x2, p2 = foam.solve_distributed(f"cvl{p}", m, b, base, mesh=mesh)
+        assert p1.converged and p1.n_iterations == p2.n_iterations
+        np.testing.assert_allclose(np.asarray(x1), x_true, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(x1), np.asarray(x2),
+                                   atol=1e-9)
+        # steady state: coefficient change reuses the self-halo sparsity
+        m2 = dc.replace(m, diag=np.asarray(m.diag) * 1.01)
+        b2 = problems.to_dense_ldu(m2) @ x_true
+        x3, p3 = foam.solve_distributed(f"cvh{p}", m2, b2, {})
+        assert p3.converged
+        np.testing.assert_allclose(np.asarray(x3), x_true, atol=1e-6)
+
+
+def test_self_neighbor_interfaces_must_pair():
+    """build_halo_plan rejects an odd self-interface list (the pairing
+    contract of cyclic sides)."""
+    from ogl_tpu.dist.from_ranks import build_halo_plan
+
+    with pytest.raises(ValueError, match="pairs"):
+        build_halo_plan([[(0, np.array([0, 1]))]], 2)
+    with pytest.raises(ValueError, match="mismatched"):
+        build_halo_plan([[(0, np.array([0, 1])), (0, np.array([2]))]], 3)
