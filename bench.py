@@ -584,8 +584,11 @@ def _halo_hw_bench(dims):
         dt = slv.time_device_solve()
         it = max(perf.n_iterations, 1)
         results[tag] = (it, dt, perf.final_residual)
+        route = ("affine (slices + lane matmuls)"
+                 if dm.plan.send_affine is not None else "generic gather")
         log(f"halo-exchange {tag}: plan offsets {dm.plan.offsets} "
-            f"({sum(dm.halo_sizes):,} halo entries), {it} pinned iters, "
+            f"({sum(dm.halo_sizes):,} halo entries, route: {route}), "
+            f"{it} pinned iters, "
             f"final residual {perf.final_residual:.4e}, first {first:.1f}s, "
             f"device-only {dt * 1e3:.1f} ms ({dt * 1e6 / it:.1f} µs/iter, "
             f"{dt * 1e9 / it / n:.4f} ns/iter/DOF)")

@@ -564,7 +564,12 @@ def _decompose_blocks(m: LduMatrix, bounds: list[int],
         sel = interior & (ro == i)
         base = bounds[i]
         proc = []
-        nbrs = sorted(set(face_ifaces[i]) | set(cyc_ifaces[i]))
+        # self-neighbor (cyclic_via_halo) pairs FIRST, then ascending rank:
+        # every rank then lists its interfaces in the same structural order,
+        # which keeps the slot enumeration SPMD-uniform so the affine
+        # (slice/matmul) halo route stays available (dist.affine)
+        nbrs = sorted(set(face_ifaces[i]) | set(cyc_ifaces[i]),
+                      key=lambda r: (r != i, r))
         for r in nbrs:
             if r in face_ifaces[i]:
                 cells, coeffs = face_ifaces[i][r]

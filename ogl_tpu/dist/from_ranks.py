@@ -96,6 +96,25 @@ def build_halo_plan(iface_lists, halo_size: int) -> HaloPlan:
             d = (req - owner) % p
             per_offset.setdefault(d, {})[owner] = np.asarray(sidx, np.int64)
     offsets = tuple(sorted(per_offset))
+
+    # affine fast-path detection (dist.affine): every class must have
+    # every part participating with structurally uniform arithmetic runs
+    send_affine = recv_affine = None
+    if offsets and all(len(per_offset[d]) == p for d in offsets):
+        from ogl_tpu.dist.affine import build_send_affine
+
+        try:
+            aff = build_send_affine(
+                # send runs indexed by the SENDING part (owner o ships to
+                # (o+d)%p), recv runs by the RECEIVING part (i hears from
+                # (i-d)%p) — matching affine_exchange's my-indexing
+                [[per_offset[d][o] for o in range(p)] for d in offsets],
+                [[recv_slots[i][(i - d) % p] for i in range(p)]
+                 for d in offsets])
+        except KeyError:
+            aff = None  # a receiver lacks the pairing interface
+        if aff is not None:
+            send_affine, recv_affine = aff
     send_idx_list, recv_pos_list = [], []
     for d in offsets:
         owners = per_offset[d]
@@ -124,6 +143,8 @@ def build_halo_plan(iface_lists, halo_size: int) -> HaloPlan:
         offsets=offsets,
         halo_size=halo_size,
         n_parts=p,
+        send_affine=send_affine,
+        recv_affine=recv_affine,
     )
 
 
@@ -230,6 +251,8 @@ class DistAssembler:
         )
         halo = pack_halo_stack(halo_shards, self.dtype)
 
+        from ogl_tpu.dist.affine import build_apply_affine
+
         self.dm = DistMatrix(
             local=local,
             halo=halo,
@@ -238,6 +261,8 @@ class DistAssembler:
             local_sizes=local_sizes,
             global_n=global_n,
             halo_sizes=tuple(len(h[0]) for h in halo_shards),
+            apply_affine=(build_apply_affine(halo_shards)
+                          if plan.send_affine is not None else None),
         )
 
         # ---- update machinery (device gathers; pads read the zero slot S)

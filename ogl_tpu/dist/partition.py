@@ -58,13 +58,19 @@ class HaloPlan:
     send_idx[k]: (P, S_k) local row indices to ship to rank (i+d) mod P
     recv_pos[k]: (P, S_k) halo-buffer slots for data arriving from
                  (i−d) mod P; pads park at slot `halo_size` (sliced off).
-    """
+
+    send_affine/recv_affine: per-class AffineRuns (dist.affine) when every
+    class's index sets decompose into uniform arithmetic runs — the TPU
+    fast path (slices + lane matmuls instead of element-serial gathers);
+    None falls back to the generic gather route."""
 
     send_idx: tuple  # tuple of (P, S_k) int32 arrays
     recv_pos: tuple  # tuple of (P, S_k) int32 arrays
     offsets: tuple[int, ...] = static_field()
     halo_size: int = static_field()
     n_parts: int = static_field()
+    send_affine: tuple | None = None
+    recv_affine: tuple | None = None
 
 
 @_pytree
@@ -128,6 +134,9 @@ class DistMatrix:
     # true non-local entry count per shard (halo stacks are padded; pads
     # carry value 0 but a 0-VALUED live entry is still a live entry)
     halo_sizes: tuple[int, ...] = static_field(default=())
+    # AffineRuns over the halo-entry ROWS (slots sequential) when the
+    # non-local structure is affine — enables the slice/matmul halo apply
+    apply_affine: object = None
 
     @property
     def n_parts(self) -> int:
@@ -446,12 +455,31 @@ def partition_coo(coo: Coo, n_parts: int, local_format: str = "auto",
         send_idx_list.append(jnp.asarray(sidx))
         recv_pos_list.append(jnp.asarray(rpos))
 
+    # affine fast-path detection (dist.affine): uniform arithmetic runs on
+    # every class's send/recv sets, all parts participating
+    send_affine = recv_affine = None
+    if offsets and all(len(dict(per_offset[d])) == p for d in offsets):
+        from ogl_tpu.dist.affine import build_send_affine
+
+        try:
+            aff = build_send_affine(
+                [[dict(per_offset[d])[(o + d) % p] - bounds[o]
+                  for o in range(p)] for d in offsets],
+                [[_slots_of(i, dict(per_offset[d])[i]) for i in range(p)]
+                 for d in offsets])
+        except KeyError:
+            aff = None
+        if aff is not None:
+            send_affine, recv_affine = aff
+
     plan = HaloPlan(
         send_idx=tuple(send_idx_list),
         recv_pos=tuple(recv_pos_list),
         offsets=offsets,
         halo_size=halo_size,
         n_parts=p,
+        send_affine=send_affine,
+        recv_affine=recv_affine,
     )
 
     # ---- per-part triples (row-major order preserved)
@@ -467,6 +495,12 @@ def partition_coo(coo: Coo, n_parts: int, local_format: str = "auto",
     local, _ = pack_local_stack(loc_shards, n_local, dtype, fmt=local_format)
     halo = pack_halo_stack(halo_shards, dtype)
 
+    apply_affine = None
+    if plan.send_affine is not None:
+        from ogl_tpu.dist.affine import build_apply_affine
+
+        apply_affine = build_apply_affine(halo_shards)
+
     return DistMatrix(
         local=local,
         halo=halo,
@@ -475,6 +509,7 @@ def partition_coo(coo: Coo, n_parts: int, local_format: str = "auto",
         local_sizes=local_sizes,
         global_n=n,
         halo_sizes=tuple(len(h[0]) for h in halo_shards),
+        apply_affine=apply_affine,
     )
 
 

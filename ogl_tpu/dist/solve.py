@@ -134,19 +134,41 @@ def _halo_apply(halo_rows, halo_cols, halo_vals, h, n_local: int):
 
 
 def dist_ops(local_m, halo, plan: HaloPlan, global_n: int, axis: str,
-             precond=None) -> Ops:
+             precond=None, apply_affine=None, e_true: int = 0) -> Ops:
     """Ops bundle for use INSIDE shard_map.  `local_m` is the per-shard
     local matrix (Dia/Ell container); `halo` the per-shard COO triple
     (rows, cols, vals) with leading axes already stripped; reductions psum
-    over `axis`."""
+    over `axis`.  With an affine plan (+ apply_affine/e_true from the
+    DistMatrix) and a 128-aligned shard, the exchange and halo apply run
+    the slice/matmul route (dist.affine) instead of XLA's element-serial
+    gathers."""
     from ogl_tpu.kernels.spmv import apply_fast
 
     n_local = local_m.shape[0]
     h_rows, h_cols, h_vals = halo
+    affine_ok = (plan.send_affine is not None and apply_affine is not None
+                 and n_local % 128 == 0)
+    if affine_ok and plan.offsets:
+        # slot-order value permutation hoisted out of the iteration loop
+        # (dist_ops is built once per solve, mv runs per iteration)
+        _my = jax.lax.axis_index(axis)
+        _vals_so = jnp.take(h_vals[:e_true], apply_affine.entry_perm[_my],
+                            axis=0)
 
     def mv(x):
         y = apply_fast(local_m, x)
         if plan.offsets:
+            if affine_ok:
+                from ogl_tpu.dist.affine import (affine_apply,
+                                                 affine_exchange)
+
+                my = jax.lax.axis_index(axis)
+                h = affine_exchange(
+                    x.reshape(-1, 128), plan.send_affine, plan.recv_affine,
+                    plan.offsets, plan.halo_size, plan.n_parts, axis, my)
+                y2, _ = affine_apply(y.reshape(-1, 128), None, h, _vals_so,
+                                     apply_affine.rows, my)
+                return y2.reshape(-1)
             h = halo_exchange(x, plan, axis)
             y = y + _halo_apply(h_rows, h_cols, h_vals, h, n_local)
         return y
@@ -215,6 +237,8 @@ def make_dist_solve_fn(dm: DistMatrix, mesh: Mesh, axis: str = "x",
         # StoppingCriterion.C:115-117) — replicated, so P() out spec
         kw["history_len"] = history_len
     n_local, global_n, plan = dm.n_local, dm.global_n, dm.plan
+    aff = dm.apply_affine
+    e_true = dm.halo_sizes[0] if dm.halo_sizes else 0
 
     def shard_body(local, halo, b, x0, sp, pc_state):
         local_m = shard_local_matrix(local, n_local)
@@ -227,7 +251,8 @@ def make_dist_solve_fn(dm: DistMatrix, mesh: Mesh, axis: str = "x",
             pc = precond_builder(local_m)
         else:
             pc = None
-        ops = dist_ops(local_m, halo_t, plan, global_n, axis, precond=pc)
+        ops = dist_ops(local_m, halo_t, plan, global_n, axis, precond=pc,
+                       apply_affine=aff, e_true=e_true)
         if solver == "GKOIR" and inner_params is not None:
             # inner CG with its own OpenFOAM criterion (reference
             # create_default, GKOIR.H:58-78), distributed: the inner matvec
@@ -244,10 +269,12 @@ def make_dist_solve_fn(dm: DistMatrix, mesh: Mesh, axis: str = "x",
                 i_ops = dist_ops(
                     cast_values(local_m, idt),
                     (halo_t[0], halo_t[1], halo_t[2].astype(idt)),
-                    plan, global_n, axis, precond=pc)
+                    plan, global_n, axis, precond=pc,
+                    apply_affine=aff, e_true=e_true)
             else:
                 i_ops = ops
-            o_ops = dist_ops(local_m, halo_t, plan, global_n, axis)
+            o_ops = dist_ops(local_m, halo_t, plan, global_n, axis,
+                             apply_affine=aff, e_true=e_true)
 
             def inner(r):
                 return cg(i_ops, r, jnp.zeros_like(r), inner_params).x

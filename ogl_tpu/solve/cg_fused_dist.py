@@ -60,10 +60,20 @@ class _PipeCarry(NamedTuple):
 
 def _exchange_framed(xf, plan: HaloPlan, axis: str, frame_off: int):
     """Halo exchange reading interface values straight out of the framed
-    vector (flat frame index of local row r is frame_off + r)."""
+    vector (flat frame index of local row r is frame_off + r).  Takes the
+    affine slice/matmul route when the plan carries run descriptors
+    (dist.affine — XLA's index gathers are element-serial on TPU), else
+    the generic gather/scatter route."""
+    my = jax.lax.axis_index(axis)
+    if plan.send_affine is not None:
+        from ogl_tpu.dist.affine import affine_exchange
+
+        return affine_exchange(
+            xf, plan.send_affine, plan.recv_affine, plan.offsets,
+            plan.halo_size, plan.n_parts, axis, my,
+            row_off=frame_off // LANES)
     flat = xf.reshape(-1)
     h = jnp.zeros((plan.halo_size + 1,), flat.dtype)
-    my = jax.lax.axis_index(axis)
     p = plan.n_parts
     for off, sidx, rpos in zip(plan.offsets, plan.send_idx, plan.recv_pos):
         payload = jnp.take(flat, frame_off + sidx[my], axis=0)
@@ -73,9 +83,18 @@ def _exchange_framed(xf, plan: HaloPlan, axis: str, frame_off: int):
     return h[: plan.halo_size]
 
 
-def _halo_corr(qf, poutf, h, halo, frame_off: int):
+def _halo_corr(qf, poutf, h, halo, frame_off: int, affine=None,
+               vals_slot_order=None, affine_axis: str = "x"):
     """Add the non-local contribution to the framed q and return the δ
-    correction Σ contrib ⊙ p' (all surface-sized work; pads are 0-valued)."""
+    correction Σ contrib ⊙ p' (all surface-sized work; pads are 0-valued).
+    With an ApplyAffine descriptor (+ values pre-permuted to slot order,
+    done once per solve) the scatter/gathers become slices/matmuls."""
+    if affine is not None:
+        from ogl_tpu.dist.affine import affine_apply
+
+        my = jax.lax.axis_index(affine_axis)
+        return affine_apply(qf, poutf, h, vals_slot_order, affine.rows, my,
+                            row_off=frame_off // LANES)
     rows, cols, vals = halo
     contrib = vals.astype(qf.dtype) * jnp.take(h, cols, axis=0)
     flat_idx = frame_off + rows
@@ -138,6 +157,9 @@ def make_dist_cg_fused_fn(
     def psum(v):
         return jax.lax.psum(v, axis)
 
+    aff = dm.apply_affine if plan.send_affine is not None else None
+    e_true = dm.halo_sizes[0] if dm.halo_sizes else 0
+
     def shard_body(local, halo_s, b, x0, invd, sp):
         data3 = kern.pack_values(
             Dia(data=local.data[0], offsets=dm.local.offsets,
@@ -147,12 +169,23 @@ def make_dist_cg_fused_fn(
         xf = kern.frame(x0[0].astype(dtype))
         invdf = kern.frame(invd[0].astype(dtype)) if use_invd \
             else kern.frame(jnp.ones((n_local,), dtype))
+        # slot-ordered halo values, permuted ONCE per solve (outside the
+        # iteration loop) so the affine apply touches no per-iter gather
+        vals_so = None
+        if aff is not None and plan.offsets:
+            vals_so = jnp.take(halo[2][:e_true],
+                               aff.entry_perm[jax.lax.axis_index(axis)],
+                               axis=0)
+
+        def corr(qf, poutf, h):
+            return _halo_corr(qf, poutf, h, halo, frame_off, affine=aff,
+                              vals_slot_order=vals_so, affine_axis=axis)
 
         def dist_apply(vf):
             _, qf, _ = kern.k1(data3, vf, vf, 0.0)
             if plan.offsets:
                 h = _exchange_framed(vf, plan, axis, frame_off)
-                qf, _ = _halo_corr(qf, vf, h, halo, frame_off)
+                qf, _ = corr(qf, vf, h)
             return qf
 
         rf = bf - dist_apply(xf)
@@ -216,7 +249,7 @@ def make_dist_cg_fused_fn(
                 hp = c.hp
             pf, qf, d1 = kern.k1(data3, zlike, c.pf, beta)
             if plan.offsets:
-                qf, d2 = _halo_corr(qf, pf, hp, halo, frame_off)
+                qf, d2 = corr(qf, pf, hp)
                 delta = psum(d1 + d2)
             else:
                 delta = psum(d1)
@@ -300,6 +333,9 @@ def make_dist_cg_pipe_fused_fn(
     def psum(v):
         return jax.lax.psum(v, axis)
 
+    aff = dm.apply_affine if plan.send_affine is not None else None
+    e_true = dm.halo_sizes[0] if dm.halo_sizes else 0
+
     def shard_body(local, halo_s, b, x0, invd, sp):
         data3 = kern.pack_values(
             Dia(data=local.data[0], offsets=dm.local.offsets,
@@ -309,13 +345,24 @@ def make_dist_cg_pipe_fused_fn(
         bf = kern.frame(b[0].astype(dtype))
         xf = kern.frame(x0[0].astype(dtype))
         invdf = kern.frame(invd[0].astype(dtype)) if use_invd else None
+        vals_so = None
+        if aff is not None and plan.offsets:
+            vals_so = jnp.take(halo[2][:e_true],
+                               aff.entry_perm[jax.lax.axis_index(axis)],
+                               axis=0)
+
+        def corr(qf, poutf, h):
+            return _halo_corr(qf, poutf, h, halo, frame_off, affine=aff,
+                              vals_slot_order=vals_so, affine_axis=axis)
+
         # invd at the halo columns (remote rows), exchanged once
         if use_invd and plan.offsets:
             invd_halo = _exchange_framed(invdf, plan, axis, frame_off)
         else:
             invd_halo = None
-        # invd at this shard's halo-corrected rows (static gather)
-        if use_invd:
+        # invd at this shard's halo-corrected rows (static gather; only
+        # the generic route needs it — the affine route slices u framed)
+        if use_invd and aff is None:
             invd_at_rows = jnp.take(invdf.reshape(-1), frame_off + hrows,
                                     axis=0)
         else:
@@ -325,7 +372,7 @@ def make_dist_cg_pipe_fused_fn(
             _, qf, _ = kern.k1(data3, vf, vf, 0.0)
             if plan.offsets:
                 h = _exchange_framed(vf, plan, axis, frame_off)
-                qf, _ = _halo_corr(qf, vf, h, halo, frame_off)
+                qf, _ = corr(qf, vf, h)
             return qf
 
         rf = bf - dist_apply(xf)
@@ -354,14 +401,23 @@ def make_dist_cg_pipe_fused_fn(
             if plan.offsets:
                 hr = _exchange_framed(c.rf, plan, axis, frame_off)
                 hu = hr * invd_halo if use_invd else hr
-                rows, cols, vals = halo
-                contrib = vals.astype(wf.dtype) * jnp.take(hu, cols, axis=0)
-                flat = frame_off + rows
-                wf = wf.reshape(-1).at[flat].add(contrib).reshape(wf.shape)
-                u_at = jnp.take(c.rf.reshape(-1), flat, axis=0)
-                if use_invd:
-                    u_at = u_at * invd_at_rows
-                delta = delta + jnp.sum(contrib * u_at)
+                if aff is not None:
+                    # delta correction needs sum(contrib * u[rows]) with
+                    # u = invd*r; the framed product only materializes at
+                    # the sliced surface rows after fusion
+                    uf = invdf * c.rf if use_invd else c.rf
+                    wf, d2 = corr(wf, uf, hu)
+                    delta = delta + d2
+                else:
+                    rows, cols, vals = halo
+                    contrib = vals.astype(wf.dtype) * jnp.take(hu, cols,
+                                                               axis=0)
+                    flat = frame_off + rows
+                    wf = wf.reshape(-1).at[flat].add(contrib).reshape(wf.shape)
+                    u_at = jnp.take(c.rf.reshape(-1), flat, axis=0)
+                    if use_invd:
+                        u_at = u_at * invd_at_rows
+                    delta = delta + jnp.sum(contrib * u_at)
             # THE single fused reduction of the pipelined iteration
             part = psum(jnp.stack([gamma.astype(dtype), delta.astype(dtype),
                                    absr.astype(dtype)]))
