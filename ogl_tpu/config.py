@@ -38,7 +38,8 @@ from typing import Any
 
 __all__ = ["StoppingConfig", "PrecondConfig", "SolverConfig", "parse_controls"]
 
-MATRIX_FORMATS = ("Coo", "Csr", "Ell", "Dia", "Sell", "Gdia", "Hybrid")
+MATRIX_FORMATS = ("Coo", "Csr", "Ell", "Dia", "Sell", "Gdia", "Hybrid",
+                  "Xell")
 
 
 @dataclasses.dataclass(frozen=True)

@@ -254,6 +254,10 @@ def to_dense(m) -> np.ndarray:
             rr = np.repeat(np.asarray(jax.device_get(sr)).astype(np.int64), w)
             live = rr < n  # pad slots park at row n; pad entries add 0
             np.add.at(out, (rr[live], c.reshape(-1)[live]), v.reshape(-1)[live])
+    elif type(m).__name__ == "Xell":
+        from ogl_tpu.kernels.xell import xell_to_coo
+
+        out = to_dense(xell_to_coo(m))
     elif type(m).__name__ == "Gdia":
         v = np.asarray(jax.device_get(m.vals))  # (P, R, 128)
         l = np.asarray(jax.device_get(m.lidx)).astype(np.int64)
@@ -518,6 +522,14 @@ def with_values(m, vals: Array):
             ell=dataclasses.replace(m.ell, vals=vals[:esize].reshape(m.ell.vals.shape)),
             coo=dataclasses.replace(m.coo, vals=vals[esize:]),
         )
+    if type(m).__name__ == "Xell":
+        # virtual flat storage: [vals.flat ++ spill.vals]
+        msize = m.vals.size
+        return dataclasses.replace(
+            m,
+            vals=vals[:msize].reshape(m.vals.shape),
+            spill=dataclasses.replace(m.spill, vals=vals[msize:]),
+        )
     return dataclasses.replace(m, vals=vals)
 
 
@@ -612,6 +624,16 @@ def value_map(m, rows, cols) -> ValueMap:
         if plane_offsets != m.plane_offsets:
             raise ValueError("sparsity changed: Gdia planes do not match container")
         shape = tuple(int(s) for s in m.vals.shape)
+    elif type(m).__name__ == "Xell":
+        from ogl_tpu.kernels.xell import xell_layout
+
+        lay = xell_layout(rows, cols, n)
+        if (lay.n_slots != m.n_slots or lay.c_chunks != m.c_chunks
+                or int(lay.spill_sel.sum()) != m.spill.nnz):
+            raise ValueError(
+                "sparsity changed: Xell packing does not match container")
+        dest = lay.dest
+        shape = (int(m.vals.size) + m.spill.nnz,)
     else:
         raise TypeError(f"no value map for format {type(m)}")
     size = 1

@@ -35,6 +35,12 @@ __all__ = ["SolverPerformance", "FoamSolver", "solve", "SOLVER_NAMES"]
 
 SOLVER_NAMES = ("GKOCG", "GKOBiCGStab", "GKOGMRES", "GKOIR", "GKOMultigrid")
 
+def _to_xell(c):
+    from ogl_tpu.kernels.xell import xell_from_coo
+
+    return xell_from_coo(c)
+
+
 def _to_gdia(c):
     from ogl_tpu.kernels.gdia import gdia_from_coo
 
@@ -54,6 +60,7 @@ _FORMAT_CONVERTERS = {
     "Sell": formats.coo_to_sell,
     "Gdia": _to_gdia,
     "Hybrid": formats.coo_to_hybrid,
+    "Xell": _to_xell,
 }
 
 _banner_shown: set[str] = set()
@@ -191,9 +198,11 @@ class FoamSolver:
         not set explicitly and the named format's SpMV would ride XLA's
         gather lowering on an accelerator (Coo/Csr/Ell/Sell — ~1000x off
         roofline on TPU), pack into the fastest representable format
-        instead (Dia -> Gdia -> Ell; cf. the reference's inner-format
-        dispatch whose formats are all device-fast in Ginkgo,
-        CsrMatrixWrapper.H:138-161).  Explicit formats are honored."""
+        instead (Dia -> Gdia -> Xell -> Ell; cf. the reference's
+        inner-format dispatch whose formats are all device-fast in Ginkgo,
+        CsrMatrixWrapper.H:138-161).  Explicit formats are honored; a
+        LARGE auto-routed matrix landing on the Ell gather tier is an
+        error rather than a silent ~1000x slowdown."""
         fmt = self.cfg.matrix_format
         if (
             not self.cfg.matrix_format_explicit
@@ -208,6 +217,14 @@ class FoamSolver:
                 presorted=True,  # LDU sparsity emits row-major order
             )
             eff = type(mat).__name__
+            if eff == "Ell" and coo.shape[0] >= (1 << 15):
+                raise RuntimeError(
+                    f"{self.field}: no TPU fast-path format covers this "
+                    f"{coo.shape[0]}-row matrix (Dia/Gdia/Xell all "
+                    "rejected it) — the XLA-gather Ell tier would run "
+                    "~1000x off roofline.  Renumber the mesh "
+                    "(reorder: rcm) to reduce bandwidth, or set "
+                    "matrixFormat Ell explicitly to accept the slow path.")
             if eff != fmt:
                 common.log(self.cfg.verbose, 0,
                            f"{self.field}: matrixFormat auto-routed "

