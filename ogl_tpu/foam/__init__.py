@@ -6,6 +6,9 @@ from ogl_tpu.foam.solver import (
     SolverPerformance as SolverPerformance,
     solve as solve,
 )
+from ogl_tpu.foam.f64 import (
+    F64DefectSolver as F64DefectSolver,
+)
 from ogl_tpu.foam.dist_solver import (
     DistFoamSolver as DistFoamSolver,
     solve_distributed as solve_distributed,

@@ -1,0 +1,203 @@
+"""Double-precision solves on TPU: host-f64 defect correction around the
+fused f32 device path.
+
+THE f64 story of this framework (VERDICT r03 item 3).  OpenFOAM's default
+scalar is double and the reference serves it natively — Ginkgo solvers run
+whatever `gko::` value type the build picked (GKOCG.H:45-61).  A TPU has no
+f64 ALU: XLA emulates f64 at a large slowdown, and a process with
+`jax_enable_x64` cannot lower the Pallas kernels at all (Mosaic i64
+rejection — see kernels/spmv.pallas_usable), so "just run the solver in
+f64" would forfeit the entire fused tier for every field in the process.
+
+The TPU-native answer is mixed-precision defect correction (iterative
+refinement, Wilkinson 1963; Carson & Higham 2018 for the Krylov-inner
+form): keep the OUTER state (x, r = b − A·x, the stopping criterion) in
+float64 where f64 is free — the host — and solve each correction equation
+A·dx = r on the device in float32 through the ordinary FoamSolver, fused
+Pallas kernels included.  Each outer sweep multiplies the residual by the
+inner relative tolerance, so digits accrue geometrically: with the default
+inner relTol 1e-4, four sweeps reach ~1e-16.  CG iteration counts are set
+by conditioning, not by target accuracy per solve, so the total inner
+iteration count is roughly (f64 digits / f32 digits per sweep) × the plain
+f32 solve — measured ~1.5-2× wall clock at 1M rows (BENCH_r04), against
+~10× for XLA's emulated f64 on the gather-free paths alone.
+
+The outer work per sweep is one host CSR f64 SpMV plus vector ops (~60 MB
+of host traffic at 1M rows / 7 nnz per row) — microseconds-class per cell,
+overlapped against nothing because it IS the accuracy step.  The host
+operator shares the assembly path (`ldu_to_coo_host`) with the device
+formats, and the inner FoamSolver's delta-upload machinery sees identical
+coefficients every sweep, so only the new RHS crosses the wire after the
+first sweep.
+
+Spelled in the fvSolution dictionary as `dtype float64` on any solver in a
+normal (non-x64) process; `GKOIR` + an `inner` sub-dict is the canonical
+form (the reference's create_default inner-CG shape, GKOIR.H:58-78), other
+solver names use themselves as the inner solver.  Processes that DID
+enable x64 keep the existing native-f64 XLA route.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Any
+
+import jax
+import numpy as np
+
+from ogl_tpu import common, registry
+from ogl_tpu.config import SolverConfig, parse_controls
+from ogl_tpu.core import ldu as ldu_mod
+from ogl_tpu.foam.solver import FoamSolver, SolverPerformance
+from ogl_tpu.solve.stopping import small_of
+
+__all__ = ["F64DefectSolver", "wants_host_f64"]
+
+
+def wants_host_f64(cfg: SolverConfig) -> bool:
+    """True when a solve configured `dtype float64` should route through
+    the host-outer defect correction: the process has NOT enabled x64
+    (jnp arrays would silently truncate to f32 — worse than either real
+    choice) — regardless of backend, so tests on CPU exercise the same
+    code path that runs on TPU."""
+    return cfg.dtype == "float64" and not jax.config.jax_enable_x64
+
+
+def _inner_config(cfg: SolverConfig) -> SolverConfig:
+    """The device-side correction solver: the user's solver in f32.  An
+    `inner` sub-dict (GKOIR spelling) supplies the stopping criterion;
+    otherwise each sweep runs the outer tolerance knobs with a 1e-4 floor
+    on relTol (tighter is wasted — f32 stagnates near 1e-7, and digits
+    beyond the sweep gain cost extra inner iterations linearly)."""
+    import dataclasses
+
+    inner_stop = cfg.inner_stopping
+    if inner_stop is None:
+        inner_stop = dataclasses.replace(
+            cfg.stopping,
+            tolerance=0.0,
+            rel_tol=max(cfg.stopping.rel_tol, 1e-4),
+        )
+    solver = cfg.solver if cfg.solver != "GKOIR" else "GKOCG"
+    return dataclasses.replace(
+        cfg,
+        solver=solver,
+        dtype="float32",
+        stopping=inner_stop,
+        inner_stopping=None,
+        # the outer loop owns export/debug artifacts; inner solves are
+        # correction equations whose RHS changes every sweep
+        export=False,
+        debug=False,
+    )
+
+
+class F64DefectSolver:
+    """Per-field persistent f64 front end (drop-in for FoamSolver where
+    `dtype float64` without x64): f64 outer Richardson on host, f32 device
+    inner.  Registered under the same `<field>_solver` key."""
+
+    def __init__(self, field_name: str, controls: dict | SolverConfig):
+        cfg = controls if isinstance(controls, SolverConfig) else parse_controls(controls)
+        if not wants_host_f64(cfg):
+            raise ValueError("F64DefectSolver requires dtype float64 in a "
+                             "non-x64 process")
+        self.field = field_name
+        self.cfg = cfg
+        self.inner = FoamSolver(field_name + "%f64inner", _inner_config(cfg))
+        self._csr = None
+        self._blocks_prev = None
+        self.last_outer_sweeps = 0
+        self.last_timings: dict[str, float] = {}
+
+    # -- host f64 operator ------------------------------------------------
+    def _update_host_operator(self, m: ldu_mod.LduMatrix):
+        """Rebuild the host CSR only when coefficients changed (same delta
+        contract as FoamSolver._update_matrix; the sparsity is validated by
+        the inner solver, which sees the same LduMatrix)."""
+        blocks = [np.asarray(m.diag), np.asarray(m.upper)]
+        if not m.symmetric:
+            blocks.append(np.asarray(m.lower))
+        for li in m.local_interfaces:
+            blocks.append(np.asarray(li.coeffs))
+        prev = self._blocks_prev
+        if (self._csr is not None and prev is not None
+                and len(prev) == len(blocks)
+                and all(p.shape == b.shape and np.array_equal(p, b)
+                        for p, b in zip(prev, blocks))):
+            return
+        import scipy.sparse as sp
+
+        coo = ldu_mod.ldu_to_coo_host(m, scale=self.cfg.scaling,
+                                      dtype=np.float64)
+        self._csr = sp.csr_matrix(
+            (np.asarray(coo.vals, np.float64),
+             (np.asarray(coo.rows), np.asarray(coo.cols))),
+            shape=coo.shape)
+        self._blocks_prev = [np.array(b) for b in blocks]
+
+    # -- OpenFOAM stopping pieces in f64 -----------------------------------
+    def _norm_factor(self, b: np.ndarray, x0: np.ndarray) -> float:
+        """StoppingCriterion.C:32-69 evaluated in f64: with x̄ = mean(x0)
+        broadcast, nf = ‖ |A·x0 − A·x̄| + |b − A·x̄| ‖₁ + SMALL."""
+        xref = np.full_like(b, float(np.mean(x0)))
+        axref = self._csr @ xref
+        ax0 = self._csr @ x0
+        return float(np.sum(np.abs(ax0 - axref) + np.abs(b - axref))
+                     + small_of(np.float64))
+
+    # -- solve --------------------------------------------------------------
+    def solve(self, m: ldu_mod.LduMatrix, b, psi=None,
+              time_value: str | None = None) -> tuple[Any, SolverPerformance]:
+        cfg = self.cfg
+        t0 = time.perf_counter()
+        self._update_host_operator(m)
+        b64 = np.asarray(b, np.float64) * float(cfg.scaling)
+        x = (np.asarray(psi, np.float64).copy()
+             if psi is not None and cfg.update_init_guess
+             else np.zeros_like(b64))
+
+        nf = self._norm_factor(b64, x)
+        r = b64 - self._csr @ x
+        init_res = float(np.sum(np.abs(r))) / nf
+        res = init_res
+        st = cfg.stopping
+        total_inner = 0
+        sweeps = 0
+        # each sweep gains ~|log10(inner relTol)| digits; 8 sweeps bound
+        # covers tolerance 1e-16 from the 1e-4 default with slack
+        max_sweeps = 8
+        while (res > st.tolerance
+               and (st.rel_tol <= 0 or res > st.rel_tol * init_res)
+               and sweeps < max_sweeps
+               and total_inner < st.max_iter):
+            # correction equation on device, f32 fused path; the inner
+            # FoamSolver handles scaling itself, so hand it the UNSCALED
+            # residual (solution of (s·A)dx = s·r is scale-invariant)
+            dx, perf = self.inner.solve(m, r / float(cfg.scaling))
+            x += np.asarray(jax.device_get(dx), np.float64)
+            r = b64 - self._csr @ x
+            res = float(np.sum(np.abs(r))) / nf
+            total_inner += perf.n_iterations
+            sweeps += 1
+            common.log(cfg.verbose, 1,
+                       f"{self.field}: f64 sweep {sweeps}: inner "
+                       f"{perf.n_iterations} iters, outer residual {res:.3e}")
+
+        self.last_outer_sweeps = sweeps
+        self.last_timings = dict(self.inner.last_timings)
+        self.last_timings["f64_total"] = time.perf_counter() - t0
+        converged = bool(res <= st.tolerance
+                         or (st.rel_tol > 0 and res <= st.rel_tol * init_res))
+        perf = SolverPerformance(
+            solver_name=f"{cfg.solver}_f64defect_{self.inner._fmt_used}",
+            field_name=self.field,
+            initial_residual=init_res,
+            final_residual=res,
+            n_iterations=total_inner,
+            converged=converged,
+        )
+        return x, perf
+
+    def time_device_solve(self, reps: int = 3) -> float:
+        return self.inner.time_device_solve(reps)

@@ -769,8 +769,17 @@ class FoamSolver:
 
 def solve(field_name: str, m: ldu.LduMatrix, b, controls: dict | SolverConfig, psi=None):
     """Functional entry: get-or-create the per-field FoamSolver from the
-    registry (the objectRegistry pattern) and run one solve."""
-    solver = registry.global_registry.get_or_init(
-        f"{field_name}_solver", lambda: FoamSolver(field_name, controls)
-    )
+    registry (the objectRegistry pattern) and run one solve.  `dtype
+    float64` in a non-x64 process routes to the host-outer defect
+    correction (foam/f64.py) — the documented TPU f64 configuration."""
+
+    def _make():
+        cfg = controls if isinstance(controls, SolverConfig) else parse_controls(controls)
+        from ogl_tpu.foam.f64 import F64DefectSolver, wants_host_f64
+
+        if wants_host_f64(cfg):
+            return F64DefectSolver(field_name, cfg)
+        return FoamSolver(field_name, cfg)
+
+    solver = registry.global_registry.get_or_init(f"{field_name}_solver", _make)
     return solver.solve(m, b, psi=psi)
