@@ -17,6 +17,23 @@ sidecar `<field>_comm.json` per rank — `[{"neighbor": r, "n_faces": k},
 ...]` in interface order — from which interface membership, face cells
 (the non-local entry rows), and coefficients (the negated entry values,
 HostMatrix.C:204) are all reconstructible.
+
+A TRUE reference export has no such sidecar.  For those,
+`reconstruct_comm` recovers the mapping from the artifacts alone using
+the pairwise interface contract (matching interfaces enumerate their
+shared faces in the same order, with equal coupling coefficients —
+HostMatrix.C:252-306): per rank, the slot-ordered coefficient sequence
+is the concatenation of per-neighbour runs in ascending-neighbour patch
+order, so a two-pointer sweep over rank pairs that matches maximal
+common coefficient prefixes determines every (neighbour, n_faces) run.
+This is exact for generic (real-valued) coefficients; it is provably
+UNDER-DETERMINED for degenerate cases — e.g. a uniform-coefficient mesh
+decomposed so several run-length covers satisfy the pairwise totals
+(4 ranks, all totals 2: a 4-cycle of single-face interfaces and two
+disjoint 2-face pairings serialise identically).  Reconstruction
+validates itself (full cover + global structural symmetry) and raises
+with the minimal extra input (the sidecar) when the artifacts are
+genuinely ambiguous.
 """
 
 from __future__ import annotations
@@ -33,7 +50,7 @@ from ogl_tpu.core import mtx
 from ogl_tpu.foam import dictionary
 
 __all__ = ["load_fv_solution", "read_exported_case", "read_cell_addressing",
-           "solve_exported_case"]
+           "reconstruct_comm", "solve_exported_case"]
 
 
 def load_fv_solution(path: str, field: str) -> dict:
@@ -58,38 +75,122 @@ def _processor_dirs(case_dir: str) -> list[str]:
     return [p for _, p in procs]
 
 
+def _slot_order(nl, nl_path: str):
+    """Invert a non-local export to face order: slot s IS the natural face
+    index (HostMatrix.C:412-436).  Returns (cell_of, coeff_of) with the
+    negation undone (HostMatrix.C:204)."""
+    nrows = np.asarray(nl.rows)
+    slots = np.asarray(nl.cols)
+    nvals = np.asarray(nl.vals)
+    total = len(slots)
+    if total and set(slots.tolist()) != set(range(total)):
+        raise ValueError(
+            f"{nl_path}: non-local columns are not a contiguous slot "
+            f"enumeration 0..{total - 1}")
+    cell_of = np.zeros(total, np.int64)
+    coeff_of = np.zeros(total)
+    cell_of[slots] = nrows
+    coeff_of[slots] = -nvals
+    return cell_of, coeff_of
+
+
+def reconstruct_comm(coeff_seqs: list[np.ndarray]) -> list[list[dict]]:
+    """Recover each rank's `[{"neighbor": j, "n_faces": k}, ...]` from the
+    slot-ordered interface coefficient sequences alone — the sidecar-free
+    ingest of a true reference export (CsrMatrixWrapper.H:271-290 writes no
+    communication pattern).
+
+    Uses the pairwise interface contract: interface (i, j) stores the same
+    shared faces, in the same order, with equal coefficients on both ranks
+    (HostMatrix.C:252-306), and each rank's slots concatenate its
+    interfaces in ascending-neighbour patch order (decomposePar processor
+    patch ordering).  A two-pointer sweep over rank pairs in lexicographic
+    order therefore sees, at the time pair (i, j) is tested, both cursors
+    parked exactly where an (i, j) interface would start; the maximal
+    common coefficient prefix is its face count.
+
+    Exact for generic real coefficients.  For degenerate (repeated-value)
+    runs the run boundary is not always identifiable — see the module
+    docstring's 4-cycle counterexample — so a RuntimeWarning flags matched
+    runs with repeated values, and an incomplete cover raises with the
+    minimal extra input (the `_comm.json` sidecar) named."""
+    import warnings
+
+    n_ranks = len(coeff_seqs)
+    cur = [0] * n_ranks
+    comm: list[list[dict]] = [[] for _ in range(n_ranks)]
+    for i in range(n_ranks):
+        for j in range(i + 1, n_ranks):
+            a, b = coeff_seqs[i], coeff_seqs[j]
+            ci, cj = cur[i], cur[j]
+            k = 0
+            while (ci + k < len(a) and cj + k < len(b)
+                   and a[ci + k] == b[cj + k]):
+                k += 1
+            if k == 0:
+                continue
+            run = a[ci:ci + k]
+            if len(np.unique(run)) < k:
+                warnings.warn(
+                    f"reconstruct_comm: interface ({i},{j}) has repeated "
+                    "coefficient values — the run boundary is inferred, "
+                    "not certain; prefer an export with a _comm.json "
+                    "sidecar for degenerate (uniform-coefficient) meshes",
+                    RuntimeWarning, stacklevel=2)
+            comm[i].append({"neighbor": j, "n_faces": k})
+            comm[j].append({"neighbor": i, "n_faces": k})
+            cur[i] += k
+            cur[j] += k
+    bad = [i for i in range(n_ranks) if cur[i] != len(coeff_seqs[i])]
+    if bad:
+        raise ValueError(
+            f"reconstruct_comm: ranks {bad} have interface slots no "
+            "pairwise coefficient match covers — the artifacts are "
+            "ambiguous or inconsistent.  The minimal extra input is the "
+            "per-rank `<field>_comm.json` sidecar "
+            '([{"neighbor": r, "n_faces": k}, ...] in patch order) that '
+            "ogl_tpu's own exporter writes.")
+    return comm
+
+
 def read_exported_case(case_dir: str, field: str, time: str):
     """Ingest an exported system: returns (ranks, b) where ranks is a list
     of per-rank LduMatrix (with ProcInterfaces for multi-rank cases) and b
-    the concatenated global RHS."""
-    ranks, bs = [], []
+    the concatenated global RHS.  Works on true reference exports (no
+    `_comm.json` sidecar): the communication pattern is then reconstructed
+    from the pairwise interface contract (see `reconstruct_comm`)."""
+    locals_, bs, nl_data = [], [], []
     for pdir in _processor_dirs(case_dir):
         pre = os.path.join(pdir, time, field)
-        local = mtx.read(f"{pre}_A_local.mtx")
-        b_i = np.asarray(mtx.read(f"{pre}_b.mtx")).reshape(-1)
-        bs.append(b_i)
-
-        ifaces = []
+        locals_.append(mtx.read(f"{pre}_A_local.mtx"))
+        bs.append(np.asarray(mtx.read(f"{pre}_b.mtx")).reshape(-1))
         nl_path = f"{pre}_A_non_local.mtx"
-        comm_path = f"{pre}_comm.json"
-        if os.path.exists(nl_path) and os.path.exists(comm_path):
-            nl = mtx.read(nl_path)
-            with open(comm_path) as f:
-                comm = json.load(f)
-            nrows = np.asarray(nl.rows)
-            slots = np.asarray(nl.cols)
-            nvals = np.asarray(nl.vals)
-            total = sum(int(c["n_faces"]) for c in comm)
-            if len(slots) != total or (len(slots)
-                                       and set(slots.tolist()) != set(range(total))):
-                raise ValueError(
-                    f"{nl_path}: {len(slots)} non-local entries do not "
-                    f"cover the {total} interface faces of {comm_path}")
-            # slot s IS the natural face index: invert to face order
-            cell_of = np.zeros(total, np.int64)
-            coeff_of = np.zeros(total)
-            cell_of[slots] = nrows
-            coeff_of[slots] = -nvals  # un-negate (HostMatrix.C:204)
+        comm = None
+        cells = coeffs = None
+        if os.path.exists(nl_path):
+            cells, coeffs = _slot_order(mtx.read(nl_path), nl_path)
+            comm_path = f"{pre}_comm.json"
+            if os.path.exists(comm_path):
+                with open(comm_path) as f:
+                    comm = json.load(f)
+                total = sum(int(c["n_faces"]) for c in comm)
+                if len(cells) != total:
+                    raise ValueError(
+                        f"{nl_path}: {len(cells)} non-local entries do not "
+                        f"cover the {total} interface faces of {comm_path}")
+        nl_data.append((cells, coeffs, comm))
+
+    if any(c is not None and cm is None for c, _, cm in nl_data):
+        # sidecar-free reference export: reconstruct the pattern
+        recon = reconstruct_comm(
+            [cf if cf is not None else np.zeros(0) for _, cf, _ in nl_data])
+        nl_data = [(c, cf, cm if cm is not None else recon[i])
+                   for i, (c, cf, cm) in enumerate(nl_data)]
+
+    ranks = []
+    for local, (cell_of, coeff_of, comm) in zip(locals_, nl_data):
+        ifaces = []
+        if comm:
             off = 0
             for c in comm:
                 k = int(c["n_faces"])

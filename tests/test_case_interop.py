@@ -7,6 +7,7 @@ LduMatrix systems, and replay the solve with matching solutions across the
 
 import dataclasses
 import hashlib
+import json
 import os
 
 import numpy as np
@@ -220,3 +221,130 @@ def test_graph_decomposed_export_records_cell_addressing(tmp_path):
     np.testing.assert_allclose(np.asarray(x0), x_true, atol=1e-6)
     # a simple-decomposed export has no addressing sidecar
     assert case.read_cell_addressing(str(tmp_path), "nosuch", "0") is None
+
+
+# ---------------------------------------------------------------------------
+# sidecar-free ingest (VERDICT r03 item 7): a TRUE reference export carries
+# no _comm.json — the halo mapping must come from the artifacts alone
+# ---------------------------------------------------------------------------
+
+
+def _varying_poisson(dims, seed=11):
+    """SPD Poisson with NON-uniform face coefficients (generic reals): the
+    reconstructible case.  diag = strict row-dominance over the perturbed
+    couplings."""
+    m = problems.poisson_ldu(dims)
+    rng = np.random.default_rng(seed)
+    upper = np.asarray(m.upper) * rng.uniform(0.5, 1.5, size=len(m.upper))
+    diag = np.full(m.n, 0.5)
+    np.add.at(diag, np.asarray(m.lower_addr), np.abs(upper))
+    np.add.at(diag, np.asarray(m.upper_addr), np.abs(upper))
+    return dataclasses.replace(m, diag=diag, upper=upper)
+
+
+def _export_then_strip_sidecars(tmp_path, m, b, n_ranks=4):
+    """Export through DistFoamSolver, then delete every _comm.json so the
+    on-disk layout is exactly the reference's
+    (processor?/<time>/<field>_A_{local,non_local}.mtx + <field>_b.mtx,
+    CsrMatrixWrapper.H:271-290)."""
+    cwd = os.getcwd()
+    os.chdir(tmp_path)
+    try:
+        mesh = Mesh(np.array(jax.devices()[:n_ranks]), ("x",))
+        registry.global_registry.clear()
+        foam.solve_distributed(
+            "p", m, b,
+            {"solver": "GKOCG", "tolerance": 1e-10, "relTol": 0,
+             "maxIter": 900, "dtype": "float64", "export": True,
+             "preconditioner": "BJ"}, mesh=mesh)
+        registry.global_registry.clear()
+    finally:
+        os.chdir(cwd)
+    sidecars = []
+    for i in range(n_ranks):
+        p = os.path.join(tmp_path, f"processor{i}", "0", "p_comm.json")
+        with open(p) as f:
+            sidecars.append(json.load(f))
+        os.remove(p)
+    return sidecars
+
+
+def test_reconstruct_comm_matches_sidecar(tmp_path):
+    """The reconstruction must reproduce the exporter's own communication
+    pattern exactly on a generic-coefficient case."""
+    m = _varying_poisson((16, 12))
+    a = np.asarray(
+        formats.to_dense(ldu.ldu_to_coo_host(m, dtype=np.float64)))
+    b = a @ np.random.default_rng(3).normal(size=m.n)
+    sidecars = _export_then_strip_sidecars(tmp_path, m, b)
+
+    seqs = []
+    for i in range(4):
+        pre = os.path.join(tmp_path, f"processor{i}", "0", "p")
+        nl = mtx.read(pre + "_A_non_local.mtx")
+        _, coeffs = case._slot_order(nl, pre)
+        seqs.append(coeffs)
+    recon = case.reconstruct_comm(seqs)
+    assert recon == [[{"neighbor": int(c["neighbor"]),
+                       "n_faces": int(c["n_faces"])} for c in sc]
+                     for sc in sidecars]
+
+
+def test_sidecar_free_replay_matches_direct_solve(tmp_path):
+    """Golden-path drop-in claim: ingest + replay a reference-layout export
+    (no sidecar anywhere) and match the f64 dense direct solve."""
+    m = _varying_poisson((16, 12), seed=12)
+    a = np.asarray(
+        formats.to_dense(ldu.ldu_to_coo_host(m, dtype=np.float64)))
+    x_true = np.random.default_rng(4).normal(size=m.n)
+    b = a @ x_true
+    _export_then_strip_sidecars(tmp_path, m, b)
+
+    # the reassembled global system must be EXACT, not just solvable
+    ranks, b_read = case.read_exported_case(str(tmp_path), "p", "0")
+    parts = [ldu.ldu_to_coo_host(r, dtype=np.float64) for r in ranks]
+    offs = np.cumsum([0] + [r.n for r in ranks])
+    rows = np.concatenate([np.asarray(p.rows) + offs[i]
+                           for i, p in enumerate(parts)])
+    # non-local couplings via the reconstructed interfaces
+    glob = np.zeros((m.n, m.n))
+    for i, (r, p) in enumerate(zip(ranks, parts)):
+        glob[np.asarray(p.rows) + offs[i],
+             np.asarray(p.cols) + offs[i]] = np.asarray(p.vals)
+        for itf in r.proc_interfaces:
+            j = itf.neighbor
+            other = next(t for t in ranks[j].proc_interfaces
+                         if t.neighbor == i)
+            glob[np.asarray(itf.face_cells) + offs[i],
+                 np.asarray(other.face_cells) + offs[j]] = -np.asarray(itf.coeffs)
+    np.testing.assert_allclose(glob, a, rtol=0, atol=1e-12)
+
+    x, perf = case.solve_exported_case(
+        str(tmp_path), "p", "0",
+        controls={"solver": "GKOCG", "tolerance": 1e-10, "relTol": 0,
+                  "maxIter": 900, "dtype": "float64",
+                  "preconditioner": "BJ"})
+    assert perf.converged
+    err = np.abs(np.asarray(x) - x_true).max() / np.abs(x_true).max()
+    assert err < 1e-6, f"replayed solution off by {err}"
+
+
+def test_uniform_coefficients_warn_but_chain_reconstructs(tmp_path):
+    """Uniform coefficients are the documented degenerate case: a simple
+    strip (chain) decomposition is still uniquely covered, but the
+    reconstruction must announce the ambiguity risk."""
+    m = problems.poisson_ldu((16, 12))  # all face coeffs identical
+    a = problems.poisson_dense((16, 12))
+    b = a @ np.random.default_rng(5).normal(size=m.n)
+    _export_then_strip_sidecars(tmp_path, m, b)
+    with pytest.warns(RuntimeWarning, match="repeated coefficient"):
+        ranks, _ = case.read_exported_case(str(tmp_path), "p", "0")
+    assert all(len(r.proc_interfaces) >= 1 for r in ranks)
+
+
+def test_unreconstructible_raises_with_sidecar_guidance():
+    """Inconsistent artifacts (a rank whose slots match no peer) must fail
+    loudly and name the minimal extra input."""
+    seqs = [np.array([1.25, 2.5]), np.array([1.25, 7.75])]
+    with pytest.raises(ValueError, match="_comm.json"):
+        case.reconstruct_comm(seqs)
