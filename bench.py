@@ -487,6 +487,35 @@ def _foam_large_benches(dims):
     except Exception as e:
         log(f"GKOIR inner-bf16 bench failed: {type(e).__name__}: {e}")
 
+    # (d') THE f64 configuration (VERDICT r03 item 3): host-f64 defect
+    # correction around the fused f32 device inner (foam/f64.py).  Solves
+    # to a residual level f32 cannot reach; target <= ~2x the f32 fused
+    # per-step above.  OpenFOAM double-scalar parity (GKOCG.H:45-61).
+    try:
+        f64_controls = {"solver": "GKOCG", "tolerance": 0.0,
+                        "relTol": 1e-12, "maxIter": 6000,
+                        "dtype": "float64"}
+        t0 = time.perf_counter()
+        _, perf = foam.solve("benchF64", m, b, f64_controls)
+        log(f"f64 defect-correction: first solve "
+            f"{time.perf_counter() - t0:.1f}s, total inner "
+            f"iters={perf.n_iterations}")
+        ts = []
+        for i in range(3):
+            m2 = dc.replace(m, diag=m.diag * (1.0 + 1e-9 * (i + 1)))
+            t0 = time.perf_counter()
+            _, perf = foam.solve("benchF64", m2, b, f64_controls)
+            ts.append(time.perf_counter() - t0)
+        f64slv = registry.global_registry.get_or_init(
+            "benchF64_solver", lambda: None)
+        sweeps = getattr(f64slv, "last_outer_sweeps", -1)
+        log(f"f64 defect-correction steady (relTol 1e-12): "
+            f"{min(ts) * 1e3:.1f} ms/step, {sweeps} sweeps, total inner "
+            f"iters={perf.n_iterations}, final f64 residual "
+            f"{perf.final_residual:.2e}, converged={perf.converged}")
+    except Exception as e:
+        log(f"f64 bench failed: {type(e).__name__}: {e}")
+
     # (e') GKOBiCGStab + BJ at the headline size (asymmetric-solver cost
     # on the same operator; momentum-equation proxy)
     try:

@@ -126,14 +126,20 @@ class F64DefectSolver:
                 and all(p.shape == b.shape and np.array_equal(p, b)
                         for p, b in zip(prev, blocks))):
             return
-        import scipy.sparse as sp
-
         coo = ldu_mod.ldu_to_coo_host(m, scale=self.cfg.scaling,
                                       dtype=np.float64)
-        self._csr = sp.csr_matrix(
-            (np.asarray(coo.vals, np.float64),
-             (np.asarray(coo.rows), np.asarray(coo.cols))),
-            shape=coo.shape)
+        vals = np.asarray(coo.vals, np.float64)
+        if self._csr is not None and self._csr.nnz == len(vals):
+            # coefficient-only change: the LDU sparsity emits row-major
+            # (CSR-data) order, so the update is one data overwrite — no
+            # structure rebuild in the steady state
+            self._csr.data[:] = vals
+        else:
+            import scipy.sparse as sp
+
+            self._csr = sp.csr_matrix(
+                (vals, (np.asarray(coo.rows), np.asarray(coo.cols))),
+                shape=coo.shape)
         self._blocks_prev = [np.array(b) for b in blocks]
 
     # -- OpenFOAM stopping pieces in f64 -----------------------------------

@@ -117,6 +117,16 @@ def test_host_operator_delta_reuse():
     assert slv._csr is csr_first, "host CSR rebuilt for unchanged operator"
     uploaded, _nb = slv.inner.last_blocks_uploaded
     assert uploaded == 0, f"inner re-uploaded {uploaded} unchanged blocks"
+    # changed coefficients: the host CSR takes a data-only overwrite (same
+    # object, row-major LDU order == CSR data order) and stays CORRECT
+    import dataclasses
+
+    m3 = dataclasses.replace(m, diag=m.diag * 1.25)
+    x3, perf3 = slv.solve(m3, b)
+    assert slv._csr is csr_first, "structure rebuilt for value-only change"
+    a3 = _dense_f64(m3)
+    res3 = np.sum(np.abs(b - a3 @ np.asarray(x3, np.float64)))
+    assert perf3.converged and res3 / np.sum(np.abs(b)) < 1e-9
 
 
 def test_scaling_invariance():
