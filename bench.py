@@ -408,6 +408,31 @@ def _foam_large_benches(dims):
     log(f"per-step diag-only change (delta upload {up}): "
         f"{min(steps) * 1e3:.1f} ms, iters={perf.n_iterations}")
 
+    # (a') uploadPrecision bfloat16: the error-feedback bf16 delta encoding
+    # of the coefficient/RHS streams (VERDICT r03 item 6a) — same transient
+    # nudges as (a), half the host->device bytes
+    try:
+        registry.global_registry.clear()
+        bf_controls = {"solver": "GKOCG", **base,
+                       "uploadPrecision": "bfloat16"}
+        foam.solve("benchBf16Up", m, b, bf_controls)
+        steps = []
+        for i in range(4):
+            m2 = dc.replace(m, upper=m.upper * (1.0 + 1e-7 * (i + 1)),
+                            diag=m.diag * (1.0 + 1e-7 * (i + 1)))
+            t0 = time.perf_counter()
+            _, perf = foam.solve("benchBf16Up", m2, b, bf_controls)
+            steps.append(time.perf_counter() - t0)
+        bslv = registry.global_registry.get_or_init(
+            "benchBf16Up_solver", lambda: None)
+        bf = getattr(bslv, "last_blocks_bf16", ("?", "?"))
+        by = getattr(bslv, "last_upload_bytes", 0)
+        log(f"per-step with bf16 upload deltas: {min(steps[1:]) * 1e3:.1f} ms"
+            f" (vs full-width above), iters={perf.n_iterations}, "
+            f"bf16 blocks {bf[0]}/{bf[1]}, {by / 1e6:.1f} MB/step uploaded")
+    except Exception as e:
+        log(f"bf16-upload bench failed: {type(e).__name__}: {e}")
+
     # (b) GKOCG + Multigrid (precond TTL models the reference `caching` key)
     amg_controls = {"solver": "GKOCG", **base,
                     "preconditioner": {"preconditioner": "Multigrid",
@@ -576,6 +601,29 @@ def _foam_large_benches(dims):
         ts.append(time.perf_counter() - t0)
     log(f"GKOGMRES+GISAI steady: {min(ts) * 1e3:.1f} ms, iters={perf.n_iterations}, "
         f"converged={perf.converged}")
+    it32, ms32 = perf.n_iterations, min(ts) * 1e3
+
+    # (e''') basisPrecision bfloat16 (VERDICT r03 item 6b): the Krylov basis
+    # stream IS the GMRES per-iteration cost at this size (BENCH_r03:
+    # 1.3 ms/iter vs CG's 0.123) — bf16 storage halves it while H, Givens,
+    # dots and x stay f32
+    try:
+        registry.global_registry.clear()
+        g16 = {**gmres_controls, "basisPrecision": "bfloat16"}
+        foam.solve("benchGmres16", m, b, g16)
+        ts = []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            _, perf = foam.solve("benchGmres16", m, b, g16)
+            ts.append(time.perf_counter() - t0)
+        ms16 = min(ts) * 1e3
+        log(f"GKOGMRES+GISAI bf16 basis steady: {ms16:.1f} ms, "
+            f"iters={perf.n_iterations} (f32 basis: {ms32:.1f} ms, "
+            f"{it32} iters) -> ms/iter "
+            f"{ms16 / max(perf.n_iterations, 1):.2f} vs "
+            f"{ms32 / max(it32, 1):.2f}")
+    except Exception as e:
+        log(f"bf16-basis GMRES bench failed: {type(e).__name__}: {e}")
 
 
 def _halo_hw_bench(dims):

@@ -192,6 +192,31 @@ class SolverConfig:
     # reference analogue — Ginkgo's storage_optimization is commented out
     # in GKOIR.H:92-93)
     inner_precision: str = "default"
+    # host->device stream compression for the steady-state coefficient/RHS
+    # uploads ("default" = full-width f32, or "bfloat16"): upload the
+    # CHANGE against a host-mirrored copy of the device state as bf16 with
+    # error feedback — the mirror tracks the device bit-exactly, so the
+    # quantisation error is bounded by the bf16 quantum of the LAST delta
+    # (~0.4% of the per-step CHANGE, not of the coefficients) and does not
+    # accumulate.  Blocks whose delta would exceed `uploadDeltaTol`
+    # relative operator error are uploaded full-width instead (automatic
+    # f32 refresh).  Halves the dominant steady-state stream (PCIe-class
+    # cost on production parts; BENCH_r03: 291 ms step vs 35 ms device
+    # solve at 1M).  TPU-native lever, no reference analogue.
+    upload_precision: str = "default"
+    # max relative error (inf-norm, per block) the bf16 delta encoding may
+    # leave against the exact f32 coefficients before the block falls back
+    # to a full-width upload
+    upload_delta_tol: float = 1e-5
+    # GMRES Krylov-basis storage precision ("default" = solver dtype, or
+    # "bfloat16"): V is the dominant per-iteration HBM stream at scale
+    # (~j·n·4 B read per orthogonalisation at f32) — storing it bf16
+    # halves that traffic while H, the Givens chain, dots and x stay full
+    # precision.  Restarts bound the accuracy cost: x accumulates across
+    # cycles in full precision and the materialised OpenFOAM criterion
+    # evaluates the TRUE residual, so no false convergence (solve/gmres.py;
+    # TPU-native lever, no reference analogue)
+    basis_precision: str = "default"
 
 
 _BOOL = {"true": True, "yes": True, "on": True, "1": True,
@@ -315,4 +340,17 @@ def parse_controls(controls: dict[str, Any]) -> SolverConfig:
         matrix_format_explicit="matrixFormat" in controls,
         inner_stopping=inner_stopping,
         inner_precision=inner_precision,
+        upload_precision=_validated(
+            str(g("uploadPrecision", "default")), ("default", "bfloat16"),
+            "uploadPrecision"),
+        upload_delta_tol=float(g("uploadDeltaTol", 1e-5)),
+        basis_precision=_validated(
+            str(g("basisPrecision", "default")), ("default", "bfloat16"),
+            "basisPrecision"),
     )
+
+
+def _validated(v: str, allowed: tuple, key: str) -> str:
+    if v not in allowed:
+        raise ValueError(f"{key} {v!r}: use {'|'.join(allowed)}")
+    return v

@@ -219,7 +219,8 @@ def make_dist_solve_fn(dm: DistMatrix, mesh: Mesh, axis: str = "x",
                        solver: str = "GKOCG", precond_builder=None,
                        pc_apply=None, krylov_dim: int = 100,
                        history_len: int = 0, inner_params=None,
-                       inner_precision: str = "default"):
+                       inner_precision: str = "default",
+                       basis_dtype=None):
     """Build ONCE the jitted shard_map program for distributed solves.
 
     The returned fn(local_stack, halo_stack, b_stack, x0_stack,
@@ -232,6 +233,11 @@ def make_dist_solve_fn(dm: DistMatrix, mesh: Mesh, axis: str = "x",
     sizes, format structure) are baked in."""
     solve_fn = _SOLVERS[solver]
     kw = {"krylov_dim": krylov_dim} if solver == "GKOGMRES" else {}
+    if solver == "GKOGMRES" and basis_dtype is not None:
+        # bf16 Krylov-basis storage (basisPrecision bfloat16): halves each
+        # shard's dominant per-iteration V stream; H/Givens/dots/x stay
+        # full precision (solve/gmres.py)
+        kw["basis_dtype"] = basis_dtype
     if history_len > 0:
         # per-iteration residual history (reference export_res,
         # StoppingCriterion.C:115-117) — replicated, so P() out spec

@@ -454,8 +454,10 @@ class DistFoamSolver:
             inner_params = (stopping.StoppingParams.of(cfg.inner_stopping)
                             if cfg.solver == "GKOIR"
                             and cfg.inner_stopping is not None else None)
+            bdt = (jnp.bfloat16 if cfg.basis_precision == "bfloat16"
+                   and self.dtype == jnp.float32 else None)
             key = ("general", solver_name, hist_len > 0,
-                   inner_params is not None)
+                   inner_params is not None, bdt is not None)
             if key not in self._compiled:
                 from ogl_tpu.dist.solve import make_dist_solve_fn
 
@@ -464,7 +466,7 @@ class DistFoamSolver:
                     pc_apply=self._precond[0] if self._precond else None,
                     krylov_dim=cfg.krylov_dim, history_len=hist_len,
                     inner_params=inner_params,
-                    inner_precision=cfg.inner_precision)
+                    inner_precision=cfg.inner_precision, basis_dtype=bdt)
             _fn, _pcs = self._compiled[key], (
                 self._precond[1] if self._precond else ())
             x_stack, res = _fn(dm.local, dm.halo, bs, x0, sp, _pcs)
@@ -646,7 +648,10 @@ class DistFoamSolver:
             inner_params = (stopping.StoppingParams.of(cfg.inner_stopping)
                             if cfg.solver == "GKOIR"
                             and cfg.inner_stopping is not None else None)
-            key = ("general", cfg.solver, False, inner_params is not None)
+            bdt = (jnp.bfloat16 if cfg.basis_precision == "bfloat16"
+                   and self.dtype == jnp.float32 else None)
+            key = ("general", cfg.solver, False, inner_params is not None,
+                   bdt is not None)
             if key not in self._compiled:
                 from ogl_tpu.dist.solve import make_dist_solve_fn
 
@@ -659,7 +664,7 @@ class DistFoamSolver:
                     pc_apply=self._precond[0] if self._precond else None,
                     krylov_dim=cfg.krylov_dim, history_len=0,
                     inner_params=inner_params,
-                    inner_precision=cfg.inner_precision)
+                    inner_precision=cfg.inner_precision, basis_dtype=bdt)
             _fn, _pcs = self._compiled[key], (
                 self._precond[1] if self._precond else ())
             x_stack, res = _fn(dm.local, dm.halo, bs, x0, sp, _pcs)

@@ -35,6 +35,13 @@ __all__ = ["SolverPerformance", "FoamSolver", "solve", "SOLVER_NAMES"]
 
 SOLVER_NAMES = ("GKOCG", "GKOBiCGStab", "GKOGMRES", "GKOIR", "GKOMultigrid")
 
+@jax.jit
+def _apply_delta(dev, delta):
+    """Decode an uploaded reduced-precision delta onto the resident copy
+    (uploadPrecision bfloat16; one fused widen+add on device)."""
+    return dev + delta.astype(dev.dtype)
+
+
 def _to_xell(c):
     from ogl_tpu.kernels.xell import xell_from_coo
 
@@ -322,6 +329,29 @@ class FoamSolver:
             self._src_host = np.concatenate(b) if len(b) > 1 else np.asarray(b[0])
         return self._src_host
 
+    def _bf16_delta(self, new_f32: np.ndarray, mirror):
+        """Error-feedback bf16 delta encoding (uploadPrecision bfloat16):
+        quantise (new − mirror) to bf16 and advance the mirror by the SAME
+        quantised value the device will add, so host and device stay
+        bit-identical and quantisation error never accumulates — it is
+        bounded by the bf16 quantum of the LAST delta.  Returns
+        (delta_bf16, new_mirror) or None when the residual error would
+        exceed uploadDeltaTol of the block's magnitude (full-width refresh
+        instead).  TPU-native stream compression; no reference analogue
+        (HostMatrix.C:684-692 always re-copies full width)."""
+        import ml_dtypes
+
+        if mirror is None or mirror.shape != new_f32.shape:
+            return None
+        delta = new_f32 - mirror
+        dbf = delta.astype(ml_dtypes.bfloat16)
+        mirror2 = mirror + dbf.astype(np.float32)
+        ref = float(np.max(np.abs(new_f32))) if new_f32.size else 0.0
+        err = float(np.max(np.abs(new_f32 - mirror2))) if new_f32.size else 0.0
+        if ref > 0.0 and err > self.cfg.upload_delta_tol * ref:
+            return None
+        return dbf, mirror2
+
     def _upload_changed_blocks(self) -> tuple:
         """Delta coefficient upload: per-block compare against the previous
         step's values; only changed blocks cross the host->device boundary.
@@ -330,13 +360,21 @@ class FoamSolver:
         time-step terms, and this upload dominates the steady-state step —
         the reference always re-copies everything (HostMatrix.C:684-692).
         np.array_equal early-exits on changed blocks, so the compare is
-        cheap exactly when it does not pay off."""
+        cheap exactly when it does not pay off.  With uploadPrecision
+        bfloat16 a changed block crosses the wire as a half-width
+        error-feedback delta against the resident copy (see _bf16_delta)."""
         nb = len(self._blocks_host)
         if self._blocks_prev is None or len(self._blocks_prev) != nb:
             self._blocks_prev = [None] * nb
             self._blocks_dev = [None] * nb
+        if getattr(self, "_blocks_mirror", None) is None or len(self._blocks_mirror) != nb:
+            self._blocks_mirror = [None] * nb
+        compress = (self.cfg.upload_precision == "bfloat16"
+                    and self.dtype == jnp.float32)
         out = []
         uploaded = 0
+        bf16_up = 0
+        upload_bytes = 0
         changed = 0  # host-VALUE changes (the precond-epoch signal) —
         # distinct from uploads: a block may need its first device staging
         # even though its values are unchanged since the initial convert
@@ -351,11 +389,26 @@ class FoamSolver:
                 # must not alias the compare baseline
                 self._blocks_prev[i] = np.array(blk)
             if dev is None or not host_same:
-                dev = jnp.asarray(blk)
+                enc = (self._bf16_delta(np.asarray(blk, np.float32),
+                                        self._blocks_mirror[i])
+                       if compress and dev is not None else None)
+                if enc is not None:
+                    dbf, mirror2 = enc
+                    dev = _apply_delta(dev, jnp.asarray(dbf))
+                    self._blocks_mirror[i] = mirror2
+                    bf16_up += 1
+                    upload_bytes += dbf.nbytes
+                else:
+                    dev = jnp.asarray(blk)
+                    if compress:
+                        self._blocks_mirror[i] = np.asarray(blk, np.float32).copy()
+                    upload_bytes += np.asarray(blk).nbytes
                 self._blocks_dev[i] = dev
                 uploaded += 1
             out.append(dev)
         self.last_blocks_uploaded = (uploaded, nb)
+        self.last_blocks_bf16 = (bf16_up, nb)
+        self.last_upload_bytes = upload_bytes
         self.last_blocks_changed = (changed, nb)
         return tuple(out)
 
@@ -449,6 +502,11 @@ class FoamSolver:
         if solver is None:
             raise ValueError(f"unknown solver {name!r}; valid: {SOLVER_NAMES}")
         kw = {"krylov_dim": self.cfg.krylov_dim} if name == "GKOGMRES" else {}
+        if (name == "GKOGMRES" and self.cfg.basis_precision == "bfloat16"
+                and self.dtype == jnp.float32):
+            # bf16 Krylov-basis storage (basisPrecision bfloat16): halves
+            # the dominant per-iteration V stream; see solve/gmres.py
+            kw["basis_dtype"] = jnp.bfloat16
         if self.cfg.export:
             # per-iteration residual history (reference export_res,
             # StoppingCriterion.C:115-117)
@@ -644,7 +702,23 @@ class FoamSolver:
                 b_dev = self._b_dev  # delta: unchanged RHS stays resident
                 self.last_rhs_uploaded = False
             else:
-                b_dev = jnp.asarray(b_host, self.dtype)
+                enc = None
+                if (cfg.upload_precision == "bfloat16"
+                        and self.dtype == jnp.float32
+                        and getattr(self, "_b_dev", None) is not None):
+                    enc = self._bf16_delta(
+                        np.asarray(b_host, np.float32),
+                        getattr(self, "_b_mirror", None))
+                if enc is not None:
+                    dbf, mirror2 = enc
+                    b_dev = _apply_delta(self._b_dev, jnp.asarray(dbf))
+                    self._b_mirror = mirror2
+                    self.last_rhs_bf16 = True
+                else:
+                    b_dev = jnp.asarray(b_host, self.dtype)
+                    if cfg.upload_precision == "bfloat16":
+                        self._b_mirror = np.asarray(b_host, np.float32).copy()
+                    self.last_rhs_bf16 = False
                 self._b_dev = b_dev
                 self._b_prev = np.array(b_host)  # private compare baseline
                 self.last_rhs_uploaded = True

@@ -48,6 +48,13 @@ class _Inner(NamedTuple):
     g: Any  # (m+1,) rotated rhs; |g[j+1]| = 2-norm residual estimate
     j: Any  # inner step
     stop: stopping.StopState
+    stall: Any  # bool: reduced-precision basis hit its representation
+    # floor this cycle -> end the cycle early and restart from the
+    # materialised residual
+    chk: Any  # |g[j]| at the last fired materialised check (drives the
+    # claimed-progress check cadence for reduced-precision bases)
+    pj: Any  # i32: j at the last stagnation-window mark
+    pest: Any  # |g[pj]| — the estimate at that mark
 
 
 class _Outer(NamedTuple):
@@ -67,8 +74,19 @@ def _solve_y(H, g, j, m):
     return jax.scipy.linalg.solve_triangular(Hm, gm, lower=False)
 
 
-def gmres(ops: Ops, b, x0, cfg: StoppingConfig, krylov_dim: int = 100, history_len: int = 0) -> SolveResult:
+def gmres(ops: Ops, b, x0, cfg: StoppingConfig, krylov_dim: int = 100,
+          history_len: int = 0, basis_dtype=None) -> SolveResult:
+    """basis_dtype (e.g. jnp.bfloat16) stores the Krylov basis V at reduced
+    width while H, the Givens chain, dots, and x stay full precision — the
+    basis stream IS the per-iteration cost at scale (~m·n·4 B/iter at f32),
+    so bf16 halves the dominant HBM traffic.  Restarts keep accuracy: x
+    accumulates in full precision across cycles, so the bf16 recombination
+    error of ONE cycle's correction shrinks with the correction itself
+    (defect-correction argument), and the materialised OpenFOAM criterion
+    always evaluates the TRUE residual — no false convergence.  TPU-native
+    lever (VERDICT r03 item 6b); no reference analogue."""
     dtype = b.dtype
+    bdtype = dtype if basis_dtype is None else jnp.dtype(basis_dtype)
     n = b.shape[0]
     m = krylov_dim
     x0 = jnp.asarray(x0, dtype)
@@ -96,22 +114,23 @@ def gmres(ops: Ops, b, x0, cfg: StoppingConfig, krylov_dim: int = 100, history_l
         def body(k, acc):
             vb = jax.lax.dynamic_slice_in_dim(V, k * B, B, axis=0)
             yb = jax.lax.dynamic_slice_in_dim(y, k * B, B, axis=0)
-            return acc + jnp.einsum("b,brl->rl", yb, vb)
+            return acc + jnp.einsum("b,brl->rl", yb, vb.astype(dtype))
 
         yV = jax.lax.fori_loop(0, nblk, body, jnp.zeros((R, 128), dtype))
         return x_restart + ops.precond(yV.reshape(-1)[:n])
 
     def inner_cond(c: _Inner):
         return jnp.logical_and(
-            c.j < m, jnp.logical_and(~c.stop.converged, c.stop.iter < hard_cap)
+            jnp.logical_and(c.j < m, ~c.stall),
+            jnp.logical_and(~c.stop.converged, c.stop.iter < hard_cap),
         )
 
     def outer_body(o: _Outer):
         r = b - ops.matvec(o.x)
         beta = ops.norm2(r)
         mp = -(-(m + 1) // _BLOCK) * _BLOCK  # padded to block multiple
-        V = jnp.zeros((mp, R, 128), dtype).at[0].set(
-            _plane(r / jnp.maximum(beta, tiny)))
+        V = jnp.zeros((mp, R, 128), bdtype).at[0].set(
+            _plane(r / jnp.maximum(beta, tiny)).astype(bdtype))
         g = jnp.zeros((m + 1,), dtype).at[0].set(beta)
         init = _Inner(
             V=V,
@@ -122,6 +141,10 @@ def gmres(ops: Ops, b, x0, cfg: StoppingConfig, krylov_dim: int = 100, history_l
             g=g,
             j=jnp.asarray(0, jnp.int32),
             stop=o.stop,
+            stall=jnp.asarray(False),
+            chk=beta,
+            pj=jnp.asarray(0, jnp.int32),
+            pest=beta,
         )
 
         def inner_body(c: _Inner):
@@ -129,9 +152,29 @@ def gmres(ops: Ops, b, x0, cfg: StoppingConfig, krylov_dim: int = 100, history_l
             def do_check(st):
                 xj = x_at(o.x, c.V, c.H, c.g, c.j)
                 rj = b - ops.matvec(xj)
-                return stopping.check(ops, cfg, st, rj, xj, b)
+                st2 = stopping.check(ops, cfg, st, rj, xj, b)
+                if bdtype != jnp.dtype(dtype):
+                    # stagnation-triggered restart (reduced-precision basis
+                    # only): the attainable in-cycle reduction is bounded by
+                    # the basis storage eps (~4e-3 at bf16) relative to the
+                    # cycle-start residual; once the TRUE 2-norm sits far
+                    # above the Givens estimate, further Arnoldi steps in
+                    # this cycle are wasted — restart from the materialised
+                    # residual instead (defect correction across cycles
+                    # restores full-precision convergence).  8x slack keeps
+                    # the healthy-cycle estimate (accurate to arithmetic
+                    # eps) from ever firing this.
+                    r2 = ops.norm2(rj)
+                    stalled = jnp.logical_and(
+                        ~st2.converged,
+                        jnp.logical_and(c.j >= 2,
+                                        r2 > 8.0 * jnp.abs(c.g[c.j])))
+                else:
+                    stalled = jnp.asarray(False)
+                return st2, stalled
 
             fire = stopping.would_check(cfg, c.stop.iter)
+            est2 = jnp.abs(c.g[c.j])
             if history_len == 0:
                 # 2-norm pre-gate: with right preconditioning |g[j]| IS the
                 # true residual 2-norm, and ‖r‖₁ ≥ ‖r‖₂, so the normalised
@@ -142,14 +185,47 @@ def gmres(ops: Ops, b, x0, cfg: StoppingConfig, krylov_dim: int = 100, history_l
                 # numerical drift of the CGS2 estimate; a drift-affected
                 # skip only defers detection to the next check.  Disabled
                 # when a per-iteration residual history is exported.
-                est2 = jnp.abs(c.g[c.j])
                 nf = c.stop.norm_factor
                 could_hit = (est2 < 4.0 * cfg.tolerance * nf) | jnp.logical_and(
                     cfg.rel_tol > 0,
                     est2 < 4.0 * cfg.rel_tol * c.stop.init_res_norm * nf)
+                if bdtype != jnp.dtype(dtype):
+                    # reduced-precision basis: additionally materialise a
+                    # TRUE-residual check every ~1.5 claimed decades (est2
+                    # vs its value at the last fired check), so a cycle that
+                    # hit the bf16 representation floor is detected within
+                    # a bounded number of wasted Arnoldi steps rather than
+                    # at the claimed convergence point.  ~4 extra checks per
+                    # cycle, each ~one iteration's cost.
+                    could_hit = could_hit | (est2 < 0.03 * c.chk)
                 fire = fire & ((c.stop.iter == 0) | could_hit
                                | (c.stop.iter >= cfg.max_iter))
-            st = jax.lax.cond(fire, do_check, lambda s: s, c.stop)
+            st, stalled = jax.lax.cond(
+                fire, do_check, lambda s: (s, jnp.asarray(False)), c.stop)
+            chk = jnp.where(fire, est2, c.chk)
+            pj, pest = c.pj, c.pest
+            if bdtype != jnp.dtype(dtype):
+                # estimate-stagnation restart: with single-pass MGS against
+                # a bf16-stored basis the Givens estimate TRACKS the true
+                # residual onto its representation floor (measured: both
+                # plateau together from ~eps_bf16 reduction onward), so the
+                # floor shows up as the free estimate failing to halve over
+                # a window — no residual materialisation needed.  The
+                # decoupled failure mode (estimate keeps claiming progress)
+                # is covered by the ratio check in do_check above.  A
+                # healthy f32 cycle that genuinely stagnates 8 iterations
+                # would restart too — acceptable for the opt-in bf16 mode:
+                # the restart preserves x and re-derives the true residual.
+                window = (c.j - c.pj) >= 8
+                # <30% estimate reduction in 8 Arnoldi steps = the cycle is
+                # done; a healthy cycle reducing slower than that gains
+                # nothing from its stale bf16 subspace either
+                stagnant = jnp.logical_and(
+                    window, jnp.logical_and(est2 > 0.7 * c.pest,
+                                            ~st.converged))
+                stalled = stalled | stagnant
+                pj = jnp.where(window, c.j, c.pj)
+                pest = jnp.where(window, est2, c.pest)
 
             # BRANCHLESS update: wrapping the update in lax.cond would make
             # XLA copy the whole carry — V alone is m·n·4 bytes (416 MB at
@@ -184,7 +260,8 @@ def gmres(ops: Ops, b, x0, cfg: StoppingConfig, krylov_dim: int = 100, history_l
                 identically."""
                 def body(k, carry):
                     w, h = carry
-                    vb = jax.lax.dynamic_slice_in_dim(V, k * B, B, axis=0)
+                    vb = jax.lax.dynamic_slice_in_dim(
+                        V, k * B, B, axis=0).astype(dtype)
                     mb = jax.lax.dynamic_slice_in_dim(mask, k * B, B, axis=0)
                     hb = ops.allreduce(jnp.einsum("brl,rl->b", vb, w)) * mb
                     return (w - jnp.einsum("b,brl->rl", hb, vb),
@@ -204,8 +281,11 @@ def gmres(ops: Ops, b, x0, cfg: StoppingConfig, krylov_dim: int = 100, history_l
             w, h = mgs_pass(c.V, w)
             wnorm = ops.norm2(w.reshape(-1))
             h = h.at[j + 1].set(wnorm)
-            vrow = jnp.where(live, w / jnp.maximum(wnorm, tiny), c.V[j + 1])
-            V = c.V.at[j + 1].set(vrow)
+            vrow = jnp.where(live, w / jnp.maximum(wnorm, tiny),
+                             c.V[j + 1].astype(dtype))
+            # storage cast: V holds bdtype (bf16 when basisPrecision is
+            # set); the RUNNING vector v below stays full precision
+            V = c.V.at[j + 1].set(vrow.astype(bdtype))
 
             # apply previous Givens rotations to the new column.  The chain
             # (h[k], h[k+1]) <- rot_k is a first-order affine recurrence in
@@ -246,6 +326,10 @@ def gmres(ops: Ops, b, x0, cfg: StoppingConfig, krylov_dim: int = 100, history_l
                 g=jnp.where(live, g, c.g),
                 j=j + live.astype(j.dtype),
                 stop=st.replace(iter=st.iter + live.astype(st.iter.dtype)),
+                stall=stalled,
+                chk=chk,
+                pj=pj,
+                pest=pest,
             )
 
         out = jax.lax.while_loop(inner_cond, inner_body, init)

