@@ -300,6 +300,16 @@ def main():
         except Exception as e:
             log(f"unstructured bench failed: {type(e).__name__}: {e}")
 
+    # --- multi-field cold start: wall-clock to the first completed time
+    # step of a 4-field (p + U x 3) transient case in a FRESH process,
+    # cold (empty XLA cache = new machine) and warm-cache (process
+    # restart) — the number an OpenFOAM user feels (VERDICT r03 item 9) --
+    if on_tpu and os.environ.get("OGL_BENCH_COLDSTART", "1") != "0":
+        try:
+            _cold_start_bench(dims)
+        except Exception as e:
+            log(f"cold-start bench failed: {type(e).__name__}: {e}")
+
     vs_baseline = frac / 0.80
     print(json.dumps({
         "metric": "cg_time_per_iter_per_dof",
@@ -307,6 +317,35 @@ def main():
         "unit": "ns",
         "vs_baseline": round(vs_baseline, 3),
     }))
+
+
+def _cold_start_bench(dims):
+    import shutil
+    import subprocess
+    import sys
+    import tempfile
+
+    script = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "scripts", "cold_start.py")
+    cache_dir = tempfile.mkdtemp(prefix="ogl_coldcache_")
+    env = dict(os.environ)
+    env["OGL_JAX_CACHE_DIR"] = cache_dir
+    env["COLD_DIMS"] = "x".join(map(str, dims))
+    try:
+        for regime in ("cold (fresh machine)", "warm-cache (restart)"):
+            p = subprocess.run([sys.executable, script], env=env,
+                               capture_output=True, text=True, timeout=2400)
+            if p.returncode != 0:
+                log(f"cold-start {regime} failed: {p.stderr[-400:]}")
+                return
+            d = json.loads(p.stdout.strip().splitlines()[-1])
+            per_field = " ".join(f"{k}={v:.1f}s"
+                                 for k, v in d["fields_s"].items())
+            log(f"4-field first step, {regime}: {d['first_step_s']:.1f} s "
+                f"(import {d['import_s']:.1f}s, setup {d['setup_s']:.1f}s, "
+                f"{per_field}); second step {d['second_step_s'] * 1e3:.0f} ms")
+    finally:
+        shutil.rmtree(cache_dir, ignore_errors=True)
 
 
 def _poisson_dia(dims):
