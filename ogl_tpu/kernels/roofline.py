@@ -18,7 +18,8 @@ import numpy as np
 from ogl_tpu.core.formats import Coo, Csr, Dia, Ell, Sell
 
 __all__ = ["spmv_bytes", "spmv_flops", "hbm_peak_gbps", "Roofline", "measure",
-           "measure_stream_peak", "measure_read_peak"]
+           "measure_stream_peak", "measure_read_peak",
+           "measure_read_peak_device", "measure_device_chained"]
 
 # Peak HBM bandwidth per chip [GB/s].  Sources: public TPU spec tables
 # (jax-ml.github.io/scaling-book numbers).
@@ -165,8 +166,43 @@ def measure_read_peak(read_streams: int = 7, rows: int = 65536,
 
     Bytes model per pass: nd plane reads + y write + y read (the chain's
     reduction) = (nd + 2)·rows·128·4."""
+    one_pass, d3, bytes_per_pass = _read_peak_kernel(read_streams, rows, tile)
+
+    s0 = jnp.float32(1.0)
+
+    @jax.jit  # d3 is an ARGUMENT (closure constants compile pathologically)
+    def chain(s, k, d3):
+        return jax.lax.fori_loop(0, k, lambda i, s: one_pass(s, d3), s)
+
+    float(chain(s0, 1, d3))  # compile + warm
+    rtt = min(_timed_fetch(chain, s0, 0, d3) for _ in range(5))
+    k = chain_len
+    t1 = max(_timed_fetch(chain, s0, k, d3) - rtt, 1e-9)
+    t2 = max(_timed_fetch(chain, s0, 2 * k, d3) - rtt, 1e-9)
+    per = max((t2 - t1) / k, 1e-9)  # slope: immune to any fixed cost
+    return bytes_per_pass / per / 1e9
+
+
+def measure_read_peak_device(read_streams: int = 7, rows: int = 65536,
+                             tile: int = 512, iters: int = 1500) -> float:
+    """The read-dominant streaming peak [GB/s] measured from the DEVICE
+    timeline (same plane-sum kernel as measure_read_peak, timed via
+    measure_device_chained).  A device-timeline SpMV fraction-of-peak is
+    only self-consistent against a denominator measured on the SAME clock;
+    dividing a device-busy numerator by a host-slope denominator could
+    read >100% again.  Returns 0.0 off-TPU / if no device plane appears."""
+    one_pass, d3, bytes_per_pass = _read_peak_kernel(read_streams, rows, tile)
+    per = measure_device_chained(one_pass, jnp.float32(1.0), iters,
+                                 operands=(d3,))
+    return bytes_per_pass / per / 1e9 if per > 0 else 0.0
+
+
+def _read_peak_kernel(read_streams: int, rows: int, tile: int):
+    """The plane-sum streaming kernel shared by the host-slope and
+    device-timeline read-peak measurements: (one_pass, d3, bytes_per_pass)
+    where one_pass(scalar, d3) -> scalar carries through SMEM so XLA cannot
+    hoist the body out of a chain."""
     import functools
-    import time
 
     lanes = 128
     rng = np.random.default_rng(0)
@@ -210,18 +246,47 @@ def measure_read_peak(read_streams: int = 7, rows: int = 65536,
             y = jnp.sum(d3, axis=0) * s  # scalar-carry tie, not hoistable
             return jnp.sum(y) * jnp.float32(1e-20) + jnp.float32(1.0)
 
-    @jax.jit  # d3 is an ARGUMENT (closure constants compile pathologically)
-    def chain(s, k, d3):
-        return jax.lax.fori_loop(0, k, lambda i, s: one_pass(s, d3), s)
+    return one_pass, d3, (read_streams + 2) * rows * lanes * 4
 
-    s0 = jnp.float32(1.0)
-    float(chain(s0, 1, d3))  # compile + warm
-    rtt = min(_timed_fetch(chain, s0, 0, d3) for _ in range(5))
-    k = chain_len
-    t1 = max(_timed_fetch(chain, s0, k, d3) - rtt, 1e-9)
-    t2 = max(_timed_fetch(chain, s0, 2 * k, d3) - rtt, 1e-9)
-    per = max((t2 - t1) / k, 1e-9)  # slope: immune to any fixed cost
-    return (read_streams + 2) * rows * lanes * 4 / per / 1e9
+
+def measure_device_chained(vec_fn, x0, iters: int, operands=()) -> float:
+    """Per-iteration seconds of the SAME chained loop measure_chained times,
+    but taken from the DEVICE timeline (jax.profiler xplane capture) instead
+    of host wall clock.
+
+    measure_chained is host-side slope timing of device programs; until a
+    second, independent methodology agrees with it, a fraction-of-peak
+    derived from it rests on one clock measuring itself.  This runs one
+    length-`iters` chain under `jax.profiler.trace`, parses the xplane.pb
+    (kernels/xplane.py — no tensorflow dependency) and returns
+    device-busy-time / iters, where busy time is the measure of the UNION
+    of kernel-event intervals on the accelerator plane (exactly "time the
+    device was executing anything", immune to dispatch/tunnel/host costs
+    in the opposite direction from the host measurement: any tracing
+    overhead or device idle gaps can only INFLATE host time relative to
+    this, so host >= device is the expected ordering and agreement within
+    a few % validates both).  Returns 0.0 if the capture contains no
+    accelerator plane (e.g. CPU backend)."""
+    import shutil
+    import tempfile
+
+    from ogl_tpu.kernels import xplane
+
+    @jax.jit  # operands traced, not closed over (same rationale as above)
+    def chain(x, k, *ops):
+        return jnp.sum(jax.lax.fori_loop(
+            0, k, lambda i, v: vec_fn(v, *ops), x))
+
+    float(chain(x0, iters, *operands))  # compile + warm OUTSIDE the trace
+    tdir = tempfile.mkdtemp(prefix="ogl_xplane_")
+    try:
+        with jax.profiler.trace(tdir):
+            float(chain(x0, iters, *operands))
+        busy = xplane.device_busy_seconds(tdir)
+    finally:
+        shutil.rmtree(tdir, ignore_errors=True)
+    dev = [v for k, v in busy.items() if not k.startswith("/host:")]
+    return max(dev) / iters if dev else 0.0
 
 
 def _timed_fetch(f, x, k, *ops) -> float:
