@@ -50,9 +50,12 @@ __all__ = [
     "coo_to_sell",
     "coo_to_hybrid",
     "with_values",
+    "values_flat",
     "cast_values",
     "ValueMap",
     "value_map",
+    "BlockUpdatePlan",
+    "block_update_plans",
 ]
 
 
@@ -531,6 +534,78 @@ def with_values(m, vals: Array):
             spill=dataclasses.replace(m.spill, vals=vals[msize:]),
         )
     return dataclasses.replace(m, vals=vals)
+
+
+def values_flat(m) -> Array:
+    """The virtual flat value storage `with_values` consumes, read back
+    from a container (the incremental block-update path starts from the
+    CURRENT values and overwrites only the changed entries)."""
+    if isinstance(m, Dia):
+        return m.data.reshape(-1)
+    if isinstance(m, Sell):
+        return jnp.concatenate([v.reshape(-1) for v in m.vals])
+    if isinstance(m, Hybrid):
+        return jnp.concatenate([m.ell.vals.reshape(-1), m.coo.vals])
+    if type(m).__name__ == "Xell":
+        return jnp.concatenate([m.vals.reshape(-1), m.spill.vals])
+    return m.vals.reshape(-1)  # Coo/Csr/Ell/Gdia
+
+
+@dataclasses.dataclass(frozen=True)
+class BlockUpdatePlan:
+    """One source block's slice of the steady-state value update: which
+    container slots (`dest`) read which positions of the block (`src`).
+    `dest is None` marks the affine case — the block maps onto one
+    contiguous run starting at `dest_start` in block order (e.g. the LDU
+    diag block onto the DIA main plane) — applied as a pure slice write.
+    `src is None` means block order (src == arange)."""
+
+    dest: Array | None  # int32 container slots; None = affine
+    src: Array | None   # int32 positions within the block; None = identity
+    dest_start: int
+    length: int
+
+
+def block_update_plans(vm: ValueMap, perm2, sizes) -> list | None:
+    """Per-source-block incremental update plans for a ValueMap.
+
+    `perm2` is the entry->source-position map the full update path applies
+    (sparsity.permute, composed with any reorder entry_order; NOT a
+    bijection — a symmetric matrix's upper block feeds both triangles) and
+    `sizes` the raw LDU block sizes in source order.  In transient CFD only
+    diag/RHS usually change per step (fixed mesh), yet the full path
+    re-gathers and re-scatters ALL nnz entries; with these plans a step
+    touches only the changed blocks' entries — and the diag block of a DIA
+    container degenerates to one contiguous slice write.  Returns None when
+    per-block set() is unsound (duplicate slots accumulate: vm.unique is
+    False, matching ValueMap.update's .add branch)."""
+    if not vm.unique:
+        return None
+    perm2 = np.asarray(perm2, np.int64)
+    dest_all = (np.arange(len(perm2), dtype=np.int64) if vm.dest is None
+                else np.asarray(jax.device_get(vm.dest), np.int64))
+    if len(dest_all) != len(perm2):
+        return None
+    plans = []
+    off = 0
+    for size in sizes:
+        q = np.flatnonzero((perm2 >= off) & (perm2 < off + size))
+        src = perm2[q] - off
+        d = dest_all[q]
+        o = np.argsort(src, kind="stable")
+        src, d = src[o], d[o]
+        if (len(src) == size and np.array_equal(src, np.arange(size))
+                and size and np.all(np.diff(d) == 1)):
+            plans.append(BlockUpdatePlan(None, None, int(d[0]), int(size)))
+        else:
+            identity = (len(src) == size
+                        and np.array_equal(src, np.arange(size)))
+            plans.append(BlockUpdatePlan(
+                jnp.asarray(d, jnp.int32),
+                None if identity else jnp.asarray(src, jnp.int32),
+                0, int(size)))
+        off += size
+    return plans
 
 
 def cast_values(m, dtype):

@@ -45,7 +45,7 @@ from typing import Any
 import jax
 import numpy as np
 
-from ogl_tpu import common, registry
+from ogl_tpu import common
 from ogl_tpu.config import SolverConfig, parse_controls
 from ogl_tpu.core import ldu as ldu_mod
 from ogl_tpu.foam.solver import FoamSolver, SolverPerformance

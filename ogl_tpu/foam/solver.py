@@ -187,11 +187,14 @@ class FoamSolver:
         self.matrix = None
         self._reorder = None
         self._value_map = None
+        self._block_plans = None  # per-block incremental update plans
+        self._incr_fns = {}       # changed-index-set -> jit'd block update
         self._coo_host_cache = None
         self._src_host = None
         self._blocks_host = None  # raw LDU source blocks of the last update
         self._blocks_prev = None  # private copies backing the delta compare
         self._blocks_dev = None   # HBM-resident per-block uploads
+        self._blocks_stale = None  # device copy out of date vs host values
         self._precond_op = None
         self._compiled = {}
         self._res_eval_time: float | None = None
@@ -308,17 +311,46 @@ class FoamSolver:
                     self._entry_order_dev = (
                         jnp.asarray(self._reorder[4])
                         if self._reorder is not None else None)
+                    # incremental per-block plans: a step that changes only
+                    # SOME blocks (transient CFD: diag/RHS carry the time
+                    # step, off-diagonals are fixed-mesh constants) then
+                    # overwrites just those entries instead of re-gathering
+                    # all nnz — on TPU XLA gathers/scatters are
+                    # element-serial, so this is the difference between
+                    # O(nnz) and O(n_changed) device work per step
+                    perm2 = np.asarray(self.sparsity.permute)
+                    if self._reorder is not None:
+                        perm2 = perm2[self._reorder[4]]
+                    self._block_plans = formats.block_update_plans(
+                        self._value_map, perm2,
+                        [b.size for b in self._blocks_host])
                 with common.timed("update_device_values", self.cfg.verbose,
                                   self.field, self.timings):
-                    blocks_dev = self._upload_changed_blocks()
-                    vals_dev = ldu._assemble_from_blocks(
-                        blocks_dev, self._permute_dev,
-                        jnp.asarray(self.cfg.scaling, self.dtype))
-                    if self._entry_order_dev is not None:
-                        vals_dev = jnp.take(vals_dev, self._entry_order_dev, axis=0)
-                    self.matrix = self._value_map.update(self.matrix, vals_dev)
+                    changed = self._detect_changed_blocks()
+                    nb = len(self._blocks_host)
+                    if (self._block_plans is not None
+                            and 0 < len(changed) < nb):
+                        # partial change: touch only the changed blocks'
+                        # container entries (unchanged blocks stay unstaged)
+                        blocks_dev = self._stage_blocks(changed)
+                        self.matrix = self._apply_block_updates(
+                            changed, blocks_dev)
+                    else:
+                        blocks_dev = self._stage_blocks(range(nb))
+                        vals_dev = ldu._assemble_from_blocks(
+                            blocks_dev, self._permute_dev,
+                            jnp.asarray(self.cfg.scaling, self.dtype))
+                        if self._entry_order_dev is not None:
+                            vals_dev = jnp.take(
+                                vals_dev, self._entry_order_dev, axis=0)
+                        self.matrix = self._value_map.update(
+                            self.matrix, vals_dev)
                 if self.last_blocks_changed[0] > 0:
                     self._coeff_epoch = getattr(self, "_coeff_epoch", 0) + 1
+
+    # (see ARCHITECTURE.md "Data flow (steady state)": a partial-change
+    # step routes through _apply_block_updates instead of the full
+    # assemble — the LDU diag onto a DIA main plane is one slice write)
 
     def src_host(self) -> np.ndarray:
         """The concatenated raw LDU source vector of the LAST update (lazy:
@@ -352,65 +384,129 @@ class FoamSolver:
             return None
         return dbf, mirror2
 
-    def _upload_changed_blocks(self) -> tuple:
-        """Delta coefficient upload: per-block compare against the previous
-        step's values; only changed blocks cross the host->device boundary.
-        In transient CFD the off-diagonal blocks are often constant (fixed
-        mesh, constant transport coefficients) while diag/RHS carry the
-        time-step terms, and this upload dominates the steady-state step —
-        the reference always re-copies everything (HostMatrix.C:684-692).
+    def _detect_changed_blocks(self) -> list:
+        """Host-side per-block change detection against the previous step's
+        values (the delta-upload baseline, HostMatrix.C:684-692 contrast:
+        the reference always re-copies everything).  Marks changed blocks'
+        device copies stale and returns the changed indices — the caller
+        decides between the incremental and full update paths from them.
         np.array_equal early-exits on changed blocks, so the compare is
-        cheap exactly when it does not pay off.  With uploadPrecision
-        bfloat16 a changed block crosses the wire as a half-width
-        error-feedback delta against the resident copy (see _bf16_delta)."""
+        cheap exactly when it does not pay off."""
         nb = len(self._blocks_host)
         if self._blocks_prev is None or len(self._blocks_prev) != nb:
             self._blocks_prev = [None] * nb
             self._blocks_dev = [None] * nb
         if getattr(self, "_blocks_mirror", None) is None or len(self._blocks_mirror) != nb:
             self._blocks_mirror = [None] * nb
+        if self._blocks_stale is None or len(self._blocks_stale) != nb:
+            self._blocks_stale = [False] * nb
+        changed = []
+        for i, blk in enumerate(self._blocks_host):
+            prev = self._blocks_prev[i]
+            if (prev is not None and prev.shape == blk.shape
+                    and np.array_equal(prev, blk)):
+                continue
+            changed.append(i)
+            self._blocks_stale[i] = True
+            # private copy: a caller mutating its LDU arrays in place
+            # must not alias the compare baseline
+            self._blocks_prev[i] = np.array(blk)
+        self.last_blocks_changed = (len(changed), nb)
+        return changed
+
+    def _stage_blocks(self, indices) -> tuple:
+        """Upload the requested blocks whose device copy is missing or
+        stale (host values changed since staging); resident-and-current
+        blocks never cross the host->device boundary.  With uploadPrecision
+        bfloat16 a changed block crosses the wire as a half-width
+        error-feedback delta against the resident copy (see _bf16_delta).
+        Returns the per-block device tuple — entries never requested stay
+        None (the incremental path leaves untouched blocks unstaged)."""
+        nb = len(self._blocks_host)
         compress = (self.cfg.upload_precision == "bfloat16"
                     and self.dtype == jnp.float32)
-        out = []
         uploaded = 0
         bf16_up = 0
         upload_bytes = 0
-        changed = 0  # host-VALUE changes (the precond-epoch signal) —
-        # distinct from uploads: a block may need its first device staging
-        # even though its values are unchanged since the initial convert
-        for i, blk in enumerate(self._blocks_host):
-            prev = self._blocks_prev[i]
+        for i in indices:
+            blk = self._blocks_host[i]
             dev = self._blocks_dev[i]
-            host_same = (prev is not None and prev.shape == blk.shape
-                         and np.array_equal(prev, blk))
-            if not host_same:
-                changed += 1
-                # private copy: a caller mutating its LDU arrays in place
-                # must not alias the compare baseline
-                self._blocks_prev[i] = np.array(blk)
-            if dev is None or not host_same:
-                enc = (self._bf16_delta(np.asarray(blk, np.float32),
-                                        self._blocks_mirror[i])
-                       if compress and dev is not None else None)
-                if enc is not None:
-                    dbf, mirror2 = enc
-                    dev = _apply_delta(dev, jnp.asarray(dbf))
-                    self._blocks_mirror[i] = mirror2
-                    bf16_up += 1
-                    upload_bytes += dbf.nbytes
-                else:
-                    dev = jnp.asarray(blk)
-                    if compress:
-                        self._blocks_mirror[i] = np.asarray(blk, np.float32).copy()
-                    upload_bytes += np.asarray(blk).nbytes
-                self._blocks_dev[i] = dev
-                uploaded += 1
-            out.append(dev)
+            if dev is not None and not self._blocks_stale[i]:
+                continue
+            enc = (self._bf16_delta(np.asarray(blk, np.float32),
+                                    self._blocks_mirror[i])
+                   if compress and dev is not None else None)
+            if enc is not None:
+                dbf, mirror2 = enc
+                dev = _apply_delta(dev, jnp.asarray(dbf))
+                self._blocks_mirror[i] = mirror2
+                bf16_up += 1
+                upload_bytes += dbf.nbytes
+            else:
+                dev = jnp.asarray(blk)
+                if compress:
+                    self._blocks_mirror[i] = np.asarray(blk, np.float32).copy()
+                upload_bytes += np.asarray(blk).nbytes
+            self._blocks_dev[i] = dev
+            self._blocks_stale[i] = False
+            uploaded += 1
         self.last_blocks_uploaded = (uploaded, nb)
         self.last_blocks_bf16 = (bf16_up, nb)
         self.last_upload_bytes = upload_bytes
-        self.last_blocks_changed = (changed, nb)
-        return tuple(out)
+        return tuple(self._blocks_dev)
+
+    def _upload_changed_blocks(self) -> tuple:
+        """Detect + stage ALL blocks (the full-update path's contract)."""
+        self._detect_changed_blocks()
+        return self._stage_blocks(range(len(self._blocks_host)))
+
+    def _apply_block_updates(self, changed, blocks_dev):
+        """Overwrite ONLY the changed blocks' entries in the container's
+        flat value storage (formats.block_update_plans): one jit'd program
+        per changed-index set (in practice one or two per run, e.g. 'diag
+        only'), each block a contiguous slice write when its plan is affine
+        (LDU diag onto the DIA main plane) or a per-entry scatter otherwise.
+        Replaces the full-nnz gather+scatter of the general path — XLA
+        scatters on TPU are element-serial, so a diag-only transient step
+        drops from O(nnz) to O(n) device work."""
+        key = tuple(changed)
+        fn = self._incr_fns.get(key)
+        if fn is None:
+            plans = [self._block_plans[i] for i in changed]
+            affine = tuple(p.dest is None for p in plans)
+            has_src = tuple(p.src is not None for p in plans)
+            starts = tuple(p.dest_start for p in plans)
+            vm = self._value_map
+
+            @jax.jit
+            def upd(mat, scale, *args):
+                flat = formats.values_flat(mat)
+                ai = 0
+                for aff, gsrc, d0 in zip(affine, has_src, starts):
+                    blk = args[ai]
+                    ai += 1
+                    if gsrc:  # entries reuse block positions (symmetric)
+                        blk = jnp.take(blk, args[ai], axis=0)
+                        ai += 1
+                    v = (scale * blk).astype(flat.dtype)
+                    if aff:
+                        flat = jax.lax.dynamic_update_slice(flat, v, (d0,))
+                    else:
+                        flat = flat.at[args[ai]].set(v, unique_indices=True)
+                        ai += 1
+                return formats.with_values(mat, flat.reshape(vm.out_shape))
+
+            self._incr_fns[key] = fn = upd
+        args = []
+        for i in changed:
+            args.append(blocks_dev[i])
+            p = self._block_plans[i]
+            if p.src is not None:
+                args.append(p.src)
+            if p.dest is not None:
+                args.append(p.dest)
+        return fn(self.matrix, jnp.asarray(self.cfg.scaling, self.dtype),
+                  *args)
 
     def coo_host(self) -> formats.Coo:
         """Host-side COO of the CURRENT coefficients (lazy: the row-major

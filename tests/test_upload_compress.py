@@ -14,7 +14,7 @@ import pytest
 
 from ogl_tpu import foam, registry
 from ogl_tpu import testing as problems
-from ogl_tpu.core import formats, ldu
+from ogl_tpu.core import ldu
 
 
 @pytest.fixture(autouse=True)

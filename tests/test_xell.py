@@ -2,8 +2,6 @@
 sparsity beyond the Gdia plane budget (reference role: device-fast Csr for
 any sparsity, CsrMatrixWrapper.H:138-161)."""
 
-import warnings
-
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -13,7 +11,7 @@ from ogl_tpu.core import formats, ldu
 from ogl_tpu.core.reorder import permute_coo, rcm_permutation
 from ogl_tpu.kernels import spmv
 from ogl_tpu.kernels.xell import (
-    Xell, xell_from_coo, xell_layout, xell_matvec, xell_to_coo, spmv_xell)
+    xell_from_coo, xell_layout, xell_matvec, xell_to_coo, spmv_xell)
 
 
 def _random_graph_coo(rng, n=2000, k=5, dtype=np.float64):
