@@ -41,6 +41,28 @@ from ogl_tpu.dist.partition import (
 __all__ = ["DistAssembler", "dist_from_ldu_ranks", "build_halo_plan"]
 
 
+@dataclasses.dataclass(frozen=True)
+class _DistBlockPlan:
+    """One source-block KIND's slice of the stacked steady-state update —
+    the distributed twin of formats.BlockUpdatePlan (kind j = the j-th raw
+    LDU block of EVERY rank; per-rank offsets differ, so the index tables
+    are per-rank rows of stacked (P, L) arrays).
+
+    affine: (start, length) when every rank's block maps identity-onto one
+    contiguous run at the SAME start of its flat local storage (the LDU
+    diag onto the DiaStack main plane) — applied as one 2-D slice write.
+    src/dst: (P, L) gather/scatter tables otherwise (dst pads park
+    out-of-bounds and are dropped).  hsrc/hpos: the block's halo-value
+    entries, usually only the proc-interface kind."""
+
+    b_max: int
+    affine: tuple | None
+    src: jnp.ndarray | None
+    dst: jnp.ndarray | None
+    hsrc: jnp.ndarray | None
+    hpos: jnp.ndarray | None
+
+
 def build_halo_plan(iface_lists, halo_size: int) -> HaloPlan:
     """Static ppermute schedule from every rank's processor-interface list
     (per rank: [(neighbor, face_cells), ...] in interface order).
@@ -295,6 +317,11 @@ class DistAssembler:
         self._blk_prev = [[np.array(x) for x in
                            _rank_source_blocks(m, self.dtype)] for m in ranks]
         self._blk_dev = [[None] * len(b) for b in self._blk_prev]
+        self._blk_stale = [[False] * len(b) for b in self._blk_prev]
+        # incremental-update machinery (lazy; see _build_block_plans)
+        self._block_plans = ()  # () = not built yet; None = unsound
+        self._incr_fns = {}
+        self._eff_scale = self.scale  # construction assembled at `scaling`
 
     def _sources(self, m) -> np.ndarray:
         """Per-rank source vector with `scaling` applied (the scaled matrix
@@ -325,14 +352,14 @@ class DistAssembler:
                         src[sp.permute]))
         return out
 
-    def _upload_changed_blocks(self, ranks) -> tuple:
-        """Delta coefficient upload, per (rank, block): only source blocks
-        whose values changed since the previous step cross the host->device
-        boundary (cf. FoamSolver._upload_changed_blocks — the single-device
-        twin); unchanged blocks reuse their HBM-resident upload.  Validates
-        that each rank's source length matches construction — a changed
-        face count means the sparsity changed and the cached permute tables
-        would silently gather stale positions."""
+    def _detect_changed_blocks(self, ranks) -> list:
+        """Host-side per-(rank, block) change detection against the previous
+        step's values (the delta-upload baseline; the reference always
+        re-copies everything, HostMatrix.C:684-692).  Validates that each
+        rank's source length matches construction — a changed face count
+        means the sparsity changed and the cached permute tables would
+        silently gather stale positions.  Returns the changed (rank, block)
+        pairs; changed blocks' device copies are marked stale."""
         blks_host = []
         for i, m in enumerate(ranks):
             b = _rank_source_blocks(m, self.dtype)
@@ -343,46 +370,217 @@ class DistAssembler:
                     "changed; rebuild the DistAssembler")
             blks_host.append(b)
         if getattr(self, "_blk_prev", None) is None or \
-                len(self._blk_prev) != len(blks_host):
+                len(self._blk_prev) != len(blks_host) or any(
+                    len(p) != len(b)
+                    for p, b in zip(self._blk_prev, blks_host)):
             self._blk_prev = [[None] * len(b) for b in blks_host]
             self._blk_dev = [[None] * len(b) for b in blks_host]
-        uploaded = total = changed = 0
-        out = []
+            self._blk_stale = [[False] * len(b) for b in blks_host]
+        changed = []
+        total = 0
         for i, blks in enumerate(blks_host):
-            row = []
             for j, blk in enumerate(blks):
-                prev = self._blk_prev[i][j]
-                dev = self._blk_dev[i][j]
-                host_same = (prev is not None and prev.shape == blk.shape
-                             and np.array_equal(prev, blk))
-                if not host_same:
-                    changed += 1
-                    self._blk_prev[i][j] = np.array(blk)  # private baseline
-                if dev is None or not host_same:
-                    dev = jnp.asarray(blk)
-                    self._blk_dev[i][j] = dev
-                    uploaded += 1
-                row.append(dev)
                 total += 1
-            out.append(tuple(row))
-        self.last_blocks_uploaded = (uploaded, total)
-        self.last_blocks_changed = (changed, total)
+                prev = self._blk_prev[i][j]
+                if (prev is not None and prev.shape == blk.shape
+                        and np.array_equal(prev, blk)):
+                    continue
+                changed.append((i, j))
+                self._blk_prev[i][j] = np.array(blk)  # private baseline
+                self._blk_stale[i][j] = True
+        self.last_blocks_changed = (len(changed), total)
         self._blocks_cache = blks_host  # raw blocks; shard_triples re-scales
-        return tuple(out)
+        return changed
+
+    def _stage_blocks(self, pairs) -> tuple:
+        """Upload the requested (rank, block) pairs whose device copy is
+        missing or stale; resident-and-current blocks never cross the
+        host->device boundary (cf. FoamSolver._stage_blocks).  Entries never
+        requested stay None — the incremental path leaves untouched blocks
+        unstaged."""
+        uploaded = 0
+        total = sum(len(b) for b in self._blk_prev)
+        for i, j in pairs:
+            if self._blk_dev[i][j] is not None and not self._blk_stale[i][j]:
+                continue
+            self._blk_dev[i][j] = jnp.asarray(self._blocks_cache[i][j])
+            self._blk_stale[i][j] = False
+            uploaded += 1
+        self.last_blocks_uploaded = (uploaded, total)
+        return tuple(tuple(row) for row in self._blk_dev)
+
+    def _upload_changed_blocks(self, ranks) -> tuple:
+        """Detect + stage ALL blocks (the full-update path's contract)."""
+        self._detect_changed_blocks(ranks)
+        p = len(self._blk_prev)
+        return self._stage_blocks(
+            [(i, j) for i in range(p) for j in range(len(self._blk_prev[i]))])
+
+    def _build_block_plans(self):
+        """Per-block-kind incremental update plans (the distributed twin of
+        formats.block_update_plans).  None when per-kind overwrite is
+        unsound: ranks disagree on block count, or some rank's local dest
+        slots are not unique (duplicate slots accumulate in
+        _assemble_values's .add — overwriting one contributor would drop
+        the others)."""
+        p = len(self._sp)
+        counts = {len(b) for b in self._blk_prev}
+        if len(counts) != 1:
+            return None
+        nb = counts.pop()
+        perm_local = np.asarray(jax.device_get(self._perm_local), np.int64)
+        dest_local = np.asarray(jax.device_get(self._dest_local), np.int64)
+        perm_halo = np.asarray(jax.device_get(self._perm_halo), np.int64)
+        flat_size = 1
+        for s in self._local_shape:
+            flat_size *= int(s)
+        for i, sp in enumerate(self._sp):
+            d = dest_local[i, : sp.nnz]
+            if len(np.unique(d)) != len(d):
+                return None
+        lens = [[int(x.size) for x in blks] for blks in self._blk_prev]
+        e_h = perm_halo.shape[1]
+        plans = []
+        for j in range(nb):
+            offs = [sum(lens[i][:j]) for i in range(p)]
+            ln = [lens[i][j] for i in range(p)]
+            srcs, dsts, hqs, hsrcs = [], [], [], []
+            for i in range(p):
+                pl = perm_local[i, : self._sp[i].nnz]
+                q = np.flatnonzero((pl >= offs[i]) & (pl < offs[i] + ln[i]))
+                srcs.append(pl[q] - offs[i])
+                dsts.append(dest_local[i, q])
+                ph = perm_halo[i, : len(self._halo_perm[i])]
+                hq = np.flatnonzero((ph >= offs[i]) & (ph < offs[i] + ln[i]))
+                hqs.append(hq)
+                hsrcs.append(ph[hq] - offs[i])
+            b_max = max(max(ln), 1)
+            # affine: every rank's entries are the identity map onto one
+            # contiguous run at the same start (LDU diag -> DIA main plane):
+            # ONE 2-D slice write replaces the element-serial scatter
+            affine = None
+            if len(set(ln)) == 1 and ln[0] > 0:
+                starts = []
+                for i in range(p):
+                    o = np.argsort(srcs[i], kind="stable")
+                    s_s, d_s = srcs[i][o], dsts[i][o]
+                    if not (len(s_s) == ln[i]
+                            and np.array_equal(s_s, np.arange(ln[i]))
+                            and np.all(np.diff(d_s) == 1)):
+                        starts = None
+                        break
+                    starts.append(int(d_s[0]))
+                if starts is not None and len(set(starts)) == 1:
+                    affine = (starts[0], ln[0])
+            src_a = dst_a = None
+            if affine is None and any(len(s) for s in srcs):
+                lmax = max(len(s) for s in srcs)
+                src_a = np.zeros((p, lmax), np.int32)
+                dst_a = np.full((p, lmax), flat_size, np.int32)  # OOB: drop
+                for i in range(p):
+                    src_a[i, : len(srcs[i])] = srcs[i]
+                    dst_a[i, : len(srcs[i])] = dsts[i]
+                src_a, dst_a = jnp.asarray(src_a), jnp.asarray(dst_a)
+            hsrc_a = hpos_a = None
+            if any(len(h) for h in hsrcs):
+                hmax = max(len(h) for h in hsrcs)
+                hsrc_a = np.zeros((p, hmax), np.int32)
+                hpos_a = np.full((p, hmax), e_h, np.int32)  # OOB: drop
+                for i in range(p):
+                    hsrc_a[i, : len(hsrcs[i])] = hsrcs[i]
+                    hpos_a[i, : len(hqs[i])] = hqs[i]
+                hsrc_a, hpos_a = jnp.asarray(hsrc_a), jnp.asarray(hpos_a)
+            plans.append(_DistBlockPlan(
+                b_max=b_max, affine=affine, src=src_a, dst=dst_a,
+                hsrc=hsrc_a, hpos=hpos_a))
+        return plans
+
+    def _apply_block_updates(self, kinds, scale):
+        """Overwrite ONLY the changed block kinds' entries in the stacked
+        local/halo value storages: one jit'd program per changed-kind set
+        (in practice one per run, e.g. 'diag only'), the LDU diag a single
+        2-D slice write when its plan is affine.  Replaces the full-nnz
+        gather+scatter of the general path — XLA scatters on TPU are
+        element-serial, so a diag-only transient step drops from O(nnz) to
+        O(n) device work (cf. FoamSolver._apply_block_updates)."""
+        key = tuple(kinds)
+        fn = self._incr_fns.get(key)
+        if fn is None:
+            plans = [self._block_plans[j] for j in kinds]
+            local_shape = self._local_shape
+
+            @jax.jit
+            def upd(local_vals, halo_vals, s, *blocks):
+                p = local_vals.shape[0]
+                flat = local_vals.reshape(p, -1)
+                hv = halo_vals
+                for pl, blks in zip(plans, blocks):
+                    stack = jnp.stack([
+                        jnp.pad(b, (0, pl.b_max - b.shape[0]))
+                        for b in blks])
+                    if pl.affine is not None:
+                        d0, ln = pl.affine
+                        v = (s * stack[:, :ln]).astype(flat.dtype)
+                        flat = jax.lax.dynamic_update_slice(flat, v, (0, d0))
+                    elif pl.dst is not None:
+                        v = (s * jnp.take_along_axis(stack, pl.src, axis=1)
+                             ).astype(flat.dtype)
+                        flat = jax.vmap(
+                            lambda f, d, vv: f.at[d].set(vv, mode="drop")
+                        )(flat, pl.dst, v)
+                    if pl.hpos is not None:
+                        w = (s * jnp.take_along_axis(stack, pl.hsrc, axis=1)
+                             ).astype(hv.dtype)
+                        hv = jax.vmap(
+                            lambda h, pos, vv: h.at[pos].set(vv, mode="drop")
+                        )(hv, pl.hpos, w)
+                return flat.reshape((p,) + local_shape), hv
+
+            self._incr_fns[key] = fn = upd
+        dm = self.dm
+        local_leaf = dm.local.data if isinstance(dm.local, DiaStack) \
+            else dm.local.vals
+        args = [tuple(self._blk_dev[i][j] for i in range(len(self._blk_dev)))
+                for j in kinds]
+        return fn(local_leaf, dm.halo.vals,
+                  jnp.asarray(scale, self.dtype), *args)
 
     def update(self, ranks, scale=1.0) -> DistMatrix:
         """Steady-state coefficient update: same sparsity, new values — the
         distributed analogue of update_local_matrix_data /
         update_non_local_matrix_data + the device value overwrite
         (HostMatrix.C:593-732, CsrMatrixWrapper.H:74-136).  The blocks stay
-        raw on the host; `scaling` is folded into the device gather."""
-        blocks = self._upload_changed_blocks(ranks)
-        src = _stack_src_blocks(blocks, src_size=self._src_size)
-        local_vals, halo_vals = _assemble_values(
-            src, self._perm_local, self._dest_local, self._perm_halo,
-            jnp.asarray(self.scale * scale, self.dtype),
-            local_shape=self._local_shape,
-        )
+        raw on the host; `scaling` is folded into the device gather.  A
+        step that changes only SOME blocks (transient CFD: diag/RHS carry
+        the time step) routes through _apply_block_updates; a bitwise
+        unchanged operator skips device work entirely."""
+        eff = self.scale * scale
+        changed = self._detect_changed_blocks(ranks)
+        total = sum(len(b) for b in self._blk_prev)
+        if eff == self._eff_scale and not changed:
+            self.last_blocks_uploaded = (0, total)
+            return self.dm  # resident values already current
+        if self._block_plans == ():  # lazy: first real update builds plans
+            self._block_plans = self._build_block_plans()
+        kinds = sorted({j for _, j in changed})
+        nb = len(self._blk_prev[0]) if self._blk_prev else 0
+        p = len(self._blk_prev)
+        if (eff == self._eff_scale and self._block_plans is not None
+                and 0 < len(kinds) < nb):
+            # partial change: touch only the changed kinds' entries
+            # (unchanged kinds stay unstaged on every rank)
+            self._stage_blocks([(i, j) for i in range(p) for j in kinds])
+            local_vals, halo_vals = self._apply_block_updates(kinds, eff)
+        else:
+            blocks = self._stage_blocks(
+                [(i, j) for i in range(p) for j in range(len(self._blk_prev[i]))])
+            src = _stack_src_blocks(blocks, src_size=self._src_size)
+            local_vals, halo_vals = _assemble_values(
+                src, self._perm_local, self._dest_local, self._perm_halo,
+                jnp.asarray(eff, self.dtype),
+                local_shape=self._local_shape,
+            )
+        self._eff_scale = eff
         dm = self.dm
         if isinstance(dm.local, DiaStack):
             local = dataclasses.replace(dm.local, data=local_vals)
