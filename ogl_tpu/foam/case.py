@@ -94,7 +94,8 @@ def _slot_order(nl, nl_path: str):
     return cell_of, coeff_of
 
 
-def reconstruct_comm(coeff_seqs: list[np.ndarray]) -> list[list[dict]]:
+def reconstruct_comm(coeff_seqs: list[np.ndarray],
+                     allow_degenerate: bool = False) -> list[list[dict]]:
     """Recover each rank's `[{"neighbor": j, "n_faces": k}, ...]` from the
     slot-ordered interface coefficient sequences alone — the sidecar-free
     ingest of a true reference export (CsrMatrixWrapper.H:271-290 writes no
@@ -111,9 +112,15 @@ def reconstruct_comm(coeff_seqs: list[np.ndarray]) -> list[list[dict]]:
 
     Exact for generic real coefficients.  For degenerate (repeated-value)
     runs the run boundary is not always identifiable — see the module
-    docstring's 4-cycle counterexample — so a RuntimeWarning flags matched
-    runs with repeated values, and an incomplete cover raises with the
-    minimal extra input (the `_comm.json` sidecar) named."""
+    docstring's 4-cycle counterexample, where two mutually inconsistent
+    pairings both pass the final cover + symmetry validation (a
+    uniform-coefficient orthogonal mesh is a COMMON export, and a wrong
+    pairing silently builds a wrong distributed matrix).  A matched run
+    containing repeated coefficient values therefore raises ValueError
+    naming the `_comm.json` sidecar as the fix; pass
+    `allow_degenerate=True` to downgrade that to a RuntimeWarning when the
+    decomposition is known to be a strip/chain (uniquely covered even with
+    uniform values).  An incomplete cover always raises."""
     import warnings
 
     n_ranks = len(coeff_seqs)
@@ -131,12 +138,18 @@ def reconstruct_comm(coeff_seqs: list[np.ndarray]) -> list[list[dict]]:
                 continue
             run = a[ci:ci + k]
             if len(np.unique(run)) < k:
-                warnings.warn(
+                msg = (
                     f"reconstruct_comm: interface ({i},{j}) has repeated "
-                    "coefficient values — the run boundary is inferred, "
-                    "not certain; prefer an export with a _comm.json "
-                    "sidecar for degenerate (uniform-coefficient) meshes",
-                    RuntimeWarning, stacklevel=2)
+                    "coefficient values — the run boundary is inferred, not "
+                    "certain, and the final cover/symmetry validation CANNOT "
+                    "detect a mis-pairing (a 4-rank uniform ring reconstructs "
+                    "as two 2-face pairings that validate).  Export with the "
+                    "`<field>_comm.json` sidecar (ogl_tpu's exporter writes "
+                    "it), or pass allow_degenerate=True if the decomposition "
+                    "is a strip/chain where the cover is unique.")
+                if not allow_degenerate:
+                    raise ValueError(msg)
+                warnings.warn(msg, RuntimeWarning, stacklevel=2)
             comm[i].append({"neighbor": j, "n_faces": k})
             comm[j].append({"neighbor": i, "n_faces": k})
             cur[i] += k
@@ -153,12 +166,15 @@ def reconstruct_comm(coeff_seqs: list[np.ndarray]) -> list[list[dict]]:
     return comm
 
 
-def read_exported_case(case_dir: str, field: str, time: str):
+def read_exported_case(case_dir: str, field: str, time: str,
+                       allow_degenerate: bool = False):
     """Ingest an exported system: returns (ranks, b) where ranks is a list
     of per-rank LduMatrix (with ProcInterfaces for multi-rank cases) and b
     the concatenated global RHS.  Works on true reference exports (no
     `_comm.json` sidecar): the communication pattern is then reconstructed
-    from the pairwise interface contract (see `reconstruct_comm`)."""
+    from the pairwise interface contract (see `reconstruct_comm`;
+    `allow_degenerate` is forwarded — repeated-coefficient runs otherwise
+    raise, since a mis-pairing cannot be detected downstream)."""
     locals_, bs, nl_data = [], [], []
     for pdir in _processor_dirs(case_dir):
         pre = os.path.join(pdir, time, field)
@@ -183,7 +199,8 @@ def read_exported_case(case_dir: str, field: str, time: str):
     if any(c is not None and cm is None for c, _, cm in nl_data):
         # sidecar-free reference export: reconstruct the pattern
         recon = reconstruct_comm(
-            [cf if cf is not None else np.zeros(0) for _, cf, _ in nl_data])
+            [cf if cf is not None else np.zeros(0) for _, cf, _ in nl_data],
+            allow_degenerate=allow_degenerate)
         nl_data = [(c, cf, cm if cm is not None else recon[i])
                    for i, (c, cf, cm) in enumerate(nl_data)]
 

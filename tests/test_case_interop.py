@@ -329,16 +329,20 @@ def test_sidecar_free_replay_matches_direct_solve(tmp_path):
     assert err < 1e-6, f"replayed solution off by {err}"
 
 
-def test_uniform_coefficients_warn_but_chain_reconstructs(tmp_path):
-    """Uniform coefficients are the documented degenerate case: a simple
-    strip (chain) decomposition is still uniquely covered, but the
-    reconstruction must announce the ambiguity risk."""
+def test_uniform_coefficients_raise_without_degenerate_optin(tmp_path):
+    """Uniform coefficients are the documented degenerate case: the cover
+    check cannot detect a mis-pairing, so the default is a hard failure
+    naming the sidecar; the explicit allow_degenerate opt-in downgrades it
+    to a warning (a strip/chain decomposition IS uniquely covered)."""
     m = problems.poisson_ldu((16, 12))  # all face coeffs identical
     a = problems.poisson_dense((16, 12))
     b = a @ np.random.default_rng(5).normal(size=m.n)
     _export_then_strip_sidecars(tmp_path, m, b)
+    with pytest.raises(ValueError, match="_comm.json"):
+        case.read_exported_case(str(tmp_path), "p", "0")
     with pytest.warns(RuntimeWarning, match="repeated coefficient"):
-        ranks, _ = case.read_exported_case(str(tmp_path), "p", "0")
+        ranks, _ = case.read_exported_case(str(tmp_path), "p", "0",
+                                           allow_degenerate=True)
     assert all(len(r.proc_interfaces) >= 1 for r in ranks)
 
 
