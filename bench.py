@@ -7,18 +7,25 @@ baseline is therefore *generated* here: an unpreconditioned GKOCG solve of
 a 3-D FV pressure-Poisson system (the lid-driven-cavity/channel p-equation
 analogue), plus SpMV throughput against the HBM roofline.
 
-Prints ONE JSON line:
+Prints ONE JSON line (to stdout, IMMEDIATELY after the headline lanes so a
+budget kill cannot lose it — VERDICT r04 item 1):
   metric       cg_time_per_iter_per_dof
   value        nanoseconds per CG iteration per DOF (reference north-star)
   vs_baseline  achieved SpMV bandwidth / (0.80 × HBM peak) — ≥1.0 means the
                BASELINE.md roofline target (SpMV ≥ 80% of peak) is met
 
-Details (problem size, iterations, SpMV GB/s, roofline fraction) go to
-stderr so stdout stays a single JSON line.
+Everything else goes to stderr.  The run is WALL-CLOCK BUDGETED
+(OGL_BENCH_BUDGET_S, default 1140 s): optional lanes are skipped (with a
+log line) when the remaining budget cannot cover their estimate, and a
+compact SUMMARY block re-printing every completed lane's one-liner is
+emitted at the end — and on SIGTERM — so the driver's 2000-byte output
+tail always carries the headlines (BENCH_r04 was rc=124/parsed:null; this
+structure makes that failure mode impossible to repeat).
 """
 
 import json
 import os
+import signal
 import sys
 import time
 
@@ -26,9 +33,54 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+_T0 = time.monotonic()
+BUDGET_S = float(os.environ.get("OGL_BENCH_BUDGET_S", "1140"))
+SUMMARY: list[str] = []
+_JSON_PRINTED = False
+
 
 def log(*a):
     print(*a, file=sys.stderr, flush=True)
+
+
+def remaining() -> float:
+    return BUDGET_S - (time.monotonic() - _T0)
+
+
+def lane_ok(name: str, est_s: float) -> bool:
+    """Budget gate: skip-and-log when the estimate exceeds what's left."""
+    if remaining() < est_s:
+        line = (f"[skip] {name}: est {est_s:.0f}s > {remaining():.0f}s "
+                f"remaining of the {BUDGET_S:.0f}s budget")
+        log(line)
+        SUMMARY.append(line)
+        return False
+    return True
+
+
+def headline(line: str):
+    """A lane's one-line result: logged now AND re-printed in the final
+    summary block (tail-survivable evidence)."""
+    log(line)
+    SUMMARY.append(line)
+
+
+def print_summary():
+    log(f"===== SUMMARY ({time.monotonic() - _T0:.0f}s elapsed of "
+        f"{BUDGET_S:.0f}s budget) =====")
+    for s in SUMMARY:
+        log("  " + s)
+    log("===== END SUMMARY =====")
+
+
+def _on_term(signum, frame):  # driver timeout sends SIGTERM first
+    log(f"[SIGTERM at {time.monotonic() - _T0:.0f}s — printing summary "
+        "and exiting]")
+    print_summary()
+    sys.exit(1 if not _JSON_PRINTED else 0)
+
+
+signal.signal(signal.SIGTERM, _on_term)
 
 
 def _timed(f):
@@ -63,15 +115,11 @@ def main():
     # persistent compilation cache: repeat bench runs skip the large solver
     # compiles (no-op if the backend bypasses it)
     try:
-        import os as _os
-
-        import jax as _jax
-
-        _jax.config.update(
+        jax.config.update(
             "jax_compilation_cache_dir",
-            _os.path.join(_os.path.dirname(_os.path.abspath(__file__)),
-                          ".jax_cache"))
-        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+            os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         ".jax_cache"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
     except Exception:
         pass
     from ogl_tpu import testing as problems
@@ -87,7 +135,8 @@ def main():
     dims = (128, 128, 64) if on_tpu else (32, 32, 16)
     dtype = jnp.float32
     log(f"device: {dev.device_kind} ({dev.platform}); problem: {dims} "
-        f"({np.prod(dims):,} DOF), dtype {dtype.__name__}")
+        f"({np.prod(dims):,} DOF), dtype {dtype.__name__}; "
+        f"budget {BUDGET_S:.0f}s")
 
     t0 = time.perf_counter()
     cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
@@ -118,14 +167,13 @@ def main():
     b = jax.jit(mv_kernel)(jnp.asarray(x_true))
     jax.block_until_ready(b)
 
-    # round-trip latency of a host fetch (tunneled devices: tens of ms) —
-    # subtracted from forced-fetch wall times below
+    # round-trip latency of a host fetch (tunneled devices: tens of ms)
     tiny = jax.jit(lambda v: jnp.sum(v + 1.0))
     float(tiny(b))
     rtt = min(_timed(lambda: float(tiny(b))) for _ in range(5))
     log(f"host-fetch RTT: {rtt * 1e3:.1f} ms")
 
-    # --- SpMV roofline -------------------------------------------------
+    # --- SpMV roofline (HEADLINE lane 1) --------------------------------
     # Measured on a problem whose operand set exceeds VMEM (~128 MB on
     # v5e/v5p): at 1M DOF the 36 MB of DIA data + vectors can stay
     # VMEM-resident across chained iterations and read >HBM peak (the
@@ -168,6 +216,7 @@ def main():
     # of the SAME traffic mix: use max(spec, triad, read-dominant),
     # calibrated once and cached.
     eff_peak = r.peak_gbps
+    rdev = None
     if on_tpu:
         speak_cache = os.path.join(
             os.path.dirname(os.path.abspath(__file__)),
@@ -204,11 +253,12 @@ def main():
             f"{mpeak:.0f} GB/s, read-dominant {rpeak or 0:.0f} GB/s "
             f"-> denominator {eff_peak:.0f} GB/s")
     frac = r.gbps / eff_peak
-    log(f"SpMV (n={rmat.shape[0]:,}): {r.seconds * 1e6:.1f} µs, "
-        f"{r.gbps:.1f} GB/s ({100 * frac:.1f}% of {eff_peak:.0f} GB/s)")
+    headline(f"SpMV roofline (n={rmat.shape[0]:,}): {r.seconds * 1e6:.1f} µs, "
+             f"{r.gbps:.1f} GB/s = {100 * frac:.1f}% of the "
+             f"{eff_peak:.0f} GB/s read-dominant peak")
     if frac > 1.0:
-        log("WARNING: fraction-of-peak >100% — measurement-harness bug, "
-            "treat the roofline number as invalid")
+        headline("WARNING: fraction-of-peak >100% — measurement-harness "
+                 "bug, treat the roofline number as invalid")
 
     # device-timeline cross-check (VERDICT r03 weak 2): the same chained
     # SpMV captured with jax.profiler and read from the xplane device plane
@@ -227,12 +277,10 @@ def main():
                 gap = 100 * (r.seconds - dev_s) / dev_s
                 dfrac = (f", {100 * dgbps / rdev:.1f}% of the device-clock "
                          f"read peak ({rdev:.0f} GB/s)") if rdev else ""
-                log(f"SpMV device-timeline cross-check ({k_dev} chained "
-                    f"applies): {dev_s * 1e6:.1f} µs/apply busy, "
-                    f"{dgbps:.1f} GB/s{dfrac}; host-slope is {gap:+.1f}% vs "
-                    f"device (within ~5% = both clocks agree; slightly "
-                    f"negative means profiler overhead inflated the device "
-                    f"events)")
+                headline(f"SpMV device-timeline cross-check ({k_dev} chained"
+                         f" applies): {dev_s * 1e6:.1f} µs/apply busy, "
+                         f"{dgbps:.1f} GB/s{dfrac}; host-slope {gap:+.1f}% "
+                         f"vs device")
             else:
                 log("SpMV device-timeline cross-check: capture had no "
                     "accelerator plane — skipped")
@@ -240,7 +288,7 @@ def main():
             log(f"SpMV device-timeline cross-check failed: "
                 f"{type(e).__name__}: {e}")
 
-    # --- CG solve (merged-kernel path on TPU) ---------------------------
+    # --- CG solve (HEADLINE lane 2: merged-kernel path on TPU) -----------
     cfg = StoppingConfig(tolerance=1e-6, rel_tol=0.0, max_iter=1000, frequency=1)
     sp = StoppingParams.of(cfg)
     if on_tpu:
@@ -264,9 +312,23 @@ def main():
     iters = int(res.iters)
     tpi = solve_t / max(iters, 1)
     tpi_dof_ns = tpi * 1e9 / n
-    log(f"CG: {iters} iters, converged={bool(res.converged)}, "
-        f"final={float(res.final_res_norm):.2e}, solve {solve_t * 1e3:.1f} ms, "
-        f"time/iter {tpi * 1e6:.1f} µs, time/iter/DOF {tpi_dof_ns:.3f} ns")
+    headline(f"CG 1M: {iters} iters, converged={bool(res.converged)}, "
+             f"final={float(res.final_res_norm):.2e}, "
+             f"solve {solve_t * 1e3:.1f} ms, time/iter {tpi * 1e6:.1f} µs, "
+             f"time/iter/DOF {tpi_dof_ns:.3f} ns")
+
+    # ==== the machine-readable headline JSON — printed NOW, before any
+    # optional lane can eat the budget (VERDICT r04 item 1) ===============
+    global _JSON_PRINTED
+    vs_baseline = frac / 0.80
+    print(json.dumps({
+        "metric": "cg_time_per_iter_per_dof",
+        "value": round(tpi_dof_ns, 4),
+        "unit": "ns",
+        "vs_baseline": round(vs_baseline, 3),
+    }), flush=True)
+    _JSON_PRINTED = True
+
     if on_tpu:
         # solve-level consistency cross-check for the SpMV roofline: one
         # fused-CG iteration streams the DIA planes once (K1) plus ~12
@@ -289,11 +351,10 @@ def main():
                 lambda: float(solve(b, sp).final_res_norm))
             if dsolve:
                 gap = 100 * (solve_t - dsolve) / dsolve
-                log(f"CG device-timeline cross-check: {dsolve * 1e3:.1f} ms "
-                    f"device-busy per solve = "
-                    f"{dsolve * 1e9 / max(iters, 1) / n:.4f} ns/iter/DOF; "
-                    f"host-slope {solve_t * 1e3:.1f} ms is {gap:+.1f}% vs "
-                    f"device (within ~5% = both clocks agree)")
+                headline(f"CG 1M device-timeline cross-check: "
+                         f"{dsolve * 1e3:.1f} ms device-busy = "
+                         f"{dsolve * 1e9 / max(iters, 1) / n:.4f} ns/iter/DOF"
+                         f"; host-slope {gap:+.1f}% vs device")
             else:
                 log("CG device-timeline cross-check: no accelerator plane "
                     "in capture — skipped")
@@ -304,7 +365,7 @@ def main():
     # --- beyond-VMEM CG: the 8.4M-DOF case streams every iteration from
     # HBM (~430 MB working set), so time/iter is the honest HBM-bound
     # figure (the 1M headline above is VMEM-resident and faster) ---------
-    if on_tpu:
+    if on_tpu and lane_ok("CG 8.4M", 90):
         try:
             from ogl_tpu.kernels.fused import CgKernels
             from ogl_tpu.solve.cg_fused import cg_fused
@@ -326,10 +387,11 @@ def main():
                               hi=5, reps=2)
             it8 = int(r8.iters)
             tpi8 = t8 / max(it8, 1)
-            log(f"CG 8.4M (beyond VMEM): {it8} iters, "
-                f"converged={bool(r8.converged)}, solve {t8 * 1e3:.1f} ms, "
-                f"time/iter {tpi8 * 1e6:.1f} µs, "
-                f"time/iter/DOF {tpi8 * 1e9 / n8:.4f} ns")
+            headline(f"CG 8.4M (beyond VMEM): {it8} iters, "
+                     f"converged={bool(r8.converged)}, "
+                     f"solve {t8 * 1e3:.1f} ms, "
+                     f"time/iter {tpi8 * 1e6:.1f} µs, "
+                     f"time/iter/DOF {tpi8 * 1e9 / n8:.4f} ns")
             # streaming-model context: the z-free identity iteration is
             # K1 (data nd + r,p windows + p',q writes) + K2i (4 reads,
             # 2 writes).  The window overlap (2K/T extra rows per tile)
@@ -360,7 +422,7 @@ def main():
             log(f"8.4M CG bench failed: {type(e).__name__}: {e}")
 
     # --- BASELINE.json config sweep (iteration counts; stderr only) ------
-    if os.environ.get("OGL_BENCH_SWEEP", "1") != "0":
+    if os.environ.get("OGL_BENCH_SWEEP", "1") != "0" and lane_ok("sweep", 60):
         try:
             _config_sweep()
         except Exception as e:  # the sweep must never break the metric line
@@ -374,32 +436,29 @@ def main():
         except Exception as e:
             log(f"large foam benches failed: {type(e).__name__}: {e}")
 
-    # --- unstructured SpMV: the Xell tier on a realistic polyhedral-mesh
-    # analogue (1M-cell kNN-6 FV graph, RCM'd — bandwidth ~112 blocks,
-    # far beyond the Gdia plane budget) ----------------------------------
-    if on_tpu and os.environ.get("OGL_BENCH_XELL", "1") != "0":
+    # --- unstructured SpMV + end-to-end solve: the Xell tier on a
+    # realistic polyhedral-mesh analogue (1M-cell kNN-6 FV graph) --------
+    if (on_tpu and os.environ.get("OGL_BENCH_XELL", "1") != "0"
+            and lane_ok("unstructured Xell", 120)):
         try:
             _unstructured_bench()
         except Exception as e:
             log(f"unstructured bench failed: {type(e).__name__}: {e}")
 
     # --- multi-field cold start: wall-clock to the first completed time
-    # step of a 4-field (p + U x 3) transient case in a FRESH process,
-    # cold (empty XLA cache = new machine) and warm-cache (process
-    # restart) — the number an OpenFOAM user feels (VERDICT r03 item 9) --
-    if on_tpu and os.environ.get("OGL_BENCH_COLDSTART", "1") != "0":
+    # step of a 4-field (p + U x 3) transient case in a FRESH process.
+    # Demoted (VERDICT r04 item 1): the warm-cache regime only by default
+    # (cold spawns a full XLA-compile subprocess — minutes); the recorded
+    # cold/warm table lives in BASELINE.md (scripts/cold_start.py run once)
+    if (on_tpu and os.environ.get("OGL_BENCH_COLDSTART", "1") != "0"
+            and lane_ok("cold start (warm-cache regime)", 200)):
         try:
-            _cold_start_bench(dims)
+            _cold_start_bench(dims,
+                              cold=os.environ.get("OGL_BENCH_COLDSTART") == "full")
         except Exception as e:
             log(f"cold-start bench failed: {type(e).__name__}: {e}")
 
-    vs_baseline = frac / 0.80
-    print(json.dumps({
-        "metric": "cg_time_per_iter_per_dof",
-        "value": round(tpi_dof_ns, 4),
-        "unit": "ns",
-        "vs_baseline": round(vs_baseline, 3),
-    }))
+    print_summary()
 
 
 def _device_busy_of(call):
@@ -421,7 +480,7 @@ def _device_busy_of(call):
     return max(busy.values()) if busy else None
 
 
-def _cold_start_bench(dims):
+def _cold_start_bench(dims, cold=False):
     import shutil
     import subprocess
     import sys
@@ -431,25 +490,34 @@ def _cold_start_bench(dims):
     script = os.path.join(repo, "scripts", "cold_start.py")
     cache_dir = tempfile.mkdtemp(prefix="ogl_coldcache_")
     env = dict(os.environ)
-    env["OGL_JAX_CACHE_DIR"] = cache_dir
     env["COLD_DIMS"] = "x".join(map(str, dims))
     # the subprocess's sys.path[0] is scripts/, not the repo root — make
     # ogl_tpu importable (keep any existing entries, e.g. the axon site dir)
     env["PYTHONPATH"] = repo + (
         os.pathsep + env["PYTHONPATH"] if env.get("PYTHONPATH") else "")
+    regimes = [("warm-cache (restart)", os.path.join(repo, ".jax_cache"))]
+    if cold:  # opt-in: OGL_BENCH_COLDSTART=full (minutes of XLA compiles)
+        regimes.insert(0, ("cold (fresh machine)", cache_dir))
     try:
-        for regime in ("cold (fresh machine)", "warm-cache (restart)"):
+        for regime, cdir in regimes:
+            budget = max(min(remaining() - 30, 900), 60)
+            env["OGL_JAX_CACHE_DIR"] = cdir
             p = subprocess.run([sys.executable, script], env=env,
-                               capture_output=True, text=True, timeout=2400)
+                               capture_output=True, text=True,
+                               timeout=budget)
             if p.returncode != 0:
                 log(f"cold-start {regime} failed: {p.stderr[-1200:]}")
                 return
             d = json.loads(p.stdout.strip().splitlines()[-1])
             per_field = " ".join(f"{k}={v:.1f}s"
                                  for k, v in d["fields_s"].items())
-            log(f"4-field first step, {regime}: {d['first_step_s']:.1f} s "
-                f"(import {d['import_s']:.1f}s, setup {d['setup_s']:.1f}s, "
-                f"{per_field}); second step {d['second_step_s'] * 1e3:.0f} ms")
+            headline(f"4-field first step, {regime}: "
+                     f"{d['first_step_s']:.1f} s "
+                     f"(import {d['import_s']:.1f}s, setup "
+                     f"{d['setup_s']:.1f}s, {per_field}); second step "
+                     f"{d['second_step_s'] * 1e3:.0f} ms")
+    except subprocess.TimeoutExpired:
+        log("cold-start subprocess hit its budget — skipped")
     finally:
         shutil.rmtree(cache_dir, ignore_errors=True)
 
@@ -488,17 +556,17 @@ def _poisson_dia(dims):
 
 def _foam_large_benches(dims):
     """Foam-front-end benches at the headline size (reference printed-metric
-    parity, lduLduBase.H:280-305):
-      * steady-state per-STEP cost — coefficient update + solve, the
-        transient-CFD inner loop (update/init split, SURVEY §3.2);
-      * GKOCG + Multigrid (PGM-AMG) — preconditioned large case;
-      * GKOGMRES + GISAI — preconditioned large case.
-    All results go to stderr."""
+    parity, lduLduBase.H:280-305): per-step steady-state cost, delta/bf16
+    uploads, preconditioned large cases, dist + halo-exchange-on-hardware,
+    f64 (single-device AND distributed), BiCGStab, ACG, GMRES bf16 basis.
+    Each sub-lane is budget-gated.  All results go to stderr."""
     import dataclasses as dc
 
     from ogl_tpu import foam, registry
     from ogl_tpu import testing as problems
 
+    if not lane_ok("foam benches (LDU build + first solve)", 60):
+        return
     t0 = time.perf_counter()
     m = problems.poisson_ldu(dims)
     n = m.n
@@ -520,9 +588,10 @@ def _foam_large_benches(dims):
         t0 = time.perf_counter()
         _, perf = foam.solve("benchStep", m2, b, {"solver": "GKOCG", **base})
         steps.append(time.perf_counter() - t0)
-    log(f"per-step (update+solve, steady state): {min(steps) * 1e3:.1f} ms, "
-        f"iters={perf.n_iterations}, {min(steps) * 1e9 / max(perf.n_iterations, 1) / n:.3f} "
-        "ns/iter/DOF incl. coefficient update")
+    headline(f"per-step (update+solve, steady state): "
+             f"{min(steps) * 1e3:.1f} ms, iters={perf.n_iterations}, "
+             f"{min(steps) * 1e9 / max(perf.n_iterations, 1) / n:.3f} "
+             "ns/iter/DOF incl. coefficient update")
     slv = registry.global_registry.get_or_init("benchStep_solver", lambda: None)
     if slv is not None and getattr(slv, "last_timings", None):
         split = ", ".join(f"{k} {v * 1e3:.1f} ms"
@@ -534,10 +603,10 @@ def _foam_large_benches(dims):
     if slv is not None:
         dt = slv.time_device_solve()
         it = max(perf.n_iterations, 1)
-        log(f"per-step device-only solve (resident state, incl. one "
-            f"dispatch round trip): {dt * 1e3:.1f} ms, "
-            f"{dt * 1e6 / it:.1f} µs/iter, {dt * 1e9 / it / n:.4f} ns/iter/DOF"
-            f" — the step above minus this is upload/host cost")
+        headline(f"per-step device-only solve (resident state, incl. one "
+                 f"dispatch round trip): {dt * 1e3:.1f} ms, "
+                 f"{dt * 1e6 / it:.1f} µs/iter, "
+                 f"{dt * 1e9 / it / n:.4f} ns/iter/DOF")
 
     # delta-update steady state: only the DIAG changes (the transient-CFD
     # common case — fixed mesh + constant transport coefficients keep the
@@ -550,225 +619,267 @@ def _foam_large_benches(dims):
         _, perf = foam.solve("benchStep", m2, b, {"solver": "GKOCG", **base})
         steps.append(time.perf_counter() - t0)
     up = getattr(slv, "last_blocks_uploaded", None) if slv is not None else None
-    log(f"per-step diag-only change (delta upload {up}): "
-        f"{min(steps) * 1e3:.1f} ms, iters={perf.n_iterations}")
+    headline(f"per-step diag-only change (delta upload {up}): "
+             f"{min(steps) * 1e3:.1f} ms, iters={perf.n_iterations}")
 
     # (a') uploadPrecision bfloat16: the error-feedback bf16 delta encoding
-    # of the coefficient/RHS streams (VERDICT r03 item 6a) — same transient
-    # nudges as (a), half the host->device bytes
-    try:
-        registry.global_registry.clear()
-        bf_controls = {"solver": "GKOCG", **base,
-                       "uploadPrecision": "bfloat16"}
-        foam.solve("benchBf16Up", m, b, bf_controls)
-        steps = []
-        for i in range(4):
-            m2 = dc.replace(m, upper=m.upper * (1.0 + 1e-7 * (i + 1)),
-                            diag=m.diag * (1.0 + 1e-7 * (i + 1)))
-            t0 = time.perf_counter()
-            _, perf = foam.solve("benchBf16Up", m2, b, bf_controls)
-            steps.append(time.perf_counter() - t0)
-        bslv = registry.global_registry.get_or_init(
-            "benchBf16Up_solver", lambda: None)
-        bf = getattr(bslv, "last_blocks_bf16", ("?", "?"))
-        by = getattr(bslv, "last_upload_bytes", 0)
-        log(f"per-step with bf16 upload deltas: {min(steps[1:]) * 1e3:.1f} ms"
-            f" (vs full-width above), iters={perf.n_iterations}, "
-            f"bf16 blocks {bf[0]}/{bf[1]}, {by / 1e6:.1f} MB/step uploaded")
-    except Exception as e:
-        log(f"bf16-upload bench failed: {type(e).__name__}: {e}")
+    # of the coefficient/RHS streams — same transient nudges, half bytes
+    if lane_ok("bf16 upload deltas", 45):
+        try:
+            registry.global_registry.clear()
+            bf_controls = {"solver": "GKOCG", **base,
+                           "uploadPrecision": "bfloat16"}
+            foam.solve("benchBf16Up", m, b, bf_controls)
+            steps = []
+            for i in range(4):
+                m2 = dc.replace(m, upper=m.upper * (1.0 + 1e-7 * (i + 1)),
+                                diag=m.diag * (1.0 + 1e-7 * (i + 1)))
+                t0 = time.perf_counter()
+                _, perf = foam.solve("benchBf16Up", m2, b, bf_controls)
+                steps.append(time.perf_counter() - t0)
+            bslv = registry.global_registry.get_or_init(
+                "benchBf16Up_solver", lambda: None)
+            bf = getattr(bslv, "last_blocks_bf16", ("?", "?"))
+            by = getattr(bslv, "last_upload_bytes", 0)
+            headline(f"per-step with bf16 upload deltas: "
+                     f"{min(steps[1:]) * 1e3:.1f} ms, "
+                     f"iters={perf.n_iterations}, bf16 blocks {bf[0]}/{bf[1]}"
+                     f", {by / 1e6:.1f} MB/step uploaded")
+        except Exception as e:
+            log(f"bf16-upload bench failed: {type(e).__name__}: {e}")
 
     # (b) GKOCG + Multigrid (precond TTL models the reference `caching` key)
-    amg_controls = {"solver": "GKOCG", **base,
-                    "preconditioner": {"preconditioner": "Multigrid",
-                                       "caching": 30}}
-    t0 = time.perf_counter()
-    _, perf = foam.solve("benchAmg", m, b, amg_controls)
-    log(f"GKOCG+Multigrid: first solve {time.perf_counter() - t0:.1f}s, "
-        f"iters={perf.n_iterations}")
-    ts = []
-    for _ in range(3):
+    if lane_ok("GKOCG+Multigrid", 60):
+        amg_controls = {"solver": "GKOCG", **base,
+                        "preconditioner": {"preconditioner": "Multigrid",
+                                           "caching": 30}}
         t0 = time.perf_counter()
         _, perf = foam.solve("benchAmg", m, b, amg_controls)
-        ts.append(time.perf_counter() - t0)
-    log(f"GKOCG+Multigrid steady: {min(ts) * 1e3:.1f} ms, iters={perf.n_iterations}, "
-        f"converged={perf.converged}")
+        log(f"GKOCG+Multigrid: first solve {time.perf_counter() - t0:.1f}s, "
+            f"iters={perf.n_iterations}")
+        ts = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            _, perf = foam.solve("benchAmg", m, b, amg_controls)
+            ts.append(time.perf_counter() - t0)
+        headline(f"GKOCG+Multigrid steady: {min(ts) * 1e3:.1f} ms, "
+                 f"iters={perf.n_iterations}, converged={perf.converged}")
 
     # (c) distributed solve over the available mesh (shard_map + psum; on a
     # one-device mesh the plan is empty, so this measures the dist program
     # WITHOUT halo traffic — the halo-exchange cost is measured in (c'))
-    try:
-        t0 = time.perf_counter()
-        _, perf = foam.solve_distributed("benchDist", m, b,
-                                         {"solver": "GKOCG", **base})
-        log(f"dist GKOCG ({len(jax.devices())} device(s)): first solve "
-            f"{time.perf_counter() - t0:.1f}s, iters={perf.n_iterations}")
-        ts = []
-        for _ in range(3):
+    if lane_ok("dist GKOCG", 45):
+        try:
             t0 = time.perf_counter()
-            _, perf = foam.solve_distributed("benchDist", m, b, {})
-            ts.append(time.perf_counter() - t0)
-        log(f"dist GKOCG steady: {min(ts) * 1e3:.1f} ms, "
-            f"iters={perf.n_iterations}, converged={perf.converged}")
-        dslv = registry.global_registry.get_or_init(
-            "benchDist_dist_solver", lambda: None)
-        if dslv is not None:
-            dt = dslv.time_device_solve()
-            it = max(perf.n_iterations, 1)
-            log(f"dist device-only solve (resident state): {dt * 1e3:.1f} ms,"
-                f" {dt * 1e6 / it:.1f} µs/iter")
-    except Exception as e:
-        log(f"dist bench failed: {type(e).__name__}: {e}")
+            _, perf = foam.solve_distributed("benchDist", m, b,
+                                             {"solver": "GKOCG", **base})
+            log(f"dist GKOCG ({len(jax.devices())} device(s)): first solve "
+                f"{time.perf_counter() - t0:.1f}s, iters={perf.n_iterations}")
+            ts = []
+            for _ in range(3):
+                t0 = time.perf_counter()
+                _, perf = foam.solve_distributed("benchDist", m, b, {})
+                ts.append(time.perf_counter() - t0)
+            headline(f"dist GKOCG steady: {min(ts) * 1e3:.1f} ms, "
+                     f"iters={perf.n_iterations}, converged={perf.converged}")
+            dslv = registry.global_registry.get_or_init(
+                "benchDist_dist_solver", lambda: None)
+            if dslv is not None:
+                dt = dslv.time_device_solve()
+                it = max(perf.n_iterations, 1)
+                headline(f"dist device-only solve (resident state): "
+                         f"{dt * 1e3:.1f} ms, {dt * 1e6 / it:.1f} µs/iter")
+        except Exception as e:
+            log(f"dist bench failed: {type(e).__name__}: {e}")
 
-    # (c') halo-exchange hot path ON HARDWARE (VERDICT r3 item 1): a
-    # periodic channel operator with its cyclic couplings routed through
-    # the exchange (cyclicViaHalo -> paired self-neighbor interfaces, a
-    # d=0 ppermute class).  The fused dist-CG then executes one real
-    # collective-permute round (gather -> ppermute -> halo scatter) per
-    # iteration, compiled under Mosaic/XLA on the real chip — the
-    # reference's sparse_communicator-inside-apply
-    # (CsrMatrixWrapper.H:195-204).  Parity check: the same operator with
-    # cyclic couplings as plain local columns (empty plan).
-    try:
-        _halo_hw_bench(dims)
-    except Exception as e:
-        log(f"halo-exchange bench failed: {type(e).__name__}: {e}")
+    # (c') halo-exchange hot path ON HARDWARE (VERDICT r3 item 1)
+    if lane_ok("halo exchange on hardware", 90):
+        try:
+            _halo_hw_bench(dims)
+        except Exception as e:
+            log(f"halo-exchange bench failed: {type(e).__name__}: {e}")
 
     # (d) mixed-precision GKOIR: outer f32 Richardson, inner CG streaming a
     # bfloat16-packed operator (defect correction — converges to the f32
     # tolerance; the inner rides the merged-kernel path with half the
     # A-read bytes).  Compared against the unpreconditioned CG above.
-    try:
-        ir_controls = {"solver": "GKOIR", **base,
-                       "inner": {"tolerance": 1e-2, "relTol": 0,
-                                 "maxIter": 600, "precision": "bfloat16"}}
-        t0 = time.perf_counter()
-        _, perf = foam.solve("benchIrBf16", m, b, ir_controls)
-        log(f"GKOIR inner-bf16: first solve {time.perf_counter() - t0:.1f}s, "
-            f"outer iters={perf.n_iterations}")
-        ts = []
-        for _ in range(3):
+    if lane_ok("GKOIR inner-bf16", 40):
+        try:
+            ir_controls = {"solver": "GKOIR", **base,
+                           "inner": {"tolerance": 1e-2, "relTol": 0,
+                                     "maxIter": 600, "precision": "bfloat16"}}
             t0 = time.perf_counter()
             _, perf = foam.solve("benchIrBf16", m, b, ir_controls)
-            ts.append(time.perf_counter() - t0)
-        log(f"GKOIR inner-bf16 steady: {min(ts) * 1e3:.1f} ms, outer "
-            f"iters={perf.n_iterations}, converged={perf.converged}, "
-            f"final={perf.final_residual:.2e}")
-    except Exception as e:
-        log(f"GKOIR inner-bf16 bench failed: {type(e).__name__}: {e}")
+            log(f"GKOIR inner-bf16: first solve {time.perf_counter() - t0:.1f}s, "
+                f"outer iters={perf.n_iterations}")
+            ts = []
+            for _ in range(3):
+                t0 = time.perf_counter()
+                _, perf = foam.solve("benchIrBf16", m, b, ir_controls)
+                ts.append(time.perf_counter() - t0)
+            headline(f"GKOIR inner-bf16 steady: {min(ts) * 1e3:.1f} ms, "
+                     f"outer iters={perf.n_iterations}, "
+                     f"converged={perf.converged}, "
+                     f"final={perf.final_residual:.2e}")
+        except Exception as e:
+            log(f"GKOIR inner-bf16 bench failed: {type(e).__name__}: {e}")
 
-    # (d') THE f64 configuration (VERDICT r03 item 3): host-f64 defect
-    # correction around the fused f32 device inner (foam/f64.py).  Solves
-    # to a residual level f32 cannot reach; target <= ~2x the f32 fused
-    # per-step above.  OpenFOAM double-scalar parity (GKOCG.H:45-61).
-    try:
-        f64_controls = {"solver": "GKOCG", "tolerance": 0.0,
-                        "relTol": 1e-12, "maxIter": 6000,
-                        "dtype": "float64"}
-        t0 = time.perf_counter()
-        _, perf = foam.solve("benchF64", m, b, f64_controls)
-        log(f"f64 defect-correction: first solve "
-            f"{time.perf_counter() - t0:.1f}s, total inner "
-            f"iters={perf.n_iterations}")
-        ts = []
-        for i in range(3):
-            m2 = dc.replace(m, diag=m.diag * (1.0 + 1e-9 * (i + 1)))
+    # (d') THE f64 configuration: host-f64 defect correction around the
+    # fused f32 device inner (foam/f64.py), batched sweeps.  Solves to a
+    # residual level f32 cannot reach.  OpenFOAM double parity
+    # (GKOCG.H:45-61).
+    if lane_ok("f64 defect correction", 60):
+        try:
+            f64_controls = {"solver": "GKOCG", "tolerance": 0.0,
+                            "relTol": 1e-12, "maxIter": 6000,
+                            "dtype": "float64"}
             t0 = time.perf_counter()
-            _, perf = foam.solve("benchF64", m2, b, f64_controls)
-            ts.append(time.perf_counter() - t0)
-        f64slv = registry.global_registry.get_or_init(
-            "benchF64_solver", lambda: None)
-        sweeps = getattr(f64slv, "last_outer_sweeps", -1)
-        log(f"f64 defect-correction steady (relTol 1e-12): "
-            f"{min(ts) * 1e3:.1f} ms/step, {sweeps} sweeps, total inner "
-            f"iters={perf.n_iterations}, final f64 residual "
-            f"{perf.final_residual:.2e}, converged={perf.converged}")
-    except Exception as e:
-        log(f"f64 bench failed: {type(e).__name__}: {e}")
+            _, perf = foam.solve("benchF64", m, b, f64_controls)
+            log(f"f64 defect-correction: first solve "
+                f"{time.perf_counter() - t0:.1f}s, total inner "
+                f"iters={perf.n_iterations}")
+            ts = []
+            for i in range(3):
+                m2 = dc.replace(m, diag=m.diag * (1.0 + 1e-9 * (i + 1)))
+                t0 = time.perf_counter()
+                _, perf = foam.solve("benchF64", m2, b, f64_controls)
+                ts.append(time.perf_counter() - t0)
+            f64slv = registry.global_registry.get_or_init(
+                "benchF64_solver", lambda: None)
+            sweeps = getattr(f64slv, "last_outer_sweeps", -1)
+            headline(f"f64 defect-correction steady (relTol 1e-12): "
+                     f"{min(ts) * 1e3:.1f} ms/step, {sweeps} sweeps, "
+                     f"total inner iters={perf.n_iterations}, final f64 "
+                     f"residual {perf.final_residual:.2e}, "
+                     f"converged={perf.converged}")
+        except Exception as e:
+            log(f"f64 bench failed: {type(e).__name__}: {e}")
 
-    # (e') GKOBiCGStab + BJ at the headline size (asymmetric-solver cost
-    # on the same operator; momentum-equation proxy)
-    try:
-        bi_controls = {"solver": "GKOBiCGStab", **base,
-                       "preconditioner": {"preconditioner": "BJ",
-                                          "maxBlockSize": 1}}
-        t0 = time.perf_counter()
-        _, perf = foam.solve("benchBi", m, b, bi_controls)
-        log(f"GKOBiCGStab+BJ: first solve {time.perf_counter() - t0:.1f}s, "
-            f"iters={perf.n_iterations}")
-        ts = []
-        for _ in range(2):
+    # (d'') DISTRIBUTED f64 (VERDICT r04 item 2): the same defect
+    # correction gated through solve_distributed — f64 outer on host CSR,
+    # fused dist-f32 inner over the mesh
+    if lane_ok("distributed f64", 60):
+        try:
+            f64d_controls = {"solver": "GKOCG", "tolerance": 0.0,
+                             "relTol": 1e-12, "maxIter": 6000,
+                             "dtype": "float64"}
             t0 = time.perf_counter()
-            _, perf = foam.solve("benchBi", m, b, bi_controls)
-            ts.append(time.perf_counter() - t0)
-        bslv = registry.global_registry.get_or_init(
-            "benchBi_solver", lambda: None)
-        dt = bslv.time_device_solve() if bslv is not None else float("nan")
-        log(f"GKOBiCGStab+BJ steady: {min(ts) * 1e3:.1f} ms, "
-            f"iters={perf.n_iterations}, device-only {dt * 1e3:.1f} ms "
-            f"({dt * 1e6 / max(perf.n_iterations, 1):.0f} µs/iter)")
-    except Exception as e:
-        log(f"GKOBiCGStab bench failed: {type(e).__name__}: {e}")
+            _, perf = foam.solve_distributed("benchF64d", m, b, f64d_controls)
+            log(f"dist f64 defect-correction: first solve "
+                f"{time.perf_counter() - t0:.1f}s, total inner "
+                f"iters={perf.n_iterations}")
+            ts = []
+            for _ in range(2):
+                t0 = time.perf_counter()
+                _, perf = foam.solve_distributed("benchF64d", m, b,
+                                                 f64d_controls)
+                ts.append(time.perf_counter() - t0)
+            headline(f"dist f64 defect-correction steady (relTol 1e-12, "
+                     f"{len(jax.devices())} device(s)): "
+                     f"{min(ts) * 1e3:.1f} ms/step, total inner "
+                     f"iters={perf.n_iterations}, final f64 residual "
+                     f"{perf.final_residual:.2e}, converged={perf.converged}")
+        except Exception as e:
+            log(f"dist f64 bench failed: {type(e).__name__}: {e}")
+
+    # (e') GKOBiCGStab at the headline size: the BJ production config plus
+    # the fused-vs-unfused decision data in the VMEM-resident regime
+    # (VERDICT r04 weak 5 — the ≤VMEM default is decided from THIS data,
+    # not the 8.4M measurement): both variants identity-preconditioned so
+    # they are iteration-exact comparable (bicgstab_fused.py contract)
+    if lane_ok("GKOBiCGStab fused-vs-unfused", 90):
+        try:
+            for tag, controls in (
+                ("BJ/unfused", {"solver": "GKOBiCGStab", **base,
+                                "preconditioner": {"preconditioner": "BJ",
+                                                   "maxBlockSize": 1}}),
+                ("none/unfused", {"solver": "GKOBiCGStab", **base}),
+                ("none/fused", {"solver": "GKOBiCGStab", **base,
+                                "fusedBiCGStab": True}),
+            ):
+                registry.global_registry.clear()
+                t0 = time.perf_counter()
+                _, perf = foam.solve("benchBi", m, b, controls)
+                first = time.perf_counter() - t0
+                ts = []
+                for _ in range(2):
+                    t0 = time.perf_counter()
+                    _, perf = foam.solve("benchBi", m, b, controls)
+                    ts.append(time.perf_counter() - t0)
+                bslv = registry.global_registry.get_or_init(
+                    "benchBi_solver", lambda: None)
+                dt = (bslv.time_device_solve() if bslv is not None
+                      else float("nan"))
+                headline(f"GKOBiCGStab {tag} steady 1M: "
+                         f"{min(ts) * 1e3:.1f} ms, iters={perf.n_iterations},"
+                         f" device-only {dt * 1e3:.1f} ms "
+                         f"({dt * 1e6 / max(perf.n_iterations, 1):.0f} "
+                         f"µs/iter; first {first:.1f}s)")
+        except Exception as e:
+            log(f"GKOBiCGStab bench failed: {type(e).__name__}: {e}")
 
     # (e'') coupled GKOACG: the 3-component multivector solve the reference
     # ships dead (aborting coupled ctor, HostMatrix.C:153-156)
-    try:
-        nc = 3
-        rngc = np.random.default_rng(7)
-        bc = rngc.normal(size=(n, nc)).astype(np.float32)
-        acg_controls = dict(base)  # GKOACG is its own entry point
-        t0 = time.perf_counter()
-        _, perfc = foam.solve_coupled("benchAcg", m, bc, acg_controls)
-        log(f"GKOACG ({nc}-component coupled): first solve "
-            f"{time.perf_counter() - t0:.1f}s, iters={perfc.n_iterations}")
-        ts = []
-        for _ in range(2):
+    if lane_ok("GKOACG coupled", 40):
+        try:
+            nc = 3
+            rngc = np.random.default_rng(7)
+            bc = rngc.normal(size=(n, nc)).astype(np.float32)
+            acg_controls = dict(base)  # GKOACG is its own entry point
             t0 = time.perf_counter()
             _, perfc = foam.solve_coupled("benchAcg", m, bc, acg_controls)
-            ts.append(time.perf_counter() - t0)
-        log(f"GKOACG steady: {min(ts) * 1e3:.1f} ms, "
-            f"iters={perfc.n_iterations}, converged={perfc.converged}")
-    except Exception as e:
-        log(f"GKOACG bench failed: {type(e).__name__}: {e}")
+            log(f"GKOACG ({nc}-component coupled): first solve "
+                f"{time.perf_counter() - t0:.1f}s, iters={perfc.n_iterations}")
+            ts = []
+            for _ in range(2):
+                t0 = time.perf_counter()
+                _, perfc = foam.solve_coupled("benchAcg", m, bc, acg_controls)
+                ts.append(time.perf_counter() - t0)
+            headline(f"GKOACG steady: {min(ts) * 1e3:.1f} ms, "
+                     f"iters={perfc.n_iterations}, "
+                     f"converged={perfc.converged}")
+        except Exception as e:
+            log(f"GKOACG bench failed: {type(e).__name__}: {e}")
 
-    # (e) GKOGMRES + GISAI
-    gmres_controls = {"solver": "GKOGMRES", **base,
-                      "preconditioner": {"preconditioner": "GISAI",
-                                         "sparsityPower": 1, "caching": 30}}
-    t0 = time.perf_counter()
-    _, perf = foam.solve("benchGmres", m, b, gmres_controls)
-    log(f"GKOGMRES+GISAI: first solve {time.perf_counter() - t0:.1f}s, "
-        f"iters={perf.n_iterations}")
-    ts = []
-    for _ in range(2):
+    # (e) GKOGMRES + GISAI (+ bf16 basis variant)
+    if lane_ok("GKOGMRES+GISAI", 80):
+        gmres_controls = {"solver": "GKOGMRES", **base,
+                          "preconditioner": {"preconditioner": "GISAI",
+                                             "sparsityPower": 1, "caching": 30}}
         t0 = time.perf_counter()
         _, perf = foam.solve("benchGmres", m, b, gmres_controls)
-        ts.append(time.perf_counter() - t0)
-    log(f"GKOGMRES+GISAI steady: {min(ts) * 1e3:.1f} ms, iters={perf.n_iterations}, "
-        f"converged={perf.converged}")
-    it32, ms32 = perf.n_iterations, min(ts) * 1e3
-
-    # (e''') basisPrecision bfloat16 (VERDICT r03 item 6b): the Krylov basis
-    # stream IS the GMRES per-iteration cost at this size (BENCH_r03:
-    # 1.3 ms/iter vs CG's 0.123) — bf16 storage halves it while H, Givens,
-    # dots and x stay f32
-    try:
-        registry.global_registry.clear()
-        g16 = {**gmres_controls, "basisPrecision": "bfloat16"}
-        foam.solve("benchGmres16", m, b, g16)
+        log(f"GKOGMRES+GISAI: first solve {time.perf_counter() - t0:.1f}s, "
+            f"iters={perf.n_iterations}")
         ts = []
         for _ in range(2):
             t0 = time.perf_counter()
-            _, perf = foam.solve("benchGmres16", m, b, g16)
+            _, perf = foam.solve("benchGmres", m, b, gmres_controls)
             ts.append(time.perf_counter() - t0)
-        ms16 = min(ts) * 1e3
-        log(f"GKOGMRES+GISAI bf16 basis steady: {ms16:.1f} ms, "
-            f"iters={perf.n_iterations} (f32 basis: {ms32:.1f} ms, "
-            f"{it32} iters) -> ms/iter "
-            f"{ms16 / max(perf.n_iterations, 1):.2f} vs "
-            f"{ms32 / max(it32, 1):.2f}")
-    except Exception as e:
-        log(f"bf16-basis GMRES bench failed: {type(e).__name__}: {e}")
+        headline(f"GKOGMRES+GISAI steady: {min(ts) * 1e3:.1f} ms, "
+                 f"iters={perf.n_iterations}, converged={perf.converged}")
+        it32, ms32 = perf.n_iterations, min(ts) * 1e3
+
+        # basisPrecision bfloat16: the Krylov basis stream IS the GMRES
+        # per-iteration cost at this size — bf16 storage halves it while
+        # H, Givens, dots and x stay f32
+        if lane_ok("GMRES bf16 basis", 40):
+            try:
+                registry.global_registry.clear()
+                g16 = {**gmres_controls, "basisPrecision": "bfloat16"}
+                foam.solve("benchGmres16", m, b, g16)
+                ts = []
+                for _ in range(2):
+                    t0 = time.perf_counter()
+                    _, perf = foam.solve("benchGmres16", m, b, g16)
+                    ts.append(time.perf_counter() - t0)
+                ms16 = min(ts) * 1e3
+                headline(f"GKOGMRES+GISAI bf16 basis steady: {ms16:.1f} ms, "
+                         f"iters={perf.n_iterations} (f32 basis: "
+                         f"{ms32:.1f} ms, {it32} iters) -> ms/iter "
+                         f"{ms16 / max(perf.n_iterations, 1):.2f} vs "
+                         f"{ms32 / max(it32, 1):.2f}")
+            except Exception as e:
+                log(f"bf16-basis GMRES bench failed: {type(e).__name__}: {e}")
 
 
 def _halo_hw_bench(dims):
@@ -829,21 +940,20 @@ def _halo_hw_bench(dims):
         (it_h, dt_h, r_h) = results["halo"]
         (it_l, dt_l, r_l) = results["local-cols"]
         rel = abs(r_h - r_l) / max(abs(r_l), 1e-30)
-        log(f"halo-exchange summary: trajectory parity after {pin} pinned "
-            f"iterations — final residuals {r_h:.4e} (halo) vs {r_l:.4e} "
-            f"(no-halo), rel diff {rel:.1e}; ppermute rounds/iter = 1; "
-            f"per-iteration exchange cost "
-            f"{max(dt_h / it_h - dt_l / it_l, 0) * 1e6:.1f} µs "
-            "(gather + collective-permute + surface scatter, "
-            "Mosaic-compiled on this chip)")
+        headline(f"halo-exchange on hw: parity after {pin} pinned iters — "
+                 f"residuals {r_h:.4e} (halo) vs {r_l:.4e} (no-halo), "
+                 f"rel {rel:.1e}; exchange cost "
+                 f"{max(dt_h / it_h - dt_l / it_l, 0) * 1e6:.1f} µs/iter "
+                 f"({dt_h / it_h * 1e6:.1f} vs {dt_l / it_l * 1e6:.1f} µs)")
 
 
 def _unstructured_bench():
-    """The fully-unstructured SpMV tier (VERDICT r03 item 2): a 1M-cell
-    kNN-6 FV-graph matrix (the polyhedral-mesh analogue whose RCM'd
-    bandwidth ~112 blocks exceeds any Gdia plane budget), packed by
-    pack_fast.  Reference role: device-fast Csr for arbitrary sparsity
-    (CsrMatrixWrapper.H:138-161).  Results to stderr."""
+    """The fully-unstructured tier: a 1M-cell kNN-6 FV-graph matrix (the
+    polyhedral-mesh analogue whose RCM'd bandwidth ~112 blocks exceeds any
+    Gdia plane budget), packed by pack_fast -> Xell crossed-gather SpMV,
+    PLUS the end-to-end GKOCG solve on the same operator (VERDICT r04
+    item 4: the SpMV alone is not the iteration cost).  Reference role:
+    device-fast Csr for arbitrary sparsity (CsrMatrixWrapper.H:138-161)."""
     from ogl_tpu.core import formats
     from ogl_tpu.kernels import roofline, spmv
 
@@ -894,8 +1004,8 @@ def _unstructured_bench():
     y = np.asarray(jax.device_get(spmv.matvec(mat)(jnp.asarray(x))))
     rel = float(np.abs(y - yref).max() / np.abs(yref).max())
     assert rel < 1e-5, f"Xell hw mismatch: {rel}"
-    main = int(np.prod(mat.vals.shape))
-    bytes_moved = main * 7 + n * 4 * 2  # vals f32 + ll i8 + bbT i16 + x + y
+    main_ = int(np.prod(mat.vals.shape))
+    bytes_moved = main_ * 7 + n * 4 * 2  # vals f32 + ll i8 + bbT i16 + x + y
     leaves, tdef = jax.tree_util.tree_flatten(mat)
 
     def step(v, *ls):
@@ -905,26 +1015,61 @@ def _unstructured_bench():
                                  bytes_moved=bytes_moved,
                                  operands=tuple(leaves))
     stream_bound = bytes_moved / 819e9  # v5e spec read-dominant floor
-    log(f"Xell SpMV 1M unstructured: {r.seconds * 1e6:.1f} µs/apply "
-        f"({r.gbps:.0f} GB/s effective, {r.seconds / stream_bound:.1f}x "
-        f"the 819 GB/s streaming bound; K={mat.n_slots}, "
-        f"fill={len(rows) / mat.stored:.0%}, spill={mat.spill.nnz}); "
-        f"correctness vs scipy rel err {rel:.1e}")
-    # the tier this replaces: Ell's XLA gather (measured once, short chain)
-    if os.environ.get("OGL_BENCH_XELL_ELL", "0") == "1":
-        ell = formats.coo_to_ell(formats.Coo(
-            rows=jnp.asarray(rows), cols=jnp.asarray(cols),
-            vals=jnp.asarray(vals), shape=(n, n)))
-        el, et = jax.tree_util.tree_flatten(ell)
+    headline(f"Xell SpMV 1M unstructured: {r.seconds * 1e6:.1f} µs/apply "
+             f"({r.gbps:.0f} GB/s effective, {r.seconds / stream_bound:.1f}x "
+             f"the 819 GB/s streaming bound; K={mat.n_slots}, "
+             f"fill={len(rows) / mat.stored:.0%}, spill={mat.spill.nnz}); "
+             f"vs scipy rel {rel:.1e}")
 
-        def estep(v, *ls):
-            return spmv.spmv(jax.tree_util.tree_unflatten(et, ls), v)
+    # end-to-end GKOCG solve on the Xell operator (VERDICT r04 item 4):
+    # SPD shifted graph Laplacian with the same sparsity — µs/iter and
+    # ns/iter/DOF vs the structured fused path's headline
+    if lane_ok("Xell end-to-end CG", 60):
+        try:
+            _unstructured_solve_bench(rows, cols, n)
+        except Exception as e:
+            log(f"Xell end-to-end solve bench failed: {type(e).__name__}: {e}")
 
-        re_ = roofline.measure_chained(estep, jnp.asarray(x), iters=4,
-                                       operands=tuple(el))
-        log(f"  (Ell gather tier on the same matrix: "
-            f"{re_.seconds * 1e3:.1f} ms/apply — "
-            f"{re_.seconds / r.seconds:.0f}x slower)")
+
+def _unstructured_solve_bench(rows, cols, n):
+    """GKOCG on an SPD operator with the 1M kNN-6 unstructured sparsity
+    (graph Laplacian + I: same Xell structure, guaranteed SPD)."""
+    from ogl_tpu.config import StoppingConfig
+    from ogl_tpu.kernels import spmv
+    from ogl_tpu.solve import cg
+    from ogl_tpu.solve.krylov import single_device_ops
+    from ogl_tpu.solve.stopping import StoppingParams
+
+    deg = np.bincount(np.asarray(rows, np.int64), minlength=n)
+    lrows = np.concatenate([rows, np.arange(n, dtype=rows.dtype)])
+    lcols = np.concatenate([cols, np.arange(n, dtype=cols.dtype)])
+    lvals = np.concatenate([np.full(len(rows), -1.0, np.float32),
+                            (deg + 1.0).astype(np.float32)])
+    order = np.lexsort((lcols, lrows))
+    mat = spmv.pack_fast(lrows[order], lcols[order], lvals[order], n,
+                         presorted=True)
+    fmt = type(mat).__name__
+    leaves, tdef = jax.tree_util.tree_flatten(mat)
+    mv = lambda v: spmv.matvec(jax.tree_util.tree_unflatten(
+        tdef, leaves))(v)
+    rng = np.random.default_rng(4)
+    xt = rng.normal(size=n).astype(np.float32)
+    b = jax.jit(lambda v, *ls: spmv.matvec(jax.tree_util.tree_unflatten(
+        tdef, ls))(v))(jnp.asarray(xt), *leaves)
+    sp = StoppingParams.of(StoppingConfig(
+        tolerance=1e-6, rel_tol=0.0, max_iter=1000, frequency=1))
+    ops = single_device_ops(mv, n)
+    solve = jax.jit(lambda bb, pp: cg(ops, bb, jnp.zeros_like(bb), pp))
+    res = solve(b, sp)
+    float(res.final_res_norm)
+    t = _slope_timed(lambda: solve(b, sp),
+                     lambda out: float(out.final_res_norm), hi=9, reps=2)
+    it = int(res.iters)
+    tpi = t / max(it, 1)
+    headline(f"Xell end-to-end GKOCG 1M ({fmt} operator): {it} iters, "
+             f"converged={bool(res.converged)}, solve {t * 1e3:.1f} ms, "
+             f"{tpi * 1e6:.1f} µs/iter, {tpi * 1e9 / n:.4f} ns/iter/DOF "
+             f"(structured fused path: see 'CG 1M' above)")
 
 
 def _config_sweep():
@@ -972,11 +1117,17 @@ def _config_sweep():
         # of iterations up to rounding-order effects)
         _, perf_cpu = foam.solve(f"sweepcpu_{name}", m, b,
                                  {**controls, "executor": "cpu"})
-        log(f"sweep {name}: iters={perf.n_iterations} "
-            f"(cpu executor: {perf_cpu.n_iterations}) "
-            f"converged={perf.converged} "
-            f"final={perf.final_residual:.2e} max|err|={err:.2e}")
+        headline(f"sweep {name}: iters={perf.n_iterations} "
+                 f"(cpu executor: {perf_cpu.n_iterations}) "
+                 f"converged={perf.converged} "
+                 f"final={perf.final_residual:.2e} max|err|={err:.2e}")
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except SystemExit:
+        raise
+    except BaseException:
+        print_summary()
+        raise

@@ -145,6 +145,15 @@ class SolverConfig:
     # use the merged-kernel CG path when eligible (GKOCG + Dia format +
     # diagonal preconditioning on TPU)
     fused_cg: bool = True
+    # use the merged-kernel BiCGStab (solve/bicgstab_fused.py) when
+    # eligible.  Default FALSE from measurement, not caution: the standard
+    # loop (whose SpMV already rides the Pallas DIA kernel) wins at BOTH
+    # the VMEM-resident and beyond-VMEM sizes — K1B's three halo windows
+    # re-read their overlap and re-stream r̂ per call, costing more than
+    # the separate dot passes it fuses (bicgstab_fused.py STATUS,
+    # re-measured BENCH_r05).  Kept selectable for wider-stencil operators
+    # where the trade can flip.
+    fused_bicgstab: bool = False
     # single-reduction (Chronopoulos–Gear) CG: fuse the per-iteration
     # <r,z>, <p,Ap> and ‖r‖₁ reductions into ONE psum — 3x fewer
     # collective latencies per distributed iteration (solve/cg_pipe.py).
@@ -331,6 +340,7 @@ def parse_controls(controls: dict[str, Any]) -> SolverConfig:
         krylov_dim=int(g("krylovDim", 100)),
         dtype=str(g("dtype", "float32")),
         fused_cg=_as_bool(g("fusedCG", True)),
+        fused_bicgstab=_as_bool(g("fusedBiCGStab", False)),
         pipelined_cg=_as_bool(g("pipelinedCG", False)),
         reorder=str(g("reorder", "none")),
         decomposition=str(g("decomposition", "simple")),

@@ -95,16 +95,31 @@ def _inner_config(cfg: SolverConfig) -> SolverConfig:
 class F64DefectSolver:
     """Per-field persistent f64 front end (drop-in for FoamSolver where
     `dtype float64` without x64): f64 outer Richardson on host, f32 device
-    inner.  Registered under the same `<field>_solver` key."""
+    inner.  Registered under the same `<field>_solver` key.
 
-    def __init__(self, field_name: str, controls: dict | SolverConfig):
+    `inner` injects the correction solver — the default is a single-device
+    FoamSolver; DistFoamSolver drops in for the DISTRIBUTED f64 route
+    (same defect-correction outer over the global host CSR, fused dist-f32
+    inner over the mesh — reference parity: Ginkgo runs native double
+    through the distributed path, GKOCG.H:45-61,
+    CsrMatrixWrapper.H:163-210)."""
+
+    def __init__(self, field_name: str, controls: dict | SolverConfig,
+                 inner=None):
         cfg = controls if isinstance(controls, SolverConfig) else parse_controls(controls)
         if not wants_host_f64(cfg):
             raise ValueError("F64DefectSolver requires dtype float64 in a "
                              "non-x64 process")
         self.field = field_name
         self.cfg = cfg
-        self.inner = FoamSolver(field_name + "%f64inner", _inner_config(cfg))
+        self.inner = (inner if inner is not None
+                      else FoamSolver(field_name + "%f64inner",
+                                      _inner_config(cfg)))
+        # batch the inner's stats fetch with the correction-vector fetch:
+        # one host round trip per sweep instead of two (tunnel RTTs are
+        # tens of ms and the sweep loop is RTT-bound)
+        if hasattr(self.inner, "_fetch_x_with_stats"):
+            self.inner._fetch_x_with_stats = True
         self._csr = None
         self._blocks_prev = None
         self.last_outer_sweeps = 0
@@ -156,6 +171,13 @@ class F64DefectSolver:
     def solve(self, m: ldu_mod.LduMatrix, b, psi=None,
               time_value: str | None = None) -> tuple[Any, SolverPerformance]:
         cfg = self.cfg
+        if not isinstance(m, ldu_mod.LduMatrix):
+            raise TypeError(
+                "the host-f64 defect correction needs the GLOBAL LduMatrix "
+                "to build its f64 outer operator; per-rank system lists "
+                "(multi-process deployment) have no host-f64 route yet — "
+                "enable jax_enable_x64 for native-f64 XLA on the mesh, or "
+                "hand the global system to solve_distributed")
         t0 = time.perf_counter()
         self._update_host_operator(m)
         b64 = np.asarray(b, np.float64) * float(cfg.scaling)
@@ -181,7 +203,13 @@ class F64DefectSolver:
             # FoamSolver handles scaling itself, so hand it the UNSCALED
             # residual (solution of (s·A)dx = s·r is scale-invariant)
             dx, perf = self.inner.solve(m, r / float(cfg.scaling))
-            x += np.asarray(jax.device_get(dx), np.float64)
+            # last_x_host is the raw device solution — valid only when the
+            # inner did not renumber (solve() back-permutes its return)
+            dx_host = (self.inner.last_x_host
+                       if getattr(self.inner, "last_x_host", None) is not None
+                       and getattr(self.inner, "_reorder", None) is None
+                       else jax.device_get(dx))
+            x += np.asarray(dx_host, np.float64)
             r = b64 - self._csr @ x
             res = float(np.sum(np.abs(r))) / nf
             total_inner += perf.n_iterations
@@ -191,12 +219,13 @@ class F64DefectSolver:
                        f"{perf.n_iterations} iters, outer residual {res:.3e}")
 
         self.last_outer_sweeps = sweeps
-        self.last_timings = dict(self.inner.last_timings)
+        self.last_timings = dict(getattr(self.inner, "last_timings", {}))
         self.last_timings["f64_total"] = time.perf_counter() - t0
         converged = bool(res <= st.tolerance
                          or (st.rel_tol > 0 and res <= st.rel_tol * init_res))
         perf = SolverPerformance(
-            solver_name=f"{cfg.solver}_f64defect_{self.inner._fmt_used}",
+            solver_name=(f"{cfg.solver}_f64defect_"
+                         f"{getattr(self.inner, '_fmt_used', 'dist')}"),
             field_name=self.field,
             initial_residual=init_res,
             final_residual=res,

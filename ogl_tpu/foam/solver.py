@@ -199,6 +199,11 @@ class FoamSolver:
         self._compiled = {}
         self._res_eval_time: float | None = None
         self._redispatch = None
+        # opt-in (F64DefectSolver): fetch res.x in the SAME device_get as
+        # the stats scalars — callers that always copy the solution back
+        # save one host round trip per solve (tens of ms on tunnels)
+        self._fetch_x_with_stats = False
+        self.last_x_host = None
         self.props = registry.global_registry.properties(field_name)
         self.timings = common.Timings()
 
@@ -380,7 +385,18 @@ class FoamSolver:
         mirror2 = mirror + dbf.astype(np.float32)
         ref = float(np.max(np.abs(new_f32))) if new_f32.size else 0.0
         err = float(np.max(np.abs(new_f32 - mirror2))) if new_f32.size else 0.0
-        if ref > 0.0 and err > self.cfg.upload_delta_tol * ref:
+        # effective tolerance is tied to the solve's stopping config: the
+        # solver converges against the COMPRESSED operands, so a delta
+        # tolerance looser than ~tolerance/10 (or relTol/10) would let the
+        # reported finalResidual overstate accuracy relative to the true
+        # system (advisor r04).  uploadDeltaTol remains the user ceiling.
+        st = self.cfg.stopping
+        tol = self.cfg.upload_delta_tol
+        if st.tolerance > 0.0:
+            tol = min(tol, st.tolerance / 10.0)
+        if st.rel_tol > 0.0:
+            tol = min(tol, st.rel_tol / 10.0)
+        if ref > 0.0 and err > tol * ref:
             return None
         return dbf, mirror2
 
@@ -669,6 +685,35 @@ class FoamSolver:
 
                 return run_fused
 
+        # merged-kernel BiCGStab (fusedBiCGStab true, identity
+        # preconditioning only — solve/bicgstab_fused.py is iteration-exact
+        # with the standard loop there).  NOT the default: measured slower
+        # than the standard loop at both 1M and 8.4M (see the module
+        # STATUS); selectable for operators where the trade could flip.
+        if (
+            name == "GKOBiCGStab"
+            and self.cfg.fused_bicgstab
+            and pcname == "none"
+            and isinstance(self.matrix, formats.Dia)
+            and self.dtype == jnp.float32
+            and spmv.pallas_usable()
+            and n >= (1 << 15)
+        ):
+            from ogl_tpu.kernels.fused import CgKernels
+            from ogl_tpu.solve.bicgstab_fused import bicgstab_fused
+
+            try:
+                kernb = CgKernels(n, self.matrix.offsets)
+            except ValueError:
+                kernb = None
+            if kernb is not None:
+                def run_bi_fused(mat, pc_state, b, x0, sp):
+                    data3 = kernb.pack_values(mat)
+                    return bicgstab_fused(kernb, data3, b, x0, sp,
+                                          history_len=kw.get("history_len", 0))
+
+                return run_bi_fused
+
         # GKOIR with an `inner` sub-dict: inner CG with its own OpenFOAM
         # criterion (reference create_default, GKOIR.H:58-78), optionally
         # streaming a reduced-precision operator (mixed-precision defect
@@ -854,9 +899,15 @@ class FoamSolver:
             # avoids per-scalar round trips (~30 ms each on tunneled
             # devices) and provably covers execution — block_until_ready
             # alone can acknowledge early on tunneled backends
-            iters, init_rn, final_rn, conv = jax.device_get(
-                (res.iters, res.init_res_norm, res.final_res_norm,
-                 res.converged))
+            self.last_x_host = None
+            if self._fetch_x_with_stats:
+                iters, init_rn, final_rn, conv, self.last_x_host = \
+                    jax.device_get((res.iters, res.init_res_norm,
+                                    res.final_res_norm, res.converged, res.x))
+            else:
+                iters, init_rn, final_rn, conv = jax.device_get(
+                    (res.iters, res.init_res_norm, res.final_res_norm,
+                     res.converged))
         solve_t = self.timings["solve"]
         # NOTE on attribution: dispatches above (value upload, b upload)
         # are asynchronous, so the first phase that blocks — this one —
