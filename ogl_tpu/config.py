@@ -97,6 +97,12 @@ class PrecondConfig:
     # TPU-specific: sweeps for the Jacobi-style approximate triangular solve
     # used to apply ILU/IC factors (no sequential trisolve on TPU).
     tri_solve_sweeps: int = 8
+    # "approx" (default: triSolveSweeps-truncated Neumann) or "exact": run
+    # the same sweep iteration to each factor's dependency depth, which IS
+    # exact substitution (precond/ilu.py module docstring) — the
+    # reference's default ILU/IC use Ginkgo's exact sparse trisolves
+    # (Preconditioner.H:146-178); costs depth/sweeps x per apply
+    tri_solve: str = "approx"
     # AMG aggregation: "auto" (2x-per-axis geometric block aggregation when
     # the operator is a box-grid stencil — grid-independent convergence,
     # reshape transfers, every level stays DIA; falls back to natural),
@@ -181,7 +187,9 @@ class SolverConfig:
     regenerate: bool = False
     # distributed local-block format: "auto" (Dia if the union of diagonal
     # offsets across shards is narrow, else Gdia if the union plane table
-    # is bounded, else Ell), "Dia", "Gdia", or "Ell"
+    # is bounded, else Xell for large fully-unstructured shards, else Ell
+    # — with a loud warning when >=32768-row shards land on the XLA-gather
+    # Ell tier), "Dia", "Gdia", "Xell", or "Ell"
     dist_local_format: str = "auto"
     # whether matrixFormat was given explicitly: when False and the executor
     # is an accelerator whose gather-based SpMV would be slow (Coo/Csr/Ell/
@@ -284,6 +292,8 @@ def parse_controls(controls: dict[str, Any]) -> SolverConfig:
             coarse_solver_iters=int(pg("coarseSolverIters",
                                        pg("coarseMaxIters", 4))),
             tri_solve_sweeps=int(pg("triSolveSweeps", 8)),
+            tri_solve=_validated(str(pg("triSolve", "approx")),
+                                 ("approx", "exact"), "triSolve"),
             aggregation=str(pg("aggregation", "auto")),
             coarsening_rate=int(pg("coarseningRate", 8)),
             coarse_solver=str(pg("coarseSolver", "direct")),

@@ -64,7 +64,26 @@ def _struct_agree_hook(kind, *args):
                  (None if any process overflowed / is Ell), max width,
                  max entries.
     kind "gdia": (req: {q: plane count},) -> per-q max across processes.
+    kind "xell": (ok, n_slots, c_left, c_chunks, spill_e) -> (all-ok,
+                 max of each static) — every process must take the same
+                 Xell-vs-Ell-fallback branch, so the ok flag is agreed
+                 alongside the union statics.
+    kind "sweeps": (d_l, d_u) -> per-field max — exact-trisolve factor
+                 depths baked into the compiled Schwarz apply.
     """
+    if kind == "sweeps":
+        d_l, d_u = args
+        alls = _allgather_payload(np.asarray([d_l, d_u], np.float64))
+        return int(alls[:, 1].max()), int(alls[:, 2].max())
+    if kind == "xell":
+        ok, k, c_left, c_chunks, spill_e = args
+        payload = np.asarray(
+            [1.0 if ok else 0.0, k, c_left, c_chunks, spill_e], np.float64)
+        alls = _allgather_payload(payload)
+        body = alls[:, 1:6]
+        return (bool(body[:, 0].all()), int(body[:, 1].max()),
+                int(body[:, 2].max()), int(body[:, 3].max()),
+                int(body[:, 4].max()))
     if kind == "gdia":
         (req,) = args
         flat = np.asarray(
@@ -287,6 +306,13 @@ class MultiProcAssembler:
             local = GdiaStack(vals=stage(local_stack.vals),
                               lidx=stage(local_stack.lidx),
                               plane_offsets=local_stack.plane_offsets)
+            self._local_shape = tuple(int(s) for s in local_stack.vals.shape[1:])
+        elif isinstance(local_stack, _part.XellStack):
+            local = dataclasses.replace(
+                local_stack, vals=stage(local_stack.vals),
+                ll=stage(local_stack.ll), bbT=stage(local_stack.bbT),
+                spill_rows=stage(local_stack.spill_rows),
+                spill_cols=stage(local_stack.spill_cols))
             self._local_shape = tuple(int(s) for s in local_stack.vals.shape[1:])
         else:
             local = EllStack(cols=stage(local_stack.cols),

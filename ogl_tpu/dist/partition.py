@@ -40,6 +40,7 @@ __all__ = [
     "HaloPlan",
     "DiaStack",
     "GdiaStack",
+    "XellStack",
     "EllStack",
     "CooStack",
     "pack_local_stack",
@@ -94,6 +95,33 @@ class GdiaStack:
     vals: jnp.ndarray  # (P, n_planes, R, 128)
     lidx: jnp.ndarray  # (P, n_planes, R, 128) int8 source lanes
     plane_offsets: tuple[int, ...] = static_field()
+
+
+@_pytree
+@dataclasses.dataclass(frozen=True)
+class XellStack:
+    """Per-shard Xell (crossed-gather, kernels/xell.py) local blocks
+    stacked on the parts axis — the distributed fast tier for FULLY
+    unstructured shards (VERDICT r04 missing 2; reference: every inner
+    format of the distributed matrix is device-fast,
+    CsrMatrixWrapper.H:138-161).  All shards share the UNION statics
+    (n_slots, window framing, spill width) so the shard program is
+    identical (SPMD); multi-process builds agree through the structure
+    hook.  The value leaf is ONE flat (P, main + spill_e) array — main
+    slot values followed by spill values — so the steady-state value
+    update (DistAssembler / _assemble_values) treats it like any other
+    stack; ll/bbT/spill indices are structure, constant across updates."""
+
+    vals: jnp.ndarray        # (P, NT*K*TB*LANES + spill_e)
+    ll: jnp.ndarray          # (P, NT, K, TB, LANES) int8 stage-2 lanes
+    bbT: jnp.ndarray         # (P, NT, K, LANES, TB) int16 stage-1 blocks
+    spill_rows: jnp.ndarray  # (P, spill_e) int32 (pads: row 0 / col 0 /
+    spill_cols: jnp.ndarray  # (P, spill_e) int32   val 0 — inert)
+    n_slots: int = static_field()
+    c_left: int = static_field()
+    c_chunks: int = static_field()
+    n_tiles: int = static_field()
+    spill_e: int = static_field()
 
 
 @_pytree
@@ -202,8 +230,9 @@ def pack_local_stack(shards, n_local: int, dtype, fmt: str = "auto",
     locally-owned shards, and every process must produce identical
     program shapes (the globally allgathered union).
     """
-    if fmt not in ("auto", "Dia", "Gdia", "Ell"):
-        raise ValueError(f"unknown local format {fmt!r}; use auto|Dia|Gdia|Ell")
+    if fmt not in ("auto", "Dia", "Gdia", "Xell", "Ell"):
+        raise ValueError(
+            f"unknown local format {fmt!r}; use auto|Dia|Gdia|Xell|Ell")
     p = len(shards)
     e = max((len(r) for r, _, _ in shards), default=0)
     e = max(force_entries or 0, e, 1)
@@ -223,7 +252,7 @@ def pack_local_stack(shards, n_local: int, dtype, fmt: str = "auto",
         force_width = max(force_width or 1, k_agreed)
     if fmt == "Dia" and offs is None:
         raise ValueError(f"shard bandwidth too wide for Dia (> {max_diags} offsets)")
-    if fmt in ("Gdia", "Ell"):
+    if fmt in ("Gdia", "Xell", "Ell"):
         offs = None  # explicit format: skip the Dia tier
 
     if offs is not None:
@@ -297,6 +326,19 @@ def pack_local_stack(shards, n_local: int, dtype, fmt: str = "auto",
             )
             return stack, jnp.asarray(dest)
 
+    # ---- Xell tier: fully unstructured shards (crossed-gather kernel,
+    # kernels/xell.py) — the distributed twin of pack_fast's third rung.
+    # Gated to shards large enough that the XLA-gather Ell tier would be
+    # catastrophic; explicit fmt="Xell" packs at any size.
+    if fmt in ("auto", "Xell") and (fmt == "Xell"
+                                    or n_local >= _XELL_MIN_ROWS):
+        try:
+            return _pack_xell_stack(shards, n_local, dtype, e)
+        except ValueError as ex:
+            if fmt == "Xell":
+                raise
+            _warn_ell_landing(n_local, ex)
+
     # ELL fallback
     k = force_width or 1
     for rows, _, _ in shards:
@@ -331,6 +373,104 @@ def pack_local_stack(shards, n_local: int, dtype, fmt: str = "auto",
     return EllStack(cols=jnp.asarray(ecols), vals=jnp.asarray(evals)), jnp.asarray(dest)
 
 
+# shards at/above this row count land on the Xell tier (or warn loudly if
+# they can't): below it the XLA-gather Ell tier is tolerable, above it the
+# solve is orders of magnitude off roofline (mirrors kernels/spmv.py's
+# single-device gate; module-level so tests can exercise the warning
+# without building 32k-row shards)
+_XELL_MIN_ROWS = 1 << 15
+
+
+def _warn_ell_landing(n_local: int, cause):
+    """The distributed twin of the single-device warning at
+    kernels/spmv.py pack_fast (VERDICT r04 missing 2: the dist Ell landing
+    used to be silent — a badly-numbered mesh decomposed across chips
+    landed orders off roofline with no signal)."""
+    import warnings
+
+    why = f" (Xell stack packing failed: {cause})" if cause else ""
+    warnings.warn(
+        f"pack_local_stack: {n_local}-row shards fell to the XLA-gather "
+        f"Ell tier{why}; distributed SpMV will be orders of magnitude off "
+        "roofline on TPU — renumber the mesh (reorder='rcm' /"
+        " decomposition='scotch') or raise the Xell window budget",
+        RuntimeWarning, stacklevel=3)
+
+
+def _pack_xell_stack(shards, n_local: int, dtype, e: int):
+    """Pack per-shard triples into an XellStack + dest map.  Two passes:
+    a trial layout per shard discovers each shard's statics; the union
+    (agreed across processes through the structure hook — EVERY process
+    must take the same success/fallback branch, so the ok flag is agreed
+    too) is then forced back onto every shard so the stacked program
+    shapes are identical."""
+    from ogl_tpu.kernels import xell as xk
+
+    p = len(shards)
+    ok, cause = True, None
+    k = c_left = c_chunks = spill_e = 0
+    nb = max(-(-n_local // xk.LANES), 1)
+    nt = max(-(-nb // xk.TB), 1)
+    try:
+        for rows, cols, _ in shards:
+            if not len(rows):
+                continue
+            lay = xk.xell_layout(rows, cols, n_local)
+            k = max(k, lay.n_slots)
+            c_left = max(c_left, lay.c_left)
+            c_chunks = max(c_chunks, lay.c_chunks)
+            spill_e = max(spill_e, int(lay.spill_sel.sum()))
+            nt = lay.n_tiles
+    except ValueError as ex:
+        ok, cause = False, ex
+    if _STRUCT_AGREE_HOOK is not None:
+        ok, k, c_left, c_chunks, spill_e = _STRUCT_AGREE_HOOK(
+            "xell", ok, k, c_left, c_chunks, spill_e)
+    if not ok:
+        raise ValueError(
+            f"Xell stack packing failed on at least one shard"
+            f"{f': {cause}' if cause else ' (another process)'}")
+    k = max(k, 1)
+    c_chunks = max(c_chunks, 1)
+    main_size = nt * k * xk.TB * xk.LANES
+    size = main_size + spill_e
+    assert size < 2**31, "value storage too large for int32 slot indices"
+    vals_s = np.zeros((p, size), dtype)
+    ll_s = np.zeros((p, main_size), np.int8)
+    bb_s = np.zeros((p, main_size), np.int16)
+    srow = np.zeros((p, spill_e), np.int32)
+    scol = np.zeros((p, spill_e), np.int32)
+    dest = np.full((p, e), size, np.int32)  # parking slot
+    for i, (rows, cols, vals) in enumerate(shards):
+        if not len(rows):
+            continue
+        lay = xk.xell_layout(rows, cols, n_local, force_slots=k,
+                             force_c_left=c_left, force_c_chunks=c_chunks)
+        vals = np.asarray(vals)
+        main = ~lay.spill_sel
+        vals_s[i][lay.dest[main]] = vals[main]
+        ll_s[i][lay.dest[main]] = lay.ll_val
+        bb_s[i][lay.bb_pos] = lay.bb_val
+        nsp = int(lay.spill_sel.sum())
+        if nsp:
+            srow[i, :nsp] = np.asarray(rows, np.int64)[lay.spill_sel]
+            scol[i, :nsp] = np.asarray(cols, np.int64)[lay.spill_sel]
+            vals_s[i][main_size:main_size + nsp] = vals[lay.spill_sel]
+        # lay.dest already addresses [main | spill] — exactly this stack's
+        # flat value space
+        dest[i, : len(rows)] = lay.dest
+    stack = XellStack(
+        vals=jnp.asarray(vals_s),
+        ll=jnp.asarray(ll_s.reshape(p, nt, k, xk.TB, xk.LANES)),
+        bbT=jnp.asarray(bb_s.reshape(p, nt, k, xk.LANES, xk.TB)),
+        spill_rows=jnp.asarray(srow),
+        spill_cols=jnp.asarray(scol),
+        n_slots=k, c_left=c_left, c_chunks=c_chunks, n_tiles=nt,
+        spill_e=spill_e,
+    )
+    return stack, jnp.asarray(dest)
+
+
 def pack_halo_stack(shards, dtype, force_entries: int | None = None):
     """Pack per-shard halo (rows, slots, vals) triples into a CooStack.
     Entry order within each shard is preserved (row-major sorted by
@@ -360,6 +500,18 @@ def shard_local_matrix(local, n_local: int):
 
         return Gdia(vals=local.vals[0], lidx=local.lidx[0],
                     plane_offsets=local.plane_offsets,
+                    shape=(n_local, n_local))
+    if isinstance(local, XellStack):
+        from ogl_tpu.kernels.xell import LANES, TB, Xell
+
+        main = local.n_tiles * local.n_slots * TB * LANES
+        v = local.vals[0]
+        spill = Coo(rows=local.spill_rows[0], cols=local.spill_cols[0],
+                    vals=v[main:], shape=(n_local, n_local))
+        return Xell(vals=v[:main].reshape(local.n_tiles, local.n_slots,
+                                          TB, LANES),
+                    ll=local.ll[0], bbT=local.bbT[0], spill=spill,
+                    c_left=local.c_left, c_chunks=local.c_chunks,
                     shape=(n_local, n_local))
     if isinstance(local, EllStack):
         return Ell(cols=local.cols[0], vals=local.vals[0],

@@ -52,11 +52,14 @@ def _safe_inv(d):
     return np.where(np.abs(d) > 0, 1.0 / np.where(d == 0, 1.0, d), 1.0)
 
 
-def _build_lu(shards, n_local, dtype, sweeps, variant):
-    """ILU-family: per-shard (L_strict, U_strict, 1/diag(U)) stacks."""
-    from ogl_tpu.precond.ilu import ilu0_factors
+def _build_lu(shards, n_local, dtype, sweeps, variant, exact=False):
+    """ILU-family: per-shard (L_strict, U_strict, 1/diag(U)) stacks.  With
+    exact=True the sweep counts are the max factor depths across shards
+    (exact substitution on every shard; SPMD needs one static count)."""
+    from ogl_tpu.precond.ilu import factor_depth, ilu0_factors
 
     ls_shards, us_shards, inv_ud = [], [], np.ones((len(shards), n_local))
+    d_l = d_u = 1
     for i, shard in enumerate(shards):
         coo = _coo_of(shard, n_local)
         if variant == "ILUT":
@@ -64,6 +67,9 @@ def _build_lu(shards, n_local, dtype, sweeps, variant):
         else:
             lu = ilu0_factors(coo)
         (lr, lc, lv), (ur, uc, uv), ud = lu
+        if exact:
+            d_l = max(d_l, factor_depth(lr, lc, n_local))
+            d_u = max(d_u, factor_depth(ur, uc, n_local))
         ls_shards.append((lr, lc, lv.astype(dtype)))
         us_shards.append((ur, uc, uv.astype(dtype)))
         nz = np.nonzero(ud)[0]
@@ -73,7 +79,24 @@ def _build_lu(shards, n_local, dtype, sweeps, variant):
     state = (Ls, Us, jnp.asarray(inv_ud, dtype))
     from ogl_tpu.precond.ilu import make_lu_apply
 
-    return make_lu_apply(sweeps), state
+    if exact:
+        sweeps, sweeps_u = _agree_sweeps(d_l, d_u)
+    else:
+        sweeps_u = sweeps
+    return make_lu_apply(sweeps, sweeps_u), state
+
+
+def _agree_sweeps(d_l: int, d_u: int) -> tuple[int, int]:
+    """Multi-process builds: every process must bake the SAME (static)
+    exact-sweep counts into its compiled shard program, so the per-process
+    factor depths are max-agreed through the structure hook (extra sweeps
+    beyond a shard's own depth are exact no-ops)."""
+    from ogl_tpu.dist import partition as _part
+
+    hook = _part._STRUCT_AGREE_HOOK
+    if hook is not None:
+        d_l, d_u = hook("sweeps", d_l, d_u)
+    return d_l, d_u
 
 
 def _ilut_factors(coo: Coo):
@@ -85,17 +108,20 @@ def _ilut_factors(coo: Coo):
     return ilut_factors(coo)
 
 
-def _build_ic(shards, n_local, dtype, sweeps, variant):
+def _build_ic(shards, n_local, dtype, sweeps, variant, exact=False):
     """IC-family: per-shard (L_strict, Lᵀ_strict, 1/diag(L)) stacks."""
-    from ogl_tpu.precond.ilu import ic0_factor
+    from ogl_tpu.precond.ilu import factor_depth, ic0_factor
 
     ls_shards, lst_shards, inv_d = [], [], np.ones((len(shards), n_local))
+    d_max = 1
     for i, shard in enumerate(shards):
         coo = _coo_of(shard, n_local)
         if variant == "ICT":
             (lr, lc, lv), ld = _ict_factor(coo)
         else:
             (lr, lc, lv), ld = ic0_factor(coo)
+        if exact:
+            d_max = max(d_max, factor_depth(lr, lc, n_local))
         ls_shards.append((lr, lc, lv.astype(dtype)))
         lst_shards.append((lc, lr, lv.astype(dtype)))
         nz = np.nonzero(ld)[0]
@@ -105,7 +131,9 @@ def _build_ic(shards, n_local, dtype, sweeps, variant):
     state = (Ls, Lst, jnp.asarray(inv_d, dtype))
     from ogl_tpu.precond.ilu import make_ic_apply
 
-    return make_ic_apply(sweeps), state
+    if exact:
+        sweeps, _ = _agree_sweeps(d_max, d_max)
+    return make_ic_apply(sweeps, sweeps), state
 
 
 def _ict_factor(coo: Coo):
@@ -412,9 +440,11 @@ def _build_schwarz_impl(cfg, shards, n_local: int, dtype):
         return _build_bj(shards, n_local, dtype, cfg.max_block_size)
     if name in ("ILU", "ILUT", "IRILU"):
         sweeps = 5 if name == "IRILU" else cfg.tri_solve_sweeps
-        return _build_lu(shards, n_local, dtype, sweeps, name)
+        exact = name != "IRILU" and cfg.tri_solve == "exact"
+        return _build_lu(shards, n_local, dtype, sweeps, name, exact=exact)
     if name in ("IC", "ICT"):
-        return _build_ic(shards, n_local, dtype, cfg.tri_solve_sweeps, name)
+        return _build_ic(shards, n_local, dtype, cfg.tri_solve_sweeps, name,
+                         exact=cfg.tri_solve == "exact")
     if name == "ISAI":
         return _build_isai(shards, n_local, dtype, cfg.sparsity_power, spd=True)
     if name == "GISAI":

@@ -36,11 +36,28 @@ __all__ = ["halo_exchange", "dist_ops", "dist_solve", "local_diag",
 
 
 def local_diag(m):
-    """Diagonal of a per-shard local matrix (Dia or Ell container)."""
+    """Diagonal of a per-shard local matrix (Dia, Xell or Ell container)."""
     if isinstance(m, Dia):
         if 0 in m.offsets:
             return m.data[m.offsets.index(0)]
         return jnp.zeros((m.shape[0],), m.dtype)
+    if type(m).__name__ == "Xell":
+        # row r = (tile*TB + t)*LANES + l is diagonal when the slot's
+        # stage-2 source lane is l AND its stage-1 window-relative block is
+        # the row's own block (wrel = t -> wloc = t + c_left*128)
+        nt, k, tb, lanes = m.vals.shape
+        t_idx = jax.lax.broadcasted_iota(jnp.int32, (nt, k, tb, lanes), 2)
+        l_idx = jax.lax.broadcasted_iota(jnp.int32, (nt, k, tb, lanes), 3)
+        bb = jnp.swapaxes(m.bbT, 2, 3).astype(jnp.int32)  # (nt,k,TB,LANES)
+        is_diag = ((m.ll.astype(jnp.int32) == l_idx)
+                   & (bb == t_idx + m.c_left * 128))
+        d = jnp.sum(jnp.where(is_diag, m.vals, 0.0), axis=1)
+        d = d.reshape(-1)[: m.shape[0]]
+        if int(m.spill.vals.shape[0]):
+            d = d + jax.ops.segment_sum(
+                jnp.where(m.spill.rows == m.spill.cols, m.spill.vals, 0.0),
+                m.spill.rows, num_segments=m.shape[0])
+        return d
     row_ids = jnp.arange(m.shape[0])[:, None]
     return jnp.sum(jnp.where(m.cols == row_ids, m.vals, 0.0), axis=1)
 

@@ -16,11 +16,20 @@ float64 where f64 is free — the host — and solve each correction equation
 A·dx = r on the device in float32 through the ordinary FoamSolver, fused
 Pallas kernels included.  Each outer sweep multiplies the residual by the
 inner relative tolerance, so digits accrue geometrically: with the default
-inner relTol 1e-4, four sweeps reach ~1e-16.  CG iteration counts are set
-by conditioning, not by target accuracy per solve, so the total inner
-iteration count is roughly (f64 digits / f32 digits per sweep) × the plain
-f32 solve — measured ~1.5-2× wall clock at 1M rows (BENCH_r04), against
-~10× for XLA's emulated f64 on the gather-free paths alone.
+inner relTol 1e-4, four sweeps reach ~1e-16.
+
+Measured cost, scoped per clock (BENCH_r04/r05 at 1M rows, relTol 1e-12
+vs the f32 solve's 1e-6): the INNER-WORK ratio is ~3.2× (916 vs 282
+device iterations — CG iteration counts scale with target digits, and the
+1e-12 target is 10 decades deeper), so on a device-only clock the f64
+configuration costs ~3× the f32 solve.  The per-STEP wall clock on a
+TUNNELED part is higher — each sweep pays one host round trip (stats+dx
+fetched in ONE batched device_get) plus the f64 RHS upload and the host
+CSR SpMV, ~4 sweeps/step — and lands ~6-10× the f32 step there; on a
+production part with PCIe-class host links the sweep overhead is
+millisecond-class and the device-clock ~3× is the honest expectation.
+XLA's emulated f64 costs ~10× on the gather-free paths alone AND forfeits
+every Pallas kernel process-wide (the x64/Mosaic restriction above).
 
 The outer work per sweep is one host CSR f64 SpMV plus vector ops (~60 MB
 of host traffic at 1M rows / 7 nnz per row) — microseconds-class per cell,

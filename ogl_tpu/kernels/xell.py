@@ -117,14 +117,24 @@ class XellLayout:
 
 
 def xell_layout(rows, cols, n: int, k_max: int = 32,
-                spill_frac: float = 0.002, c_max: int = 6) -> XellLayout:
+                spill_frac: float = 0.002, c_max: int = 6,
+                force_slots: int | None = None,
+                force_c_left: int | None = None,
+                force_c_chunks: int | None = None) -> XellLayout:
     """First-fit greedy slot assignment (the bipartite edge-colouring of
     the module docstring), fully vectorised: one pre-sort by destination
     row, then one O(nnz) pass per slot.  Raises when the window span
     exceeds `c_max` chunks (renumber with core.reorder.rcm_permutation) or
     when more than 20% of entries would spill (pathological sparsity —
     Xell is the wrong format; the caller should fail loudly rather than
-    fall to the XLA-gather tier)."""
+    fall to the XLA-gather tier).
+
+    force_slots / force_c_left / force_c_chunks pin the data-dependent
+    statics to externally-agreed values (>= this pattern's own needs):
+    SPMD stacks (dist.partition XellStack) require every shard — and, in
+    multi-process builds, every process — to land on identical program
+    shapes.  Forcing never changes the greedy assignment, only the
+    slot arithmetic and the window framing."""
     rows = np.asarray(rows, np.int64)
     cols = np.asarray(cols, np.int64)
     nnz = len(rows)
@@ -136,8 +146,18 @@ def xell_layout(rows, cols, n: int, k_max: int = 32,
     tile, t_in = a_d // TB, a_d % TB
     wrel = a_s - tile * TB
     c_left = int(max(0, math.ceil(-min(wrel.min(), 0) / 128))) if nnz else 0
+    if force_c_left is not None:
+        if force_c_left < c_left:
+            raise ValueError(
+                f"force_c_left={force_c_left} < required {c_left}")
+        c_left = force_c_left
     right_span = int(wrel.max()) + 1 if nnz else 1
     c_chunks = c_left + max(math.ceil(right_span / 128), 1)
+    if force_c_chunks is not None:
+        if force_c_chunks < c_chunks:
+            raise ValueError(
+                f"force_c_chunks={force_c_chunks} < required {c_chunks}")
+        c_chunks = force_c_chunks
     if c_chunks > c_max:
         raise ValueError(
             f"Xell window needs {c_chunks} chunks (> {c_max}): matrix "
@@ -188,6 +208,10 @@ def xell_layout(rows, cols, n: int, k_max: int = 32,
 
     k_used = int(slot.max()) + 1 if nnz else 0
     k_used = max(k_used, 1)
+    if force_slots is not None:
+        if force_slots < k_used:
+            raise ValueError(f"force_slots={force_slots} < required {k_used}")
+        k_used = force_slots
     main = slot >= 0
     main_size = nt * k_used * TB * LANES
     dest = np.empty(nnz, np.int64)
@@ -233,13 +257,19 @@ def xell_from_coo(coo: Coo, k_max: int = 32, spill_frac: float = 0.002,
 
 
 def xell_to_coo(m: Xell) -> Coo:
-    """Host-side structural inverse (tests/export): recover (row, col, val)
-    from the packed tables; zero-val padded slots are dropped."""
+    """Host-side structural inverse (tests/export): occupancy is recovered
+    as (val != 0) | (source lane != 0), so a STORED entry whose coefficient
+    is exactly 0.0 survives the round trip unless its source lane is also
+    lane 0 — that residual 1/128 case is indistinguishable from padding in
+    the packed tables (advisor r04; padding carries val 0 / ll 0 / bb 0 by
+    construction).  Zero-valued entries are numerically inert either way;
+    only export/structure diagnostics see the difference."""
     nt, k = int(m.vals.shape[0]), int(m.vals.shape[1])
     vals = np.asarray(jax.device_get(m.vals))
     ll = np.asarray(jax.device_get(m.ll)).astype(np.int64)
     bbT = np.asarray(jax.device_get(m.bbT)).astype(np.int64)
-    sl, t, l = np.nonzero(vals.reshape(nt * k, TB, LANES))
+    occupied = (vals != 0) | (ll != 0)
+    sl, t, l = np.nonzero(occupied.reshape(nt * k, TB, LANES))
     tile = sl // k
     rows = (tile * TB + t) * LANES + l
     b = ll.reshape(nt * k, TB, LANES)[sl, t, l]

@@ -124,16 +124,17 @@ def _build_impl(cfg: PrecondConfig, coo: Coo, verbose: int) -> "PrecondOp":
         return isai(coo, sparsity_power=cfg.sparsity_power, spd=True)
     if name == "GISAI":  # general variant (:241-259)
         return isai(coo, sparsity_power=cfg.sparsity_power, spd=False)
+    exact = cfg.tri_solve == "exact"
     if name == "ILU":
-        return ilu0(coo, sweeps=cfg.tri_solve_sweeps)
+        return ilu0(coo, sweeps=cfg.tri_solve_sweeps, exact=exact)
     if name == "ILUT":
-        return ilut(coo, sweeps=cfg.tri_solve_sweeps)
+        return ilut(coo, sweeps=cfg.tri_solve_sweeps, exact=exact)
     if name == "IRILU":  # ILU with 5-step Richardson trisolves (:146-178)
         return ilu0(coo, sweeps=5)
     if name == "IC":
-        return ic0(coo, sweeps=cfg.tri_solve_sweeps)
+        return ic0(coo, sweeps=cfg.tri_solve_sweeps, exact=exact)
     if name == "ICT":
-        return ict(coo, sweeps=cfg.tri_solve_sweeps)
+        return ict(coo, sweeps=cfg.tri_solve_sweeps, exact=exact)
     if name == "Multigrid":
         return amg(
             coo,

@@ -14,6 +14,18 @@ L/U factors with 5 scalar-Jacobi Richardson iterations
   IC:  L Lᵀ with full lower L:  z ← (r − L_strict z)/d_L, then the
        transposed sweep with Lᵀ_strict.
 
+EXACT mode (`triSolve exact`, VERDICT r04 missing 3 — the reference's
+default ILU/IC apply is Ginkgo's exact sparse triangular solve): a strict
+triangular factor is nilpotent, so the SAME sweep iteration run to the
+factor's dependency depth (`factor_depth` levels) IS exact forward/backward
+substitution — the truncated Neumann series simply stops truncating.  The
+exact apply therefore still streams the fast-format SpMV kernels (a
+level-scheduled gather solve would run on XLA's element-serial gathers,
+orders slower on TPU); its cost is depth/sweeps × the approximate apply,
+with depth ≈ nx+ny+nz for a 3-D Poisson ILU(0).  Convergence parity of the
+approximate default against this exact mode is pinned by
+tests/test_trisolve_exact.py and recorded in BASELINE.md.
+
 Factorisation itself is one-time host setup (NumPy/SciPy; the native C++
 path in ogl_tpu.native accelerates it for large systems).
 """
@@ -26,39 +38,73 @@ import numpy as np
 
 from ogl_tpu.core.formats import Coo
 
-__all__ = ["ilu0", "ilut", "ic0", "ict", "ilu0_factors", "ic0_factor", "ict_factor"]
+__all__ = ["ilu0", "ilut", "ic0", "ict", "ilu0_factors", "ic0_factor",
+           "ict_factor", "factor_depth"]
 
 
-def make_lu_apply(sweeps: int):
+def factor_depth(rows, cols, n: int) -> int:
+    """Dependency depth (level count) of a strict triangular factor: the
+    sweep count at which the Jacobi/Neumann apply equals exact
+    substitution.  level[i] = 1 + max(level[j]) over stored (i, j); the
+    fixpoint converges in `depth` passes (one vectorised np.maximum.at
+    each — O(depth·nnz) setup, acceptable for the opt-in exact mode)."""
+    rows = np.asarray(rows, np.int64)
+    cols = np.asarray(cols, np.int64)
+    if not len(rows):
+        return 1
+    level = np.zeros(n, np.int64)
+    for _ in range(n):
+        new = level.copy()
+        np.maximum.at(new, rows, level[cols] + 1)
+        if np.array_equal(new, level):
+            break
+        level = new
+    return max(int(level.max()), 1)
+
+
+def _sweep(body, x0, k: int):
+    """k applications of body; unrolled when short (XLA fuses the chain),
+    fori_loop when long (exact mode can need hundreds of sweeps — an
+    unrolled program that size explodes compile time)."""
+    if k <= 12:
+        x = x0
+        for i in range(k):
+            x = body(i, x)
+        return x
+    return jax.lax.fori_loop(0, k, body, x0)
+
+
+def make_lu_apply(sweeps: int, sweeps_u: int | None = None):
     """Jacobi-sweep triangular-solve apply for (L_strict, U_strict, 1/diagU)
-    states — shared by the single-device and distributed (Schwarz) paths."""
+    states — shared by the single-device and distributed (Schwarz) paths.
+    With sweeps = the factors' dependency depths the apply is EXACT
+    substitution (see module docstring); sweeps_u defaults to sweeps."""
+    su = sweeps if sweeps_u is None else sweeps_u
+
     def apply(s, r):
         from ogl_tpu.kernels.spmv import apply_fast
 
         ls, us, inv = s
-        z = r
-        for _ in range(sweeps):
-            z = r - apply_fast(ls, z)
-        x = z * inv
-        for _ in range(sweeps):
-            x = (z - apply_fast(us, x)) * inv
+        z = _sweep(lambda _, zz: r - apply_fast(ls, zz), r, sweeps)
+        x = _sweep(lambda _, xx: (z - apply_fast(us, xx)) * inv,
+                   z * inv, su)
         return x
 
     return apply
 
 
-def make_ic_apply(sweeps: int):
+def make_ic_apply(sweeps: int, sweeps_u: int | None = None):
     """Sweep apply for (L_strict, L_strict^T, 1/diagL) states."""
+    su = sweeps if sweeps_u is None else sweeps_u
+
     def apply(s, r):
         from ogl_tpu.kernels.spmv import apply_fast
 
         ls, lst, inv = s
-        z = r * inv
-        for _ in range(sweeps):
-            z = (r - apply_fast(ls, z)) * inv
-        x = z * inv
-        for _ in range(sweeps):
-            x = (z - apply_fast(lst, x)) * inv
+        z = _sweep(lambda _, zz: (r - apply_fast(ls, zz)) * inv,
+                   r * inv, sweeps)
+        x = _sweep(lambda _, xx: (z - apply_fast(lst, xx)) * inv,
+                   z * inv, su)
         return x
 
     return apply
@@ -193,21 +239,23 @@ def _to_ell(n, rows, cols, vals, dtype):
     return pack_fast(rows, cols, vals.astype(dtype), n)
 
 
-def _lu_apply(n, Ls, Us, udiag, sweeps, dtype):
+def _lu_apply(n, Ls, Us, udiag, sweeps, dtype, sweeps_u=None):
     from ogl_tpu.precond import PrecondOp
 
     inv_ud = jnp.asarray((1.0 / udiag), dtype)
 
-    return PrecondOp(make_lu_apply(sweeps), (Ls, Us, inv_ud))
+    return PrecondOp(make_lu_apply(sweeps, sweeps_u), (Ls, Us, inv_ud))
 
 
-def ilu0(coo: Coo, sweeps: int = 8):
+def ilu0(coo: Coo, sweeps: int = 8, exact: bool = False):
     dtype = np.asarray(jax.device_get(coo.vals)).dtype
     (lr, lc, lv), (ur, uc, uv), ud = ilu0_factors(coo)
     n = coo.shape[0]
+    sw_l, sw_u = ((factor_depth(lr, lc, n), factor_depth(ur, uc, n))
+                  if exact else (sweeps, sweeps))
     Ls = _to_ell(n, lr, lc, lv, dtype)
     Us = _to_ell(n, ur, uc, uv, dtype)
-    return _lu_apply(n, Ls, Us, ud, sweeps, dtype)
+    return _lu_apply(n, Ls, Us, ud, sw_l, dtype, sweeps_u=sw_u)
 
 
 def ilut_factors(coo: Coo, drop_tol: float = 1e-3, fill_factor: float = 2.0):
@@ -255,31 +303,35 @@ def ilut_factors(coo: Coo, drop_tol: float = 1e-3, fill_factor: float = 2.0):
             ud)
 
 
-def ilut(coo: Coo, sweeps: int = 8, drop_tol: float = 1e-3, fill_factor: float = 2.0):
+def ilut(coo: Coo, sweeps: int = 8, drop_tol: float = 1e-3,
+         fill_factor: float = 2.0, exact: bool = False):
     """Threshold ILU preconditioner (sweep apply over ilut_factors)."""
     dtype = np.asarray(jax.device_get(coo.vals)).dtype
     (lr, lc, lv), (ur, uc, uv), ud = ilut_factors(coo, drop_tol, fill_factor)
     n = coo.shape[0]
+    sw_l, sw_u = ((factor_depth(lr, lc, n), factor_depth(ur, uc, n))
+                  if exact else (sweeps, sweeps))
     Ls = _to_ell(n, lr, lc, lv, dtype)
     Us = _to_ell(n, ur, uc, uv, dtype)
-    return _lu_apply(n, Ls, Us, ud, sweeps, dtype)
+    return _lu_apply(n, Ls, Us, ud, sw_l, dtype, sweeps_u=sw_u)
 
 
-def _ic_apply(n, Ls, Lst, ldiag, sweeps, dtype):
+def _ic_apply(n, Ls, Lst, ldiag, sweeps, dtype, sweeps_u=None):
     from ogl_tpu.precond import PrecondOp
 
     inv_d = jnp.asarray(1.0 / ldiag, dtype)
 
-    return PrecondOp(make_ic_apply(sweeps), (Ls, Lst, inv_d))
+    return PrecondOp(make_ic_apply(sweeps, sweeps_u), (Ls, Lst, inv_d))
 
 
-def ic0(coo: Coo, sweeps: int = 8):
+def ic0(coo: Coo, sweeps: int = 8, exact: bool = False):
     dtype = np.asarray(jax.device_get(coo.vals)).dtype
     (lr, lc, lv), ld = ic0_factor(coo)
     n = coo.shape[0]
+    d = factor_depth(lr, lc, n) if exact else sweeps
     Ls = _to_ell(n, lr, lc, lv, dtype)
     Lst = _to_ell(n, lc, lr, lv, dtype)  # strict upper = Lᵀ strict
-    return _ic_apply(n, Ls, Lst, ld, sweeps, dtype)
+    return _ic_apply(n, Ls, Lst, ld, d, dtype, sweeps_u=d)
 
 
 def ict_factor(coo: Coo, drop_tol: float = 1e-3):
@@ -351,11 +403,13 @@ def ict_factor(coo: Coo, drop_tol: float = 1e-3):
             np.array(vls)), ldiag
 
 
-def ict(coo: Coo, sweeps: int = 8, drop_tol: float = 1e-3):
+def ict(coo: Coo, sweeps: int = 8, drop_tol: float = 1e-3,
+        exact: bool = False):
     """Threshold IC preconditioner (sweep apply over the ict_factor)."""
     dtype = np.asarray(jax.device_get(coo.vals)).dtype
     (lr, lc, lv), ldiag = ict_factor(coo, drop_tol)
     n = coo.shape[0]
+    d = factor_depth(lr, lc, n) if exact else sweeps
     Ls = _to_ell(n, lr, lc, lv, dtype)
     Lst = _to_ell(n, lc, lr, lv, dtype)
-    return _ic_apply(n, Ls, Lst, ldiag, sweeps, dtype)
+    return _ic_apply(n, Ls, Lst, ldiag, d, dtype, sweeps_u=d)

@@ -206,6 +206,52 @@ def main():
                                    atol=1e-6)
     print(f"MPGDIA OK {pid} iters={perfg.n_iterations}", flush=True)
 
+    # Xell tier through the structure-agreement hook (kind "xell"): fully
+    # unstructured intra-shard couplings; every process packs only its own
+    # shards and must land on the SAME union statics (n_slots, window,
+    # spill width) — and the same Xell-vs-Ell branch — via the allgather
+    rngx = np.random.default_rng(11)
+    mx0 = problems.poisson_ldu((64, 16))
+    nx = mx0.n
+    xr = rngx.integers(0, nx, size=600)
+    xc = rngx.integers(0, nx, size=600)
+    keepx = ((xr // 256) == (xc // 256)) & (xr < xc)
+    xr, xc = xr[keepx], xc[keepx]
+    # dedupe against the Poisson couplings and within themselves
+    seen = set(zip(mx0.lower_addr.tolist(), mx0.upper_addr.tolist()))
+    uniq = [(a, b) for a, b in dict.fromkeys(zip(xr.tolist(), xc.tolist()))
+            if (a, b) not in seen]
+    xr = np.asarray([a for a, _ in uniq])
+    xc = np.asarray([b for _, b in uniq])
+    lax_ = np.concatenate([mx0.lower_addr, xr])
+    uax_ = np.concatenate([mx0.upper_addr, xc])
+    order_x = np.lexsort((uax_, lax_))
+    mx = LduMatrix(
+        n=nx, lower_addr=lax_[order_x], upper_addr=uax_[order_x],
+        diag=mx0.diag + 0.5,
+        upper=np.concatenate([mx0.upper, np.full(len(xr), -0.02)])[order_x])
+    ax = _fmts.to_dense(ldu.ldu_to_coo_host(mx))
+    xx_true = rng.normal(size=nx)
+    bx = ax @ xx_true
+    partsx = ldu.decompose(mx, n_parts)
+    offsx = np.cumsum([0] + [p_.n for p_ in partsx])
+    sx = DistFoamSolver("pxell", {"solver": "GKOCG", "tolerance": 1e-9,
+                                  "relTol": 0, "maxIter": 2000,
+                                  "dtype": "float64",
+                                  "distLocalFormat": "Xell"}, mesh)
+    xsx, perfx = sx.solve([partsx[i] for i in my_idx],
+                          [bx[offsx[i]:offsx[i + 1]] for i in my_idx])
+    from ogl_tpu.dist.partition import XellStack
+
+    assert isinstance(sx.assembler.dm.local, XellStack), type(
+        sx.assembler.dm.local)
+    assert perfx.converged, perfx
+    for i, x_i in zip(my_idx, xsx):
+        np.testing.assert_allclose(x_i, xx_true[offsx[i]:offsx[i + 1]],
+                                   atol=1e-6)
+    print(f"MPXELL OK {pid} iters={perfx.n_iterations} "
+          f"k={sx.assembler.dm.local.n_slots}", flush=True)
+
     # adaptMinIter agreement (reference lduLduBase.H:291-293): per-process
     # wall-clock cost measurements differ — broadcast_scalars must make
     # every process derive IDENTICAL StoppingParams.  Feed wildly different

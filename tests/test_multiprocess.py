@@ -56,6 +56,7 @@ def test_two_process_distributed_cg():
         assert f"MPFOAM OK {pid}" in out, out[-2000:]
         assert f"MPEXPORT OK {pid}" in out, out[-2000:]
         assert f"MPGDIA OK {pid}" in out, out[-2000:]
+        assert f"MPXELL OK {pid}" in out, out[-2000:]
         for pcn in ("ILU", "Multigrid"):
             assert f"MPSCHWARZ {pcn} OK {pid}" in out, out[-2000:]
     # identical adaptMinIter stopping params on every process (the
