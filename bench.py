@@ -122,9 +122,7 @@ def main():
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
     except Exception:
         pass
-    from ogl_tpu import testing as problems
     from ogl_tpu.config import StoppingConfig
-    from ogl_tpu.core import formats, ldu
     from ogl_tpu.kernels import roofline
     from ogl_tpu.solve import cg
     from ogl_tpu.solve.krylov import single_device_ops
@@ -139,24 +137,16 @@ def main():
         f"budget {BUDGET_S:.0f}s")
 
     t0 = time.perf_counter()
-    cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                         f".bench_cache_{'x'.join(map(str, dims))}.npz")
-    if os.path.exists(cache):
-        z = np.load(cache)
-        mat = formats.Dia(data=jnp.asarray(z["data"]),
-                          offsets=tuple(int(o) for o in z["offsets"]),
-                          shape=(int(z["n"]), int(z["n"])))
-        m_n = int(z["n"])
-        log(f"setup: cache hit ({time.perf_counter() - t0:.1f}s)")
-    else:
-        m = problems.poisson_ldu(dims)
-        coo = ldu.ldu_to_coo_host(m, dtype=np.float32)  # host-side setup path
-        mat = formats.coo_to_dia(coo)
-        m_n = m.n
-        np.savez(cache, data=np.asarray(jax.device_get(mat.data)),
-                 offsets=np.array(mat.offsets), n=m.n)
-        log(f"setup: {time.perf_counter() - t0:.1f}s (cached for next run); "
-            f"format Dia, {len(mat.offsets)} diagonals")
+    # analytic host-side construction (pinned identical to the
+    # coo_to_dia(ldu_to_coo_host(poisson_ldu(dims))) conversion path by
+    # tests): the headline operator costs seconds of numpy + ONE upload —
+    # no cache file, and crucially no device DOWN-fetch during setup (on a
+    # slow tunnel day a 28 MB device_get can eat the whole budget; the
+    # LDU conversion path itself is exercised in the foam lanes below)
+    mat = _poisson_dia(dims)
+    m_n = mat.shape[0]
+    log(f"setup: {time.perf_counter() - t0:.1f}s (analytic Dia, "
+        f"{len(mat.offsets)} diagonals)")
 
     from ogl_tpu.kernels.pallas_spmv import dia_matvec
 

@@ -385,17 +385,19 @@ class FoamSolver:
         mirror2 = mirror + dbf.astype(np.float32)
         ref = float(np.max(np.abs(new_f32))) if new_f32.size else 0.0
         err = float(np.max(np.abs(new_f32 - mirror2))) if new_f32.size else 0.0
-        # effective tolerance is tied to the solve's stopping config: the
+        # the DEFAULT tolerance is tied to the solve's stopping config: the
         # solver converges against the COMPRESSED operands, so a delta
         # tolerance looser than ~tolerance/10 (or relTol/10) would let the
         # reported finalResidual overstate accuracy relative to the true
-        # system (advisor r04).  uploadDeltaTol remains the user ceiling.
-        st = self.cfg.stopping
+        # system (advisor r04).  An EXPLICIT uploadDeltaTol is honored
+        # as-is — the user opted into that accuracy level.
         tol = self.cfg.upload_delta_tol
-        if st.tolerance > 0.0:
-            tol = min(tol, st.tolerance / 10.0)
-        if st.rel_tol > 0.0:
-            tol = min(tol, st.rel_tol / 10.0)
+        if not self.cfg.upload_delta_tol_explicit:
+            st = self.cfg.stopping
+            if st.tolerance > 0.0:
+                tol = min(tol, st.tolerance / 10.0)
+            if st.rel_tol > 0.0:
+                tol = min(tol, st.rel_tol / 10.0)
         if ref > 0.0 and err > tol * ref:
             return None
         return dbf, mirror2
