@@ -41,6 +41,17 @@ def local_diag(m):
         if 0 in m.offsets:
             return m.data[m.offsets.index(0)]
         return jnp.zeros((m.shape[0],), m.dtype)
+    if type(m).__name__ == "Gdia":
+        # diag entries live in planes with block-row offset 0 where the
+        # stored source lane equals the destination lane
+        idx0 = [k for k, q in enumerate(m.plane_offsets) if q == 0]
+        r_, lanes_ = int(m.vals.shape[1]), int(m.vals.shape[2])
+        lane = jax.lax.broadcasted_iota(jnp.int32, (r_, lanes_), 1)
+        d = jnp.zeros((r_, lanes_), m.vals.dtype)
+        for k in idx0:
+            d = d + jnp.where(m.lidx[k].astype(jnp.int32) == lane,
+                              m.vals[k], 0.0)
+        return d.reshape(-1)[: m.shape[0]]
     if type(m).__name__ == "Xell":
         # row r = (tile*TB + t)*LANES + l is diagonal when the slot's
         # stage-2 source lane is l AND its stage-1 window-relative block is

@@ -46,6 +46,23 @@ from ogl_tpu.solve import stopping
 
 __all__ = ["DistFoamSolver", "solve_distributed"]
 
+from functools import partial as _partial
+
+
+@_partial(jax.jit, static_argnames=("n_local",))
+def _jacobi_invd_stack(local, n_local: int):
+    """(P, n_local) inverse-diagonal stack from a Dia/Gdia local stack
+    (the fused path's BJ maxBlockSize=1 state), computed on device;
+    module-level jit so repeat solves hit the trace cache."""
+    from ogl_tpu.dist.solve import local_diag
+
+    def one(st):
+        m = shard_local_matrix(jax.tree.map(lambda a: a[None], st), n_local)
+        return local_diag(m)
+
+    d = jax.vmap(one)(local)
+    return (1.0 / jnp.where(d == 0, 1.0, d)).astype(jnp.float32)
+
 
 class DistFoamSolver:
     """Per-field distributed solver over a mesh.
@@ -192,22 +209,26 @@ class DistFoamSolver:
         self.props.precond_caching_left = pc_cfg.caching
 
     def _fused_eligible(self, dm) -> bool:
-        """Merged-kernel dist-CG path: GKOCG + DiaStack local + diagonal
-        preconditioning on TPU, large shards (small Pallas tiles fault on
-        hw; cf. the single-device gate in foam.solver._solver_fn)."""
-        from ogl_tpu.dist.partition import DiaStack
+        """Merged-kernel dist-CG path: GKOCG + DiaStack or GdiaStack local
+        + diagonal preconditioning on TPU, large shards (small Pallas tiles
+        fault on hw; cf. the single-device gate in foam.solver._solver_fn).
+        The pipelined (ka-kernel) variant is Dia-only — GdiaStack with
+        pipelinedCG falls to the general path."""
+        from ogl_tpu.dist.partition import DiaStack, GdiaStack
 
         cfg = self.cfg
         pc = cfg.precond
         diag_pc = pc.name == "none" or (pc.name == "BJ" and pc.max_block_size == 1)
+        fmt_ok = ((isinstance(dm.local, DiaStack) and 0 in dm.local.offsets)
+                  or (isinstance(dm.local, GdiaStack)
+                      and not cfg.pipelined_cg))
         ok = (
             cfg.solver == "GKOCG"
             and cfg.fused_cg
             # pipelinedCG composes with the merged kernels (one psum per
             # iteration, solve/cg_fused_dist.make_dist_cg_pipe_fused_fn)
             and self.dtype == jnp.float32  # merged kernels are f32-framed
-            and isinstance(dm.local, DiaStack)
-            and 0 in dm.local.offsets
+            and fmt_ok
             and diag_pc
             and _ksp.pallas_usable()  # Pallas: TPU and not x64 (Mosaic)
             and dm.n_local >= (1 << 15)
@@ -216,12 +237,19 @@ class DistFoamSolver:
         if not ok:
             return False
         try:  # frame geometry must exist (bandwidth vs tile constraint)
-            from ogl_tpu.kernels.fused import CgKernels
+            from ogl_tpu.kernels.fused import CgKernels, GdiaCgKernels
 
-            CgKernels(dm.n_local, dm.local.offsets)
+            if isinstance(dm.local, DiaStack):
+                CgKernels(dm.n_local, dm.local.offsets)
+            else:
+                GdiaCgKernels(dm.n_local, dm.local.plane_offsets)
         except ValueError:
             return False
         return True
+
+    @staticmethod
+    def _jacobi_invd_stack(local, n_local: int):
+        return _jacobi_invd_stack(local, n_local)
 
     def _measure_res_eval(self, dm, x_stack, b_stack):
         """Time one distributed residual-norm evaluation (the criterion's
@@ -432,9 +460,7 @@ class DistFoamSolver:
         if fused:
             invd = None
             if cfg.precond.name == "BJ":
-                didx = dm.local.offsets.index(0)
-                d = dm.local.data[:, didx]
-                invd = (1.0 / jnp.where(d == 0, 1.0, d)).astype(jnp.float32)
+                invd = self._jacobi_invd_stack(dm.local, dm.n_local)
             key = ("fused", invd is not None, cfg.pipelined_cg)
             if key not in self._compiled:
                 from ogl_tpu.solve.cg_fused_dist import (
@@ -635,11 +661,7 @@ class DistFoamSolver:
         if fused:
             invd = None
             if cfg.precond.name == "BJ":
-                didx = dm.local.offsets.index(0)
-                invd = jax.jit(
-                    lambda data: (1.0 / jnp.where(data[:, didx] == 0, 1.0,
-                                                  data[:, didx])
-                                  ).astype(jnp.float32))(dm.local.data)
+                invd = self._jacobi_invd_stack(dm.local, dm.n_local)
             key = ("fused", invd is not None, cfg.pipelined_cg)
             if key not in self._compiled:
                 from ogl_tpu.solve.cg_fused_dist import (

@@ -644,9 +644,14 @@ class FoamSolver:
             and self.cfg.fused_cg
             # pipelined + merged kernels compose for diagonal
             # preconditioning (solve/cg_pipe_fused.py); the framed-AMG
-            # variant has no pipelined form, so that combination falls
-            # through to the general cg_pipelined above
+            # variant has no pipelined form, and the pipelined ka kernel
+            # is Dia-only (the Gdia lane-gather apply has no fused
+            # SpMV+3-dots pass — GdiaCgKernels inherits the Dia stencil
+            # ka, which cannot consume (vals, lidx) coefficient pairs),
+            # so both combinations fall through to the general
+            # cg_pipelined above
             and not (pipelined and amg_framed)
+            and not (pipelined and isinstance(self.matrix, _Gdia))
             and isinstance(self.matrix, (formats.Dia, _Gdia))
             and (diag_pc or amg_framed)
             and self.dtype == jnp.float32  # merged kernels are f32-framed

@@ -132,16 +132,37 @@ def make_dist_cg_fused_fn(
     identity_min_bytes: int = 90 * 10**6,
 ):
     """Build ONCE the jitted distributed merged-kernel PCG program.
-    Requires a DiaStack local operator (the fast stencil path); diagonal
-    (Schwarz-Jacobi) or identity preconditioning.  The returned
+    Requires a DiaStack (fast stencil path) or GdiaStack (lane-gather
+    path) local operator; diagonal (Schwarz-Jacobi) or identity
+    preconditioning.  The returned
     fn(local, halo, b_stack, x0_stack, invd_stack, stopping_params)
     treats all values and stopping controls as traced arguments so
     steady-state solves reuse the compiled program.  Semantics match
     solve/cg.py + the OpenFOAM criterion."""
-    if not isinstance(dm.local, DiaStack):
-        raise TypeError("dist_cg_fused needs a DiaStack local operator")
     n_local = dm.n_local
-    kern = CgKernels(n_local, dm.local.offsets, tile, interpret)
+    if isinstance(dm.local, DiaStack):
+        kern = CgKernels(n_local, dm.local.offsets, tile, interpret)
+
+        def _pack(local):
+            return kern.pack_values(Dia(
+                data=local.data[0], offsets=dm.local.offsets,
+                shape=(n_local, n_local)))
+    else:
+        from ogl_tpu.dist.partition import GdiaStack
+        from ogl_tpu.kernels.fused import GdiaCgKernels
+        from ogl_tpu.kernels.gdia import Gdia as _Gdia
+
+        if not isinstance(dm.local, GdiaStack):
+            raise TypeError(
+                "dist_cg_fused needs a DiaStack or GdiaStack local operator")
+        kern = GdiaCgKernels(n_local, dm.local.plane_offsets, tile,
+                             interpret)
+
+        def _pack(local):
+            return kern.pack_values(_Gdia(
+                vals=local.vals[0], lidx=local.lidx[0],
+                plane_offsets=dm.local.plane_offsets,
+                shape=(n_local, n_local)))
     # z-free identity variant only when the per-shard working set exceeds
     # VMEM (see solve/cg_fused.py for the measured crossover)
     identity = (not use_invd
@@ -161,9 +182,7 @@ def make_dist_cg_fused_fn(
     e_true = dm.halo_sizes[0] if dm.halo_sizes else 0
 
     def shard_body(local, halo_s, b, x0, invd, sp):
-        data3 = kern.pack_values(
-            Dia(data=local.data[0], offsets=dm.local.offsets,
-                shape=(n_local, n_local)))
+        data3 = _pack(local)
         halo = (halo_s.rows[0], halo_s.cols[0], halo_s.vals[0])
         bf = kern.frame(b[0].astype(dtype))
         xf = kern.frame(x0[0].astype(dtype))

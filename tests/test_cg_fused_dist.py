@@ -168,3 +168,109 @@ def test_dist_cg_fused_self_halo_parity(pipelined):
         assert err < 1e-2, err
         its[via_halo] = int(np.ravel(res.iters)[0])
     assert its[True] == its[False], its
+
+
+def _wide_gdia_system(dims=(64, 16), n_parts=4):
+    """Poisson + wide intra-shard couplings: the DIA union overflows, so
+    partition_coo's auto ladder lands GdiaStack."""
+    import dataclasses
+
+    m0 = problems.poisson_ldu(dims)
+    n = m0.n
+    per = n // n_parts
+    er = np.arange(0, n - 131)
+    ec = er + 30 + (er % 100)
+    keep = (er // per) == (ec // per)  # intra-shard couplings only
+    er, ec = er[keep], ec[keep]
+    la = np.concatenate([m0.lower_addr, er])
+    ua = np.concatenate([m0.upper_addr, ec])
+    order = np.lexsort((ua, la))
+    m = ldu.LduMatrix(
+        n=n, lower_addr=la[order], upper_addr=ua[order],
+        diag=m0.diag + 0.2,
+        upper=np.concatenate([m0.upper, np.full(len(er), -0.01)])[order])
+    from ogl_tpu.core import formats as fmts
+
+    a = fmts.to_dense(ldu.ldu_to_coo_host(m))
+    return m, a
+
+
+def test_dist_cg_fused_gdia_stack():
+    """The merged-kernel dist-CG accepts a GdiaStack local operator
+    (lane-gather K1): converges and iteration-matches the general path."""
+    from ogl_tpu.dist.partition import GdiaStack
+
+    n_parts = 4
+    m, a = _wide_gdia_system(n_parts=n_parts)
+    coo = ldu.ldu_to_coo(m)
+    dm = partition_coo(coo, n_parts)
+    assert isinstance(dm.local, GdiaStack), type(dm.local)
+    rng = np.random.default_rng(5)
+    x_true = rng.normal(size=m.n)
+    b = a @ x_true
+    bs = jnp.asarray(split_vector(dm, b), jnp.float32)
+    mesh = _mesh(n_parts)
+    sp = StoppingParams.of(StoppingConfig(tolerance=1e-5, rel_tol=0.0,
+                                          max_iter=800))
+    res = dist_cg_fused(dm, bs, jnp.zeros_like(bs), sp, mesh, interpret=True)
+    assert bool(np.asarray(res.converged).all())
+    err = np.abs(gather_global(dm, res.x) - x_true).max()
+    assert err < 1e-2, err
+    bs64 = jnp.asarray(split_vector(dm, b))
+    _, res2 = dist.dist_solve(dm, bs64, jnp.zeros_like(bs64), sp, mesh,
+                              solver="GKOCG")
+    it_f = int(np.asarray(res.iters).ravel()[0])
+    it_p = int(np.asarray(res2.iters).ravel()[0])
+    assert abs(it_f - it_p) <= 2, (it_f, it_p)
+
+
+def test_dist_cg_fused_gdia_jacobi_invd():
+    """BJ maxBlockSize=1 on a GdiaStack: the invd stack comes from the
+    generalized local_diag (plane-0 lane match)."""
+    from ogl_tpu.dist.partition import GdiaStack
+    from ogl_tpu.foam.dist_solver import _jacobi_invd_stack
+
+    n_parts = 4
+    m, a = _wide_gdia_system(dims=(64, 8), n_parts=n_parts)
+    coo = ldu.ldu_to_coo(m)
+    dm = partition_coo(coo, n_parts)
+    assert isinstance(dm.local, GdiaStack)
+    invd = _jacobi_invd_stack(dm.local, dm.n_local)
+    # cross-check against the dense diagonal per shard
+    per = m.n // n_parts
+    for i in range(n_parts):
+        d_ref = np.diag(a)[i * per:(i + 1) * per]
+        np.testing.assert_allclose(np.asarray(invd[i][:per]),
+                                   (1.0 / d_ref).astype(np.float32),
+                                   rtol=1e-5)
+    rng = np.random.default_rng(6)
+    x_true = rng.normal(size=m.n)
+    b = a @ x_true
+    bs = jnp.asarray(split_vector(dm, b), jnp.float32)
+    sp = StoppingParams.of(StoppingConfig(tolerance=1e-5, rel_tol=0.0,
+                                          max_iter=800))
+    res = dist_cg_fused(dm, bs, jnp.zeros_like(bs), sp, _mesh(n_parts),
+                        invd_stack=invd, interpret=True)
+    assert bool(np.asarray(res.converged).all())
+    err = np.abs(gather_global(dm, res.x) - x_true).max()
+    assert err < 1e-2, err
+
+
+def test_pipelined_gdia_falls_back_cleanly():
+    """pipelinedCG + a Gdia operator must take the GENERAL pipelined path
+    (the fused ka kernel is Dia-only — it used to crash at trace with an
+    opaque AttributeError)."""
+    from ogl_tpu import foam, registry
+
+    registry.global_registry.clear()
+    m, a = _wide_gdia_system(dims=(64, 8), n_parts=1)
+    rng = np.random.default_rng(7)
+    x_true = rng.normal(size=m.n)
+    b = a @ x_true
+    x, perf = foam.solve("pipe_gdia", m, b,
+                         {"solver": "GKOCG", "tolerance": 1e-6, "relTol": 0,
+                          "maxIter": 2000, "pipelinedCG": True})
+    assert perf.converged
+    err = np.abs(np.asarray(x) - x_true).max()
+    assert err < 1e-2, err
+    registry.global_registry.clear()

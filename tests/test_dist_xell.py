@@ -7,8 +7,6 @@ kernels/spmv.py pack_fast's warning).
 Reference role: every inner format of Ginkgo's distributed matrix is
 device-fast (CsrMatrixWrapper.H:138-161)."""
 
-import warnings
-
 import numpy as np
 import pytest
 import scipy.sparse as sp
@@ -127,10 +125,6 @@ def test_partition_coo_auto_lands_xell_when_forced():
 def test_dist_solve_on_xell_matches_single_device():
     """End-to-end distributed CG on an SPD unstructured operator with the
     Xell local tier: converges and matches the scipy direct solve."""
-    import scipy.sparse.linalg as spla
-
-    from ogl_tpu import foam
-
     coo, acsr = _unstructured_coo(n=768, deg=4, seed=3, spd=True)
     # hand the global COO through the LDU-free path: build a DistMatrix and
     # solve via dist_solve directly (foam front ends take LduMatrix)

@@ -19,7 +19,6 @@ import jax
 
 from ogl_tpu import foam, registry, testing
 from ogl_tpu.core import ldu as ldu_mod
-from ogl_tpu.core.formats import Coo
 from ogl_tpu.precond.ilu import factor_depth, ic0, ilu0, ilu0_factors
 
 
