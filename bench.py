@@ -1011,12 +1011,14 @@ def _unstructured_bench():
              f"fill={len(rows) / mat.stored:.0%}, spill={mat.spill.nnz}); "
              f"vs scipy rel {rel:.1e}")
 
+    spd = None
     # end-to-end GKOCG solve on the Xell operator (VERDICT r04 item 4):
     # SPD shifted graph Laplacian with the same sparsity — µs/iter and
     # ns/iter/DOF vs the structured fused path's headline
     if lane_ok("Xell end-to-end CG", 60):
         try:
-            _unstructured_solve_bench(rows, cols, n)
+            spd = _spd_laplacian(rows, cols, n)
+            _unstructured_solve_bench(*spd, n)
         except Exception as e:
             log(f"Xell end-to-end solve bench failed: {type(e).__name__}: {e}")
 
@@ -1026,12 +1028,30 @@ def _unstructured_bench():
     # with the crossed-gather local apply inside shard_map
     if lane_ok("dist Xell on hardware", 120):
         try:
-            _dist_xell_bench(rows, cols, n)
+            if spd is None:
+                spd = _spd_laplacian(rows, cols, n)
+            _dist_xell_bench(*spd, n)
         except Exception as e:
             log(f"dist Xell bench failed: {type(e).__name__}: {e}")
 
 
-def _dist_xell_bench(rows, cols, n):
+def _spd_laplacian(rows, cols, n):
+    """Shifted graph Laplacian (deg+1 on the diagonal, -1 off): same
+    sparsity as the kNN graph plus the diagonal, guaranteed SPD.  ONE
+    construction shared by the end-to-end and distributed Xell lanes (the
+    7M-entry lexsort is seconds of the budget; and the lanes must solve
+    the SAME operator to be comparable)."""
+    deg = np.bincount(np.asarray(rows, np.int64), minlength=n)
+    lrows = np.concatenate([rows, np.arange(n, dtype=rows.dtype)])
+    lcols = np.concatenate([cols, np.arange(n, dtype=cols.dtype)])
+    lvals = np.concatenate([np.full(len(rows), -1.0, np.float32),
+                            (deg + 1.0).astype(np.float32)])
+    order = np.lexsort((lcols, lrows))
+    return (lrows[order].astype(np.int32), lcols[order].astype(np.int32),
+            lvals[order].astype(np.float32))
+
+
+def _dist_xell_bench(lrows, lcols, lvals, n):
     from jax.sharding import Mesh
 
     from ogl_tpu.config import StoppingConfig
@@ -1041,18 +1061,10 @@ def _dist_xell_bench(rows, cols, n):
     from ogl_tpu.core.formats import Coo
     from ogl_tpu.solve.stopping import StoppingParams
 
-    deg = np.bincount(np.asarray(rows, np.int64), minlength=n)
-    lrows = np.concatenate([rows, np.arange(n, dtype=rows.dtype)])
-    lcols = np.concatenate([cols, np.arange(n, dtype=cols.dtype)])
-    lvals = np.concatenate([np.full(len(rows), -1.0, np.float32),
-                            (deg + 1.0).astype(np.float32)])
-    order = np.lexsort((lcols, lrows))
-    coo = Coo(rows=lrows[order].astype(np.int32),
-              cols=lcols[order].astype(np.int32),
-              vals=lvals[order].astype(np.float32), shape=(n, n))
+    coo = Coo(rows=lrows, cols=lcols, vals=lvals, shape=(n, n))
     rng = np.random.default_rng(9)
-    fh = np.zeros(len(order), bool)
-    fh[rng.choice(len(order), size=4096, replace=False)] = True
+    fh = np.zeros(len(lrows), bool)
+    fh[rng.choice(len(lrows), size=4096, replace=False)] = True
     t0 = time.perf_counter()
     dm = partition_coo(coo, 1, local_format="Xell", force_halo=fh)
     assert isinstance(dm.local, XellStack)
@@ -1083,7 +1095,7 @@ def _dist_xell_bench(rows, cols, n):
              f"(setup {setup:.1f}s)")
 
 
-def _unstructured_solve_bench(rows, cols, n):
+def _unstructured_solve_bench(lrows, lcols, lvals, n):
     """GKOCG on an SPD operator with the 1M kNN-6 unstructured sparsity
     (graph Laplacian + I: same Xell structure, guaranteed SPD)."""
     from ogl_tpu.config import StoppingConfig
@@ -1092,14 +1104,7 @@ def _unstructured_solve_bench(rows, cols, n):
     from ogl_tpu.solve.krylov import single_device_ops
     from ogl_tpu.solve.stopping import StoppingParams
 
-    deg = np.bincount(np.asarray(rows, np.int64), minlength=n)
-    lrows = np.concatenate([rows, np.arange(n, dtype=rows.dtype)])
-    lcols = np.concatenate([cols, np.arange(n, dtype=cols.dtype)])
-    lvals = np.concatenate([np.full(len(rows), -1.0, np.float32),
-                            (deg + 1.0).astype(np.float32)])
-    order = np.lexsort((lcols, lrows))
-    mat = spmv.pack_fast(lrows[order], lcols[order], lvals[order], n,
-                         presorted=True)
+    mat = spmv.pack_fast(lrows, lcols, lvals, n, presorted=True)
     fmt = type(mat).__name__
     leaves, tdef = jax.tree_util.tree_flatten(mat)
     mv = lambda v: spmv.matvec(jax.tree_util.tree_unflatten(

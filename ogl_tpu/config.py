@@ -223,13 +223,14 @@ class SolverConfig:
     upload_precision: str = "default"
     # max relative error (inf-norm, per block) the bf16 delta encoding may
     # leave against the exact f32 coefficients before the block falls back
-    # to a full-width upload.  When left at the DEFAULT, the effective
-    # tolerance is additionally capped at min(tolerance, relTol)/10 so the
-    # reported finalResidual cannot overstate accuracy against the true
-    # system (advisor r04); an EXPLICIT uploadDeltaTol is honored as-is
-    # (the user accepts compressed-operand residuals at that level)
-    upload_delta_tol: float = 1e-5
-    upload_delta_tol_explicit: bool = False
+    # to a full-width upload.  None (the default) resolves at use to 1e-5
+    # capped at min(tolerance, relTol)/10 so the reported finalResidual
+    # cannot overstate accuracy against the true system (advisor r04); an
+    # EXPLICIT value — via the uploadDeltaTol key OR set directly on the
+    # dataclass — is honored as-is (the user accepts compressed-operand
+    # residuals at that level; explicitness lives in the value itself so
+    # dataclasses.replace copies carry it)
+    upload_delta_tol: float | None = None
     # GMRES Krylov-basis storage precision ("default" = solver dtype, or
     # "bfloat16"): V is the dominant per-iteration HBM stream at scale
     # (~j·n·4 B read per orthogonalisation at f32) — storing it bf16
@@ -368,8 +369,8 @@ def parse_controls(controls: dict[str, Any]) -> SolverConfig:
         upload_precision=_validated(
             str(g("uploadPrecision", "default")), ("default", "bfloat16"),
             "uploadPrecision"),
-        upload_delta_tol=float(g("uploadDeltaTol", 1e-5)),
-        upload_delta_tol_explicit="uploadDeltaTol" in controls,
+        upload_delta_tol=(float(g("uploadDeltaTol", 0.0))
+                          if "uploadDeltaTol" in controls else None),
         basis_precision=_validated(
             str(g("basisPrecision", "default")), ("default", "bfloat16"),
             "basisPrecision"),

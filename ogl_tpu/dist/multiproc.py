@@ -64,10 +64,13 @@ def _struct_agree_hook(kind, *args):
                  (None if any process overflowed / is Ell), max width,
                  max entries.
     kind "gdia": (req: {q: plane count},) -> per-q max across processes.
-    kind "xell": (ok, n_slots, c_left, c_chunks, spill_e) -> (all-ok,
+    kind "xell": (ok, n_slots, c_left, c_right, spill_e) -> (all-ok,
                  max of each static) — every process must take the same
                  Xell-vs-Ell-fallback branch, so the ok flag is agreed
-                 alongside the union statics.
+                 alongside the union statics.  Left and RIGHT window
+                 extents agree separately (c_chunks = c_left + c_right is
+                 recomposed after agreement): max'ing c_chunks directly
+                 under-covers mixes of left- and right-skewed shards.
     kind "sweeps": (d_l, d_u) -> per-field max — exact-trisolve factor
                  depths baked into the compiled Schwarz apply.
     """

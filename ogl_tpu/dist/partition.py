@@ -408,7 +408,12 @@ def _pack_xell_stack(shards, n_local: int, dtype, e: int):
 
     p = len(shards)
     ok, cause = True, None
-    k = c_left = c_chunks = spill_e = 0
+    # c_left and the RIGHT-chunk count unionise independently (a shard
+    # skewed left and one skewed right can each fit c_max while their
+    # naive max(c_chunks) does not cover c_left_union + own_right — the
+    # forced second pass would then fail on one shard/process only,
+    # diverging the SPMD program structure across processes)
+    k = c_left = c_right = spill_e = 0
     nb = max(-(-n_local // xk.LANES), 1)
     nt = max(-(-nb // xk.TB), 1)
     try:
@@ -418,20 +423,26 @@ def _pack_xell_stack(shards, n_local: int, dtype, e: int):
             lay = xk.xell_layout(rows, cols, n_local)
             k = max(k, lay.n_slots)
             c_left = max(c_left, lay.c_left)
-            c_chunks = max(c_chunks, lay.c_chunks)
+            c_right = max(c_right, lay.c_chunks - lay.c_left)
             spill_e = max(spill_e, int(lay.spill_sel.sum()))
             nt = lay.n_tiles
     except ValueError as ex:
         ok, cause = False, ex
     if _STRUCT_AGREE_HOOK is not None:
-        ok, k, c_left, c_chunks, spill_e = _STRUCT_AGREE_HOOK(
-            "xell", ok, k, c_left, c_chunks, spill_e)
+        ok, k, c_left, c_right, spill_e = _STRUCT_AGREE_HOOK(
+            "xell", ok, k, c_left, c_right, spill_e)
     if not ok:
         raise ValueError(
             f"Xell stack packing failed on at least one shard"
             f"{f': {cause}' if cause else ' (another process)'}")
     k = max(k, 1)
-    c_chunks = max(c_chunks, 1)
+    c_chunks = c_left + max(c_right, 1)
+    if c_chunks > 6:  # xell_layout's c_max: agreed union must respect it
+        # uniformly (every process sees the same union, so every process
+        # takes the same fallback branch — incl. ones with empty shards)
+        raise ValueError(
+            f"agreed Xell window needs {c_chunks} chunks (> 6): shard "
+            "bandwidths too spread — renumber the mesh")
     main_size = nt * k * xk.TB * xk.LANES
     size = main_size + spill_e
     assert size < 2**31, "value storage too large for int32 slot indices"

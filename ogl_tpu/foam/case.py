@@ -238,17 +238,21 @@ def read_cell_addressing(case_dir: str, field: str, time: str):
 
 def solve_exported_case(case_dir: str, field: str, time: str,
                         controls=None, fv_solution: str | None = None,
-                        mesh=None):
+                        mesh=None, allow_degenerate: bool = False):
     """Replay an exported step: ingest + solve, returning (x, perf).
 
     controls: a controls dict, or None to read them from `fv_solution`
-    (defaults to <case_dir>/system/fvSolution)."""
+    (defaults to <case_dir>/system/fvSolution).  `allow_degenerate` is
+    forwarded to the sidecar-free comm reconstruction (repeated-
+    coefficient runs raise otherwise — a uniquely-covered degenerate
+    pairing can be accepted with True, at the caller's risk)."""
     from ogl_tpu import foam
 
     if controls is None:
         fv = fv_solution or os.path.join(case_dir, "system", "fvSolution")
         controls = load_fv_solution(fv, field)
-    ranks, b = read_exported_case(case_dir, field, time)
+    ranks, b = read_exported_case(case_dir, field, time,
+                                  allow_degenerate=allow_degenerate)
     name = f"{field}_replay"
     if len(ranks) == 1:
         return foam.solve(name, ranks[0], b, controls)

@@ -385,14 +385,16 @@ class FoamSolver:
         mirror2 = mirror + dbf.astype(np.float32)
         ref = float(np.max(np.abs(new_f32))) if new_f32.size else 0.0
         err = float(np.max(np.abs(new_f32 - mirror2))) if new_f32.size else 0.0
-        # the DEFAULT tolerance is tied to the solve's stopping config: the
-        # solver converges against the COMPRESSED operands, so a delta
-        # tolerance looser than ~tolerance/10 (or relTol/10) would let the
-        # reported finalResidual overstate accuracy relative to the true
-        # system (advisor r04).  An EXPLICIT uploadDeltaTol is honored
-        # as-is — the user opted into that accuracy level.
+        # the DEFAULT tolerance (upload_delta_tol None) is tied to the
+        # solve's stopping config: the solver converges against the
+        # COMPRESSED operands, so a delta tolerance looser than
+        # ~tolerance/10 (or relTol/10) would let the reported
+        # finalResidual overstate accuracy relative to the true system
+        # (advisor r04).  An EXPLICIT uploadDeltaTol — via the dict key or
+        # set directly on the dataclass — is honored as-is.
         tol = self.cfg.upload_delta_tol
-        if not self.cfg.upload_delta_tol_explicit:
+        if tol is None:
+            tol = 1e-5
             st = self.cfg.stopping
             if st.tolerance > 0.0:
                 tol = min(tol, st.tolerance / 10.0)
@@ -907,7 +909,10 @@ class FoamSolver:
             # devices) and provably covers execution — block_until_ready
             # alone can acknowledge early on tunneled backends
             self.last_x_host = None
-            if self._fetch_x_with_stats:
+            # under a renumbering the raw res.x is useless to consumers
+            # (f64 outer re-fetches the back-permuted return instead), so
+            # batching it here would pay the big transfer twice per sweep
+            if self._fetch_x_with_stats and self._reorder is None:
                 iters, init_rn, final_rn, conv, self.last_x_host = \
                     jax.device_get((res.iters, res.init_res_norm,
                                     res.final_res_norm, res.converged, res.x))

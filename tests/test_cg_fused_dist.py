@@ -173,8 +173,6 @@ def test_dist_cg_fused_self_halo_parity(pipelined):
 def _wide_gdia_system(dims=(64, 16), n_parts=4):
     """Poisson + wide intra-shard couplings: the DIA union overflows, so
     partition_coo's auto ladder lands GdiaStack."""
-    import dataclasses
-
     m0 = problems.poisson_ldu(dims)
     n = m0.n
     per = n // n_parts

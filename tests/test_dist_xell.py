@@ -225,3 +225,66 @@ def test_ell_landing_warns_at_scale(monkeypatch):
             [(rows, cols, np.asarray(coo.vals))], 512, np.float64,
             fmt="auto")
     assert type(stack).__name__ == "EllStack"
+
+
+def _skewed_shards(n_local, left_chunks_a, right_chunks_b, seed=0):
+    """Two shards over the same n_local whose windows are individually
+    small but skew opposite ways: shard A reaches `left_chunks_a` chunks
+    LEFT of the diagonal, shard B `right_chunks_b` chunks RIGHT (one
+    chunk = 128 lane-blocks = 16384 columns at LANES=TB=128)."""
+    rng = np.random.default_rng(seed)
+    chunk = 128 * 128
+    # wide column jitter (half a chunk) keeps the window statics exact but
+    # spreads col-row offsets far past any Gdia plane budget, so fmt=auto
+    # genuinely reaches the Xell tier
+    rows_a = np.arange(left_chunks_a * chunk, n_local, 97)
+    cols_a = rows_a - left_chunks_a * chunk + (rng.integers(
+        0, chunk // 2, size=len(rows_a)))
+    rows_b = np.arange(0, n_local - right_chunks_b * chunk, 101)
+    cols_b = rows_b + (right_chunks_b - 1) * chunk + chunk // 2 + (
+        rng.integers(0, chunk // 2, size=len(rows_b)))
+    a = (rows_a.astype(np.int64), cols_a.astype(np.int64),
+         rng.normal(size=len(rows_a)))
+    b = (rows_b.astype(np.int64), cols_b.astype(np.int64),
+         rng.normal(size=len(rows_b)))
+    return [a, b]
+
+
+def test_xell_stack_opposite_skew_union():
+    """Regression (round-5 review): c_left and the right-chunk count must
+    unionise SEPARATELY.  A left-skewed shard (c_left=2, right=1) plus a
+    right-skewed one (c_left=0, right=3) used to agree (c_left=2,
+    c_chunks=max(3,3)=3) and then fail the forced repack of the right
+    shard with 'force_c_chunks=3 < required 5' — auto mode silently fell
+    to the XLA-gather Ell tier (and multi-process builds could diverge:
+    only the process owning the skewed shard fell back)."""
+    n_local = 3 * 128 * 128 + 256  # room for 3 chunks of span
+    shards = _skewed_shards(n_local, left_chunks_a=2, right_chunks_b=3)
+    stack, dest = pack_local_stack(shards, n_local, np.float64, fmt="Xell")
+    assert isinstance(stack, XellStack)
+    assert stack.c_left == 2 and stack.c_chunks == 5  # 2 left + 3 right
+    # per-shard structural inverse: the packed stack holds exactly the
+    # input triples
+    for i, (r, c, v) in enumerate(shards):
+        m_i = jax.tree.map(lambda a: a[i:i + 1], stack)
+        got = xell_to_coo(shard_local_matrix(m_i, n_local))
+        want = sp.coo_matrix((v, (r, c)), shape=(n_local, n_local)).tocsr()
+        have = sp.coo_matrix(
+            (np.asarray(got.vals), (np.asarray(got.rows),
+                                    np.asarray(got.cols))),
+            shape=(n_local, n_local)).tocsr()
+        assert abs(have - want).max() < 1e-14, f"shard {i} corrupted"
+
+
+def test_xell_stack_union_over_budget_uniform():
+    """When the agreed union window exceeds xell_layout's c_max (6), the
+    raise happens on the UNION (identical on every process/shard mix),
+    not inside one shard's forced repack: fmt='Xell' raises naming the
+    union, fmt='auto' falls to Ell with the loud warning."""
+    n_local = 4 * 128 * 128 + 256
+    shards = _skewed_shards(n_local, left_chunks_a=3, right_chunks_b=4)
+    with pytest.raises(ValueError, match="agreed Xell window"):
+        pack_local_stack(shards, n_local, np.float64, fmt="Xell")
+    with pytest.warns(RuntimeWarning, match="Ell tier"):
+        stack, _ = pack_local_stack(shards, n_local, np.float64, fmt="auto")
+    assert not isinstance(stack, XellStack)

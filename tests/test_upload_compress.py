@@ -147,3 +147,31 @@ def test_f64_route_unaffected():
     bf, _ = slv.last_blocks_bf16
     assert bf == 0
     assert perf.converged
+
+
+def test_explicit_tol_honored_from_dataclass():
+    """Regression (round-5 review): explicitness lives in the VALUE
+    (upload_delta_tol None = default-and-capped), so a SolverConfig built
+    directly — or via dataclasses.replace — with a loose explicit
+    tolerance is honored, not silently tightened to tolerance/10."""
+    from ogl_tpu.config import parse_controls
+
+    m, b = _case(seed=7)
+    cfg = dataclasses.replace(parse_controls(BASE), upload_delta_tol=5e-2)
+    slv = foam.FoamSolver("cx", cfg)
+    slv.solve(m, b)
+    slv.solve(_step(m, 0), b)            # stage blocks full-width
+    m2 = dataclasses.replace(m, diag=m.diag * np.float32(1.001),
+                             upper=m.upper * np.float32(1.001))
+    slv.solve(m2, b)                     # 1e-3 delta: > tolerance/10 cap,
+    bf, up = slv.last_blocks_bf16        # < the explicit 5e-2 -> bf16 rides
+    assert bf == up > 0, f"explicit loose uploadDeltaTol ignored ({bf}/{up})"
+
+    # and the dict key still counts as explicit (parse path)
+    registry.global_registry.clear()
+    slv2 = foam.FoamSolver("cy", {**BASE, "uploadDeltaTol": 5e-2})
+    slv2.solve(m, b)
+    slv2.solve(_step(m, 0), b)
+    slv2.solve(m2, b)
+    bf2, up2 = slv2.last_blocks_bf16
+    assert bf2 == up2 > 0
