@@ -915,7 +915,7 @@ def _halo_hw_bench(dims):
         dm = slv.assembler.dm
         dt = slv.time_device_solve()
         it = max(perf.n_iterations, 1)
-        results[tag] = (it, dt, perf.final_residual)
+        results[tag] = [it, dt, perf.final_residual, slv]
         route = ("affine (slices + lane matmuls)"
                  if dm.plan.send_affine is not None else "generic gather")
         log(f"halo-exchange {tag}: plan offsets {dm.plan.offsets} "
@@ -927,8 +927,16 @@ def _halo_hw_bench(dims):
         if tag.startswith("halo"):
             assert dm.plan.offsets, "halo bench built an empty plan"
     if "halo" in results and "local-cols" in results:
-        (it_h, dt_h, r_h) = results["halo"]
-        (it_l, dt_l, r_l) = results["local-cols"]
+        # the exchange cost is a DIFFERENCE of two ~200 µs/iter figures
+        # measured ~30 s apart — tunnel phase drift between them dominated
+        # the r4/r5 artifacts (16-57 µs/iter swing across runs).  Re-time
+        # both variants INTERLEAVED so any drift hits them equally.
+        for _ in range(2):
+            for tag in ("halo", "local-cols"):
+                results[tag][1] = min(results[tag][1],
+                                      results[tag][3].time_device_solve())
+        (it_h, dt_h, r_h, _s) = results["halo"]
+        (it_l, dt_l, r_l, _s) = results["local-cols"]
         rel = abs(r_h - r_l) / max(abs(r_l), 1e-30)
         headline(f"halo-exchange on hw: parity after {pin} pinned iters — "
                  f"residuals {r_h:.4e} (halo) vs {r_l:.4e} (no-halo), "

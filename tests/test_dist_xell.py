@@ -288,3 +288,48 @@ def test_xell_stack_union_over_budget_uniform():
     with pytest.warns(RuntimeWarning, match="Ell tier"):
         stack, _ = pack_local_stack(shards, n_local, np.float64, fmt="auto")
     assert not isinstance(stack, XellStack)
+
+
+def test_xell_union_agreed_across_processes():
+    """Cross-process angle of the opposite-skew fix: a process owning only
+    the LEFT-skewed shard must succeed when the agreement hook reports a
+    right-skewed peer (c_right from another process) — the union recompose
+    c_chunks = c_left + c_right covers both, so every process lands
+    XellStack with IDENTICAL statics (no divergent SPMD structure)."""
+    n_local = 3 * 128 * 128 + 256
+    shard_a, shard_b = _skewed_shards(n_local, left_chunks_a=2,
+                                      right_chunks_b=3)
+
+    def peer_hook(values_of_peer):
+        def hook(kind, *args):
+            assert kind == "xell"
+            ok, k, c_left, c_right, spill_e = args
+            pok, pk, pl, pr, ps = values_of_peer
+            return (ok and pok, max(k, pk), max(c_left, pl),
+                    max(c_right, pr), max(spill_e, ps))
+        return hook
+
+    stacks = []
+    # process 0 owns A (c_left=2, right=1); its peer reports B's statics
+    # (c_left=0, right=3) — and vice versa
+    for own, peer in ((shard_a, shard_b), (shard_b, shard_a)):
+        lay_peer = None
+        from ogl_tpu.kernels import xell as xk
+        lay_peer = xk.xell_layout(peer[0], peer[1], n_local)
+        peer_vals = (True, lay_peer.n_slots, lay_peer.c_left,
+                     lay_peer.c_chunks - lay_peer.c_left,
+                     int(lay_peer.spill_sel.sum()))
+        prev = part.set_struct_agree_hook(peer_hook(peer_vals))
+        try:
+            # _pack_xell_stack directly: pack_local_stack's earlier ladder
+            # rungs consult the hook with kind 'dia' first
+            stack, _ = part._pack_xell_stack([own], n_local, np.float64,
+                                             len(own[0]))
+        finally:
+            part.set_struct_agree_hook(prev)
+        assert isinstance(stack, XellStack)
+        stacks.append(stack)
+    s0, s1 = stacks
+    assert (s0.n_slots, s0.c_left, s0.c_chunks) == \
+        (s1.n_slots, s1.c_left, s1.c_chunks) == (s0.n_slots, 2, 5), \
+        [(s.n_slots, s.c_left, s.c_chunks) for s in stacks]
