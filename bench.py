@@ -1105,7 +1105,11 @@ def _dist_xell_bench(lrows, lcols, lvals, n):
 
 def _unstructured_solve_bench(lrows, lcols, lvals, n):
     """GKOCG on an SPD operator with the 1M kNN-6 unstructured sparsity
-    (graph Laplacian + I: same Xell structure, guaranteed SPD)."""
+    (graph Laplacian + I: same Xell structure, guaranteed SPD).  The
+    headline is the MERGED-kernel path (XellCgKernels: K1 = p-update +
+    crossed-gather SpMV + in-kernel spill + δ-dot, K2 streaming) — the
+    unfused multi-kernel loop is timed after it for the comparison when
+    budget remains."""
     from ogl_tpu.config import StoppingConfig
     from ogl_tpu.kernels import spmv
     from ogl_tpu.solve import cg
@@ -1115,14 +1119,45 @@ def _unstructured_solve_bench(lrows, lcols, lvals, n):
     mat = spmv.pack_fast(lrows, lcols, lvals, n, presorted=True)
     fmt = type(mat).__name__
     leaves, tdef = jax.tree_util.tree_flatten(mat)
-    mv = lambda v: spmv.matvec(jax.tree_util.tree_unflatten(
-        tdef, leaves))(v)
     rng = np.random.default_rng(4)
     xt = rng.normal(size=n).astype(np.float32)
     b = jax.jit(lambda v, *ls: spmv.matvec(jax.tree_util.tree_unflatten(
         tdef, ls))(v))(jnp.asarray(xt), *leaves)
     sp = StoppingParams.of(StoppingConfig(
         tolerance=1e-6, rel_tol=0.0, max_iter=1000, frequency=1))
+
+    it_f = None
+    if fmt == "Xell":
+        try:
+            from ogl_tpu.kernels.xell import XellCgKernels
+            from ogl_tpu.solve.cg_fused import cg_fused
+
+            kern = XellCgKernels.for_matrix(mat)
+            data3 = kern.pack_values(mat)
+            dleaves, ddef = jax.tree_util.tree_flatten(data3)
+            solve_f = jax.jit(lambda bb, pp, *ls: cg_fused(
+                kern, jax.tree_util.tree_unflatten(ddef, ls), bb,
+                jnp.zeros_like(bb), pp))
+            res_f = solve_f(b, sp, *dleaves)
+            float(res_f.final_res_norm)
+            t_f = _slope_timed(lambda: solve_f(b, sp, *dleaves),
+                               lambda out: float(out.final_res_norm),
+                               hi=9, reps=2)
+            it_f = int(res_f.iters)
+            tpi_f = t_f / max(it_f, 1)
+            headline(f"Xell end-to-end GKOCG 1M (merged kernels, in-kernel "
+                     f"spill): {it_f} iters, "
+                     f"converged={bool(res_f.converged)}, "
+                     f"solve {t_f * 1e3:.1f} ms, {tpi_f * 1e6:.1f} µs/iter, "
+                     f"{tpi_f * 1e9 / n:.4f} ns/iter/DOF "
+                     f"(structured fused path: see 'CG 1M' above)")
+        except Exception as e:
+            log(f"merged Xell solve failed: {type(e).__name__}: {e}")
+
+    if it_f is not None and not lane_ok("Xell unfused comparison", 45):
+        return
+    mv = lambda v: spmv.matvec(jax.tree_util.tree_unflatten(
+        tdef, leaves))(v)
     ops = single_device_ops(mv, n)
     solve = jax.jit(lambda bb, pp: cg(ops, bb, jnp.zeros_like(bb), pp))
     res = solve(b, sp)
@@ -1131,10 +1166,12 @@ def _unstructured_solve_bench(lrows, lcols, lvals, n):
                      lambda out: float(out.final_res_norm), hi=9, reps=2)
     it = int(res.iters)
     tpi = t / max(it, 1)
-    headline(f"Xell end-to-end GKOCG 1M ({fmt} operator): {it} iters, "
+    headline(f"Xell end-to-end GKOCG 1M (unfused loop, {fmt} operator): "
+             f"{it} iters, "
              f"converged={bool(res.converged)}, solve {t * 1e3:.1f} ms, "
-             f"{tpi * 1e6:.1f} µs/iter, {tpi * 1e9 / n:.4f} ns/iter/DOF "
-             f"(structured fused path: see 'CG 1M' above)")
+             f"{tpi * 1e6:.1f} µs/iter, {tpi * 1e9 / n:.4f} ns/iter/DOF"
+             + (f"; iteration parity fused {it_f} = {it}" if it_f == it
+                else ""))
 
 
 def _config_sweep():

@@ -639,6 +639,7 @@ class FoamSolver:
             and isinstance(self.matrix, formats.Dia)
         )
         from ogl_tpu.kernels.gdia import Gdia as _Gdia
+        from ogl_tpu.kernels.xell import Xell as _Xell
 
         pipelined = self.cfg.pipelined_cg
         if (
@@ -649,12 +650,12 @@ class FoamSolver:
             # variant has no pipelined form, and the pipelined ka kernel
             # is Dia-only (the Gdia lane-gather apply has no fused
             # SpMV+3-dots pass — GdiaCgKernels inherits the Dia stencil
-            # ka, which cannot consume (vals, lidx) coefficient pairs),
-            # so both combinations fall through to the general
-            # cg_pipelined above
+            # ka, which cannot consume (vals, lidx) coefficient pairs;
+            # same for the Xell crossed-gather apply), so those
+            # combinations fall through to the general cg_pipelined above
             and not (pipelined and amg_framed)
-            and not (pipelined and isinstance(self.matrix, _Gdia))
-            and isinstance(self.matrix, (formats.Dia, _Gdia))
+            and not (pipelined and isinstance(self.matrix, (_Gdia, _Xell)))
+            and isinstance(self.matrix, (formats.Dia, _Gdia, _Xell))
             and (diag_pc or amg_framed)
             and self.dtype == jnp.float32  # merged kernels are f32-framed
             and spmv.pallas_usable()  # Pallas: TPU and not x64 (Mosaic)
@@ -662,12 +663,15 @@ class FoamSolver:
             # sub-32k problems gain nothing from merging anyway
         ):
             from ogl_tpu.kernels.fused import CgKernels, GdiaCgKernels
+            from ogl_tpu.kernels.xell import XellCgKernels
             from ogl_tpu.solve.cg_fused import cg_fused
             from ogl_tpu.solve.cg_pipe_fused import cg_pipelined_fused
 
             try:
                 if isinstance(self.matrix, formats.Dia):
                     kern = CgKernels(n, self.matrix.offsets)
+                elif isinstance(self.matrix, _Xell):
+                    kern = XellCgKernels.for_matrix(self.matrix)
                 else:
                     kern = GdiaCgKernels(n, self.matrix.plane_offsets)
             except ValueError:

@@ -551,6 +551,12 @@ class CgKernels:
     def __eq__(self, other):
         return isinstance(other, CgKernels) and self._key() == other._key()
 
+    def workset_bytes(self) -> int:
+        """Approximate per-iteration working set (operator + the ~6 CG
+        vectors) — used by cg_fused to decide whether the solve can stay
+        VMEM-resident across iterations (see the identity-variant gate)."""
+        return (len(self.offsets) + 6) * self.rp * LANES * 4
+
     def _compiler_params(self, windows: int, blocks: int):
         """Mosaic scoped-VMEM budget for the fused kernels.  The default
         16 MB cap rejects tiles wide enough to amortise a large halo (the
@@ -1009,9 +1015,14 @@ class GdiaCgKernels(CgKernels):
 
 
 def make_cg_kernels(mat, tile: int = 512, interpret: bool = False):
-    """Returns (plan, packed coefficient blocks) for a Dia or Gdia matrix."""
+    """Returns (plan, packed coefficient blocks) for a Dia, Gdia, or Xell
+    matrix."""
     if isinstance(mat, Dia):
         kern = CgKernels(mat.shape[0], mat.offsets, tile, interpret)
+    elif type(mat).__name__ == "Xell":
+        from ogl_tpu.kernels.xell import XellCgKernels
+
+        kern = XellCgKernels.for_matrix(mat, interpret)
     else:
         kern = GdiaCgKernels(mat.shape[0], mat.plane_offsets, tile, interpret)
     return kern, kern.pack_values(mat)

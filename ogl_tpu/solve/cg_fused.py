@@ -54,7 +54,7 @@ def cg_fused(kern: CgKernels, data3, b, x0, cfg, invd=None, history_len: int = 0
     # solve VMEM-resident across iterations; the changed liveness (r
     # consumed by both K1 and K2) evidently breaks that placement.  So
     # the z-free variant is gated on the working set exceeding VMEM.
-    ws_bytes = (len(kern.offsets) + 6) * kern.rp * 128 * 4
+    ws_bytes = kern.workset_bytes()
     identity = (invd is None and precond_framed is None
                 and ws_bytes > identity_min_bytes)
     bf = kern.frame(b)
