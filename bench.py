@@ -80,7 +80,24 @@ def _on_term(signum, frame):  # driver timeout sends SIGTERM first
     sys.exit(1 if not _JSON_PRINTED else 0)
 
 
+def _on_alarm(signum, frame):
+    """Hard internal deadline: on pathological backend weather (first
+    Mosaic compiles have been observed taking ~300 s each after a tunnel
+    recovery) a single lane can blow far past its estimate AFTER the
+    lane_ok gate admitted it.  Rather than let the driver's outer timeout
+    kill the run (BENCH_r04: rc=124, parsed:null, no tail), expire the
+    budget from inside: print the summary and exit — rc 0 when the
+    machine-readable headline already printed, 1 otherwise (the summary
+    still carries every completed lane either way)."""
+    log(f"[budget alarm at {time.monotonic() - _T0:.0f}s — printing summary "
+        "and exiting]")
+    print_summary()
+    sys.exit(0 if _JSON_PRINTED else 1)
+
+
 signal.signal(signal.SIGTERM, _on_term)
+signal.signal(signal.SIGALRM, _on_alarm)
+signal.alarm(max(int(BUDGET_S) + 30, 60))  # +grace so lane gating acts first
 
 
 def _timed(f):

@@ -46,6 +46,7 @@ __all__ = [
     "pack_local_stack",
     "pack_halo_stack",
     "shard_local_matrix",
+    "xell_stack_spill_tables",
     "partition_coo",
     "split_vector",
     "gather_global",
@@ -122,6 +123,55 @@ class XellStack:
     c_chunks: int = static_field()
     n_tiles: int = static_field()
     spill_e: int = static_field()
+
+
+def xell_stack_spill_tables(stack: "XellStack"):
+    """Per-shard, per-destination-tile spill tables for the merged-kernel
+    dist path (cg_fused_dist): the single-device plan bakes SpillTables as
+    jit constants, but each SHARD has its own spill structure, so here the
+    tables ride shard_map as stacked TRACED operands instead.
+
+    Returns (idx4, gather) — np.int32 (P, nt, 8, S) each — or None when
+    the stack has no spill.  idx4 rows 0..3 = res/blk/tb/lane (the
+    kernels/xell.py SpillTables layout); `gather` holds flat indices into
+    the shard's (main + spill_e) value vector, −1 on unused slots (the
+    consumer masks those to value 0, exactly like SpillTables.padded_vals,
+    so they are inert regardless of the parked index tuple).  S is
+    derived from the AGREED spill_e (≥ any per-tile count), so
+    multi-process builds land on identical shapes without a new
+    agreement field.  The stack's own val-0 pad entries are bucketed like
+    real entries — harmless by value."""
+    from ogl_tpu.kernels.xell import LANES, TB
+
+    if stack.spill_e == 0:
+        return None
+    p = int(stack.spill_rows.shape[0])
+    nt = stack.n_tiles
+    main = nt * stack.n_slots * TB * LANES
+    s_max = max(128, 128 * -(-stack.spill_e // 128))
+    rows = np.asarray(jax.device_get(stack.spill_rows), np.int64)
+    cols = np.asarray(jax.device_get(stack.spill_cols), np.int64)
+    idx4 = np.zeros((p, nt, 8, s_max), np.int32)
+    gather = np.full((p, nt, 8, s_max), -1, np.int32)
+    for sh in range(p):
+        r, c = rows[sh], cols[sh]
+        tile = r // (TB * LANES)
+        order = np.argsort(tile, kind="stable")
+        counts = np.bincount(tile, minlength=nt)
+        assert counts.max() <= s_max, (counts.max(), s_max)
+        pos = (np.concatenate([np.arange(cnt) for cnt in counts if cnt])
+               if len(r) else np.zeros(0, np.int64))
+        t_o, r_o, c_o = tile[order], r[order], c[order]
+        idx4[sh, t_o, 0, pos] = (c_o % LANES).astype(np.int32)
+        idx4[sh, t_o, 1, pos] = (c_o // LANES - t_o * TB
+                                 + stack.c_left * 128).astype(np.int32)
+        idx4[sh, t_o, 2, pos] = ((r_o // LANES) % TB).astype(np.int32)
+        idx4[sh, t_o, 3, pos] = (r_o % LANES).astype(np.int32)
+        gather[sh, t_o, 0, pos] = (main + order).astype(np.int32)
+    assert idx4[:, :, 1].min() >= 0 and \
+        idx4[:, :, 1].max() < stack.c_chunks * 128, \
+        "spill column outside the Xell window (stack invariant broken)"
+    return idx4, gather
 
 
 @_pytree

@@ -209,18 +209,19 @@ class DistFoamSolver:
         self.props.precond_caching_left = pc_cfg.caching
 
     def _fused_eligible(self, dm) -> bool:
-        """Merged-kernel dist-CG path: GKOCG + DiaStack or GdiaStack local
-        + diagonal preconditioning on TPU, large shards (small Pallas tiles
-        fault on hw; cf. the single-device gate in foam.solver._solver_fn).
-        The pipelined (ka-kernel) variant is Dia-only — GdiaStack with
-        pipelinedCG falls to the general path."""
-        from ogl_tpu.dist.partition import DiaStack, GdiaStack
+        """Merged-kernel dist-CG path: GKOCG + DiaStack, GdiaStack, or
+        XellStack local + diagonal preconditioning on TPU, large shards
+        (small Pallas tiles fault on hw; cf. the single-device gate in
+        foam.solver._solver_fn).  The pipelined (ka-kernel) variant is
+        Dia-only — GdiaStack/XellStack with pipelinedCG fall to the
+        general path."""
+        from ogl_tpu.dist.partition import DiaStack, GdiaStack, XellStack
 
         cfg = self.cfg
         pc = cfg.precond
         diag_pc = pc.name == "none" or (pc.name == "BJ" and pc.max_block_size == 1)
         fmt_ok = ((isinstance(dm.local, DiaStack) and 0 in dm.local.offsets)
-                  or (isinstance(dm.local, GdiaStack)
+                  or (isinstance(dm.local, (GdiaStack, XellStack))
                       and not cfg.pipelined_cg))
         ok = (
             cfg.solver == "GKOCG"
@@ -236,12 +237,13 @@ class DistFoamSolver:
         )
         if not ok:
             return False
-        try:  # frame geometry must exist (bandwidth vs tile constraint)
+        try:  # frame geometry must exist (bandwidth vs tile constraint;
+            # the Xell plan has no frame constraint — always constructible)
             from ogl_tpu.kernels.fused import CgKernels, GdiaCgKernels
 
             if isinstance(dm.local, DiaStack):
                 CgKernels(dm.n_local, dm.local.offsets)
-            else:
+            elif isinstance(dm.local, GdiaStack):
                 GdiaCgKernels(dm.n_local, dm.local.plane_offsets)
         except ValueError:
             return False

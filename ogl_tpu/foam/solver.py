@@ -601,6 +601,26 @@ class FoamSolver:
         pc_op = self._precond_op
         pc_apply = pc_op.bind if pc_op is not None else None
 
+        # Xell spill tables precomputed from the CONCRETE matrix: inside
+        # the jitted run() the matrix is a tracer, so xell_matvec could not
+        # bucket the spill itself and would fall back to the XLA
+        # segment_sum (~15 µs per 1k spill entries per apply).  The tables
+        # are static structure; values still ride the traced spill.vals.
+        _sp_tables = None
+        if (type(self.matrix).__name__ == "Xell"
+                and int(self.matrix.spill.vals.shape[0])
+                and not isinstance(self.matrix.spill.rows, jax.core.Tracer)):
+            from ogl_tpu.kernels.xell import xell_spill_tables
+
+            _sp_tables = xell_spill_tables(self.matrix)
+
+        def _mv(mat):
+            if _sp_tables is not None:
+                from ogl_tpu.kernels.xell import xell_matvec
+
+                return xell_matvec(mat, tables=_sp_tables)
+            return spmv.matvec(mat)
+
         solver = {
             "GKOCG": cg,
             "GKOBiCGStab": bicgstab,
@@ -765,21 +785,21 @@ class FoamSolver:
                 else:
                     im = formats.cast_values(mat, idt) if idt is not None else mat
                     iops = single_device_ops(
-                        spmv.matvec(im), n,
+                        _mv(im), n,
                         precond=pc_apply(pc_state) if pc_apply is not None else None,
                     )
 
                     def inner(r):
                         return cg(iops, r, jnp.zeros_like(r), inner_params).x
 
-                oops = single_device_ops(spmv.matvec(mat), n)
+                oops = single_device_ops(_mv(mat), n)
                 return ir(oops, b, x0, sp, inner_solve=inner, **kw)
 
             return run_ir
 
         def run(mat, pc_state, b, x0, sp):
             ops = single_device_ops(
-                spmv.matvec(mat), n,
+                _mv(mat), n,
                 precond=pc_apply(pc_state) if pc_apply is not None else None,
             )
             return solver(ops, b, x0, sp, **kw)

@@ -557,6 +557,13 @@ class CgKernels:
         VMEM-resident across iterations (see the identity-variant gate)."""
         return (len(self.offsets) + 6) * self.rp * LANES * 4
 
+    @property
+    def frame_offset(self) -> int:
+        """Flat frame index of local row 0 (the leading zero pad frame()
+        prepends) — the dist layer reads interface rows at
+        frame_offset + r."""
+        return self.tile * LANES
+
     def _compiler_params(self, windows: int, blocks: int):
         """Mosaic scoped-VMEM budget for the fused kernels.  The default
         16 MB cap rejects tiles wide enough to amortise a large halo (the

@@ -650,6 +650,12 @@ class XellCgKernels:
         return (self.nt * self.n_slots * TB * LANES * 7
                 + 6 * self.frame_rows * LANES * 4)
 
+    @property
+    def frame_offset(self) -> int:
+        """Flat frame index of local row 0 (the xpad framing's leading
+        zero chunks)."""
+        return self.c_left * TB * LANES
+
     # ---- layout ---------------------------------------------------------
     def pack_values(self, mat: Xell, dtype=None):
         assert (int(mat.vals.shape[0]), mat.n_slots, mat.c_chunks,
@@ -673,7 +679,12 @@ class XellCgKernels:
 
     # ---- K1 -------------------------------------------------------------
     @functools.partial(jax.jit, static_argnums=0)
-    def k1(self, data3, zf, pf, beta):
+    def k1(self, data3, zf, pf, beta, spill_ts=None):
+        """spill_ts: optional TRACED per-tile spill tables
+        ((nt, 8, S) i32 idx4, (nt, 8, S) f32 vals) — used by the
+        distributed path, where each shard has its own spill structure so
+        the tables cannot be plan statics (they ride shard_map instead);
+        takes precedence over the plan's own SpillTables."""
         from jax.experimental.pallas import tpu as _pltpu
 
         vals, ll, bbT, sr, sc, sv = data3
@@ -702,20 +713,28 @@ class XellCgKernels:
                        op_spec((k, TB, LANES))])
         args = [*([zf] * c), *([pf] * c),
                 jnp.asarray(beta, self.dtype).reshape(1, 1), bbT, ll, vals]
-        if tables is not None:
-            s = tables.s_max
+        if spill_ts is not None:
+            sidx_t, sval_t = spill_ts
+            tables = None
+        elif tables is not None:
+            sidx_t = jnp.asarray(tables.idx4())
+            sval_t = tables.padded_vals(sv)
+        else:
+            sidx_t = None
+        if sidx_t is not None:
+            s = int(sidx_t.shape[2])
 
             def sp_spec(f):
                 return (jnp.clip(f - self.c_left, 0, nt - 1), 0, 0)
 
             in_specs += [pl.BlockSpec((1, 8, s), sp_spec,
                                       memory_space=pltpu.VMEM)] * 2
-            args += [jnp.asarray(tables.idx4()), tables.padded_vals(sv)]
+            args += [sidx_t, sval_t.astype(jnp.float32)]
         need = (2 * c + 4 + 2 * k) * TB * LANES * 4 * 2
         pout, q, delta = pl.pallas_call(
             functools.partial(_k1x_kernel, n_slots=k, n_chunks=c,
                               c_left=self.c_left, nt=nt,
-                              has_spill=tables is not None),
+                              has_spill=sidx_t is not None),
             grid=(self.grid,),
             in_specs=in_specs,
             out_specs=(
@@ -737,7 +756,7 @@ class XellCgKernels:
                                      min(need + 2 * 2**20, 120 * 2**20))),
         )(*args)
         delta = jnp.sum(delta)
-        if tables is None and int(sv.shape[0]):
+        if sidx_t is None and int(sv.shape[0]):
             # no tables (plan built without a concrete matrix): XLA
             # scatter-add fallback — exact, but ~15 µs per 1k entries
             off = self.c_left * TB * LANES

@@ -140,6 +140,7 @@ def make_dist_cg_fused_fn(
     steady-state solves reuse the compiled program.  Semantics match
     solve/cg.py + the OpenFOAM criterion."""
     n_local = dm.n_local
+    spill_tabs = None  # XellStack only: stacked per-shard spill tables
     if isinstance(dm.local, DiaStack):
         kern = CgKernels(n_local, dm.local.offsets, tile, interpret)
 
@@ -147,14 +148,33 @@ def make_dist_cg_fused_fn(
             return kern.pack_values(Dia(
                 data=local.data[0], offsets=dm.local.offsets,
                 shape=(n_local, n_local)))
+    elif type(dm.local).__name__ == "XellStack":
+        from ogl_tpu.dist.partition import (shard_local_matrix,
+                                            xell_stack_spill_tables)
+        from ogl_tpu.kernels.xell import XellCgKernels
+
+        st = dm.local
+        kern = XellCgKernels(n_local, st.n_tiles, st.n_slots, st.c_chunks,
+                             st.c_left, interpret)
+        # per-shard spill tables need the CONCRETE spill structure; in a
+        # multi-process build the staged stack is globally sharded (other
+        # processes' shards not addressable) — fall back to k1's XLA
+        # scatter-add spill there (surface-sized per shard, exact)
+        if getattr(st.spill_rows, "is_fully_addressable", True):
+            tabs = xell_stack_spill_tables(st)
+            if tabs is not None:
+                spill_tabs = (jnp.asarray(tabs[0]), jnp.asarray(tabs[1]))
+
+        def _pack(local):
+            return kern.pack_values(shard_local_matrix(local, n_local))
     else:
         from ogl_tpu.dist.partition import GdiaStack
         from ogl_tpu.kernels.fused import GdiaCgKernels
         from ogl_tpu.kernels.gdia import Gdia as _Gdia
 
         if not isinstance(dm.local, GdiaStack):
-            raise TypeError(
-                "dist_cg_fused needs a DiaStack or GdiaStack local operator")
+            raise TypeError("dist_cg_fused needs a DiaStack, GdiaStack, or "
+                            "XellStack local operator")
         kern = GdiaCgKernels(n_local, dm.local.plane_offsets, tile,
                              interpret)
 
@@ -166,9 +186,8 @@ def make_dist_cg_fused_fn(
     # z-free identity variant only when the per-shard working set exceeds
     # VMEM (see solve/cg_fused.py for the measured crossover)
     identity = (not use_invd
-                and (len(kern.offsets) + 6) * kern.rp * 128 * 4
-                > identity_min_bytes)
-    frame_off = kern.tile * LANES
+                and kern.workset_bytes() > identity_min_bytes)
+    frame_off = kern.frame_offset
     global_n = dm.global_n
     dtype = kern.dtype
     plan = dm.plan
@@ -181,8 +200,24 @@ def make_dist_cg_fused_fn(
     aff = dm.apply_affine if plan.send_affine is not None else None
     e_true = dm.halo_sizes[0] if dm.halo_sizes else 0
 
-    def shard_body(local, halo_s, b, x0, invd, sp):
+    def shard_body(local, halo_s, b, x0, invd, sp, *sp_tabs):
         data3 = _pack(local)
+        if sp_tabs:
+            # per-shard spill tables (XellStack): indices static-shaped,
+            # values gathered from this shard's flat value vector (−1 =
+            # unused slot → value 0, numerically inert)
+            g = sp_tabs[1][0]
+            sval = jnp.where(
+                g >= 0,
+                jnp.take(local.vals[0], jnp.clip(g, 0),
+                         mode="clip").astype(jnp.float32),
+                0.0)
+            _ts = (sp_tabs[0][0], sval)
+
+            def _k1(d3, zf_, pf_, beta_):
+                return kern.k1(d3, zf_, pf_, beta_, spill_ts=_ts)
+        else:
+            _k1 = kern.k1
         halo = (halo_s.rows[0], halo_s.cols[0], halo_s.vals[0])
         bf = kern.frame(b[0].astype(dtype))
         xf = kern.frame(x0[0].astype(dtype))
@@ -201,7 +236,7 @@ def make_dist_cg_fused_fn(
                               vals_slot_order=vals_so, affine_axis=axis)
 
         def dist_apply(vf):
-            _, qf, _ = kern.k1(data3, vf, vf, 0.0)
+            _, qf, _ = _k1(data3, vf, vf, 0.0)
             if plan.offsets:
                 h = _exchange_framed(vf, plan, axis, frame_off)
                 qf, _ = corr(qf, vf, h)
@@ -266,7 +301,7 @@ def make_dist_cg_fused_fn(
                 hp = hz + beta * c.hp
             else:
                 hp = c.hp
-            pf, qf, d1 = kern.k1(data3, zlike, c.pf, beta)
+            pf, qf, d1 = _k1(data3, zlike, c.pf, beta)
             if plan.offsets:
                 qf, d2 = corr(qf, pf, hp)
                 delta = psum(d1 + d2)
@@ -302,9 +337,10 @@ def make_dist_cg_fused_fn(
         )
 
     spec = P(axis)
+    n_tabs = 2 if spill_tabs is not None else 0
     mapped = jax.jit(jax.shard_map(
         shard_body, mesh=mesh,
-        in_specs=(spec, spec, spec, spec, spec, P()),
+        in_specs=(spec, spec, spec, spec, spec, P()) + (spec,) * n_tabs,
         out_specs=(spec, P(), P(), P(), P()),
         check_vma=False,
     ))
@@ -312,8 +348,9 @@ def make_dist_cg_fused_fn(
     def run(local, halo, b_stack, x0_stack, invd_stack, sp):
         invd_arg = invd_stack if invd_stack is not None else jnp.ones(
             (n_parts, n_local), dtype)
+        extra = spill_tabs if spill_tabs is not None else ()
         x, iters, init_rn, final_rn, conv = mapped(
-            local, halo, b_stack, x0_stack, invd_arg, sp)
+            local, halo, b_stack, x0_stack, invd_arg, sp, *extra)
         return SolveResult(x=x, iters=iters, init_res_norm=init_rn,
                            final_res_norm=final_rn, converged=conv)
 

@@ -272,3 +272,108 @@ def test_pipelined_gdia_falls_back_cleanly():
     err = np.abs(np.asarray(x) - x_true).max()
     assert err < 1e-2, err
     registry.global_registry.clear()
+
+
+def _unstructured_spd(n=768, deg=4, seed=3):
+    import scipy.sparse as sp_
+
+    rng = np.random.default_rng(seed)
+    src = np.repeat(np.arange(n), deg)
+    dst = rng.integers(0, n, size=n * deg)
+    keep = src != dst
+    r = np.concatenate([src[keep], dst[keep], np.arange(n)])
+    c = np.concatenate([dst[keep], src[keep], np.arange(n)])
+    v = rng.normal(size=len(r))
+    m = sp_.coo_matrix((v, (r, c)), shape=(n, n)).tocsr()
+    m = m + m.T
+    m = sp_.diags(np.abs(m).sum(axis=1).A1 + 1.0) - sp_.diags(m.diagonal()) + m
+    mc = m.tocoo()
+    order = np.lexsort((mc.col, mc.row))
+    from ogl_tpu.core.formats import Coo
+
+    return Coo(rows=mc.row[order].astype(np.int32),
+               cols=mc.col[order].astype(np.int32),
+               vals=mc.data[order].astype(np.float64),
+               shape=(n, n)), m
+
+
+@pytest.mark.parametrize("force_spill", [False, True])
+def test_dist_cg_fused_xell_matches_plain(monkeypatch, force_spill):
+    """Merged-kernel dist-CG on an XellStack local operator (unstructured
+    shards): iteration parity with the general dist path and correct
+    solution — including through the PER-SHARD in-kernel spill tables
+    (force_spill packs with a generous spill budget so the tables carry
+    real entries)."""
+    from ogl_tpu.dist.partition import XellStack
+
+    if force_spill:
+        import ogl_tpu.kernels.xell as xk
+
+        orig = xk.xell_layout
+
+        def leaky(*a, **kw):
+            kw["spill_frac"] = 0.3
+            return orig(*a, **kw)
+
+        monkeypatch.setattr(xk, "xell_layout", leaky)
+
+    coo, acsr = _unstructured_spd()
+    n = coo.shape[0]
+    nparts = 4
+    dm = partition_coo(coo, nparts, local_format="Xell")
+    assert isinstance(dm.local, XellStack)
+    if force_spill:
+        assert dm.local.spill_e > 0, "spill tables not exercised"
+    rng = np.random.default_rng(4)
+    x_true = rng.normal(size=n)
+    b = acsr @ x_true
+    bs = jnp.asarray(split_vector(dm, b), jnp.float32)
+    mesh = _mesh(nparts)
+    sp = StoppingParams.of(StoppingConfig(
+        tolerance=5e-5, rel_tol=0.0, max_iter=600, frequency=1))
+    res = dist_cg_fused(dm, bs, jnp.zeros_like(bs), sp, mesh, interpret=True)
+    assert bool(np.asarray(res.converged).all())
+    err = np.abs(gather_global(dm, res.x) - x_true).max() / \
+        np.abs(x_true).max()
+    assert err < 1e-2, err
+
+    # iteration parity with the general dist path (f64 values there)
+    bs64 = jnp.asarray(split_vector(dm, b))
+    _, res2 = dist.dist_solve(dm, bs64, jnp.zeros_like(bs64), sp, mesh,
+                              solver="GKOCG")
+    it_f = int(np.asarray(res.iters).ravel()[0])
+    it_p = int(np.asarray(res2.iters).ravel()[0])
+    assert abs(it_f - it_p) <= 2, (it_f, it_p)
+
+
+def test_dist_cg_fused_xell_jacobi(monkeypatch):
+    """Schwarz-Jacobi (BJ maxBlockSize=1) through the XellStack merged
+    path with forced spill."""
+    import ogl_tpu.kernels.xell as xk
+
+    orig = xk.xell_layout
+
+    def leaky(*a, **kw):
+        kw["spill_frac"] = 0.3
+        return orig(*a, **kw)
+
+    monkeypatch.setattr(xk, "xell_layout", leaky)
+    from ogl_tpu.foam.dist_solver import _jacobi_invd_stack
+
+    coo, acsr = _unstructured_spd(seed=9)
+    n = coo.shape[0]
+    dm = partition_coo(coo, 4, local_format="Xell")
+    assert dm.local.spill_e > 0
+    rng = np.random.default_rng(5)
+    x_true = rng.normal(size=n)
+    b = acsr @ x_true
+    bs = jnp.asarray(split_vector(dm, b), jnp.float32)
+    invd = _jacobi_invd_stack(dm.local, dm.n_local)
+    sp = StoppingParams.of(StoppingConfig(
+        tolerance=5e-5, rel_tol=0.0, max_iter=600))
+    res = dist_cg_fused(dm, bs, jnp.zeros_like(bs), sp, _mesh(4),
+                        invd_stack=invd, interpret=True)
+    assert bool(np.asarray(res.converged).all())
+    err = np.abs(gather_global(dm, res.x) - x_true).max() / \
+        np.abs(x_true).max()
+    assert err < 1e-2, err
